@@ -1,0 +1,135 @@
+"""Simulation state and configuration pytrees.
+
+Arrays are indexed [z, y, x] with x innermost (TPU lane dimension); vector
+fields carry a leading component axis.  DDFs are stored in the perturbation
+(DDF-shifted) form: f_stored = f - w_i, so magnitudes stay near zero and
+compress well to 16-bit storage (reference: kernel.cpp:1016-1100).
+
+Storage codec: `f16` mirrors the reference's FP16S (range-shifted IEEE half,
+scale 2^15 — reference lbm.cpp:707-710), `bf16` is the TPU-native wide-range
+option, `f32` is exact.  All arithmetic is fp32 regardless of storage.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+# Cell-type bitmask (matches the reference flag contract, defines.hpp:52-59).
+TYPE_S = 0x01  # solid (bounce-back)
+TYPE_E = 0x02  # equilibrium boundary (fixed rho/u)
+TYPE_T = 0x04  # fixed-temperature cell
+TYPE_F = 0x08  # fluid marker (informational)
+
+FP16_SCALE = 32768.0
+FP16_INV_SCALE = 1.0 / 32768.0
+
+_STORAGE_DTYPES = {
+    "f32": jnp.float32,
+    "f16": jnp.float16,
+    "bf16": jnp.bfloat16,
+}
+
+
+def storage_dtype(name: str):
+    return _STORAGE_DTYPES[name]
+
+
+def encode_ddf(x: jnp.ndarray, storage: str) -> jnp.ndarray:
+    """fp32 DDF -> storage representation."""
+    if storage == "f32":
+        return x
+    if storage == "f16":
+        return (x * FP16_SCALE).astype(jnp.float16)
+    if storage == "bf16":
+        return x.astype(jnp.bfloat16)
+    raise ValueError(f"unknown storage {storage!r}")
+
+
+def decode_ddf(x: jnp.ndarray, storage: str) -> jnp.ndarray:
+    """storage representation -> fp32 DDF."""
+    if storage == "f32":
+        return x
+    if storage == "f16":
+        return x.astype(jnp.float32) * FP16_INV_SCALE
+    if storage == "bf16":
+        return x.astype(jnp.float32)
+    raise ValueError(f"unknown storage {storage!r}")
+
+
+class LBMState(NamedTuple):
+    """One complete lattice state. `gi`/`T` are None unless thermal."""
+
+    fi: jnp.ndarray             # (19, Z, Y, X) storage dtype, DDF-shifted
+    rho: jnp.ndarray            # (Z, Y, X) f32
+    u: jnp.ndarray              # (3, Z, Y, X) f32
+    flags: jnp.ndarray          # (Z, Y, X) uint8
+    gi: Optional[jnp.ndarray] = None   # (7, Z, Y, X) storage dtype, DDF-shifted
+    T: Optional[jnp.ndarray] = None    # (Z, Y, X) f32
+
+
+class DynParams(NamedTuple):
+    """Per-step dynamic parameters (traced; changing them never recompiles)."""
+
+    force: jnp.ndarray           # (3,) global volume force (gravity), f32
+    omega_coriolis: jnp.ndarray  # (3,) Coriolis rotation vector in lattice units
+
+
+class Forcing(NamedTuple):
+    """Precomputed spatial forcing fields (buffer nudging + top sponge).
+
+    Built once per case by `forcing.build_forcing`; zeros when disabled.
+    """
+
+    nudge_sigma: Optional[jnp.ndarray] = None   # (Z, Y, X) f32: w_buf/tau, 0 outside band
+    nudge_face: Optional[jnp.ndarray] = None    # (Z, Y, X) int8: 0=w,1=e,2=s,3=n,4=top
+    nudge_vertical: bool = False
+    sponge_sigma_z: Optional[jnp.ndarray] = None  # (Z,) f32 profile, 0 below sponge
+
+
+@dataclass(frozen=True)
+class StepConfig:
+    """Static (compile-time) solver configuration."""
+
+    omega: float                  # SRT relaxation rate 1/tau = 1/(3 nu + 0.5)
+    collision: str = "srt"        # "srt" | "trt"
+    subgrid: bool = True          # Smagorinsky-Lilly LES
+    thermal: bool = False         # D3Q7 temperature sub-lattice
+    omega_t: float = 1.0          # thermal relaxation rate 1/(2 alpha + 0.5)
+    beta: float = 0.0             # Boussinesq expansion coefficient (lattice)
+    t_avg: float = 1.0            # reference temperature (lattice)
+    storage: str = "f32"          # DDF storage codec
+    equilibrium_boundaries: bool = True
+
+    def __post_init__(self):
+        assert self.collision in ("srt", "trt")
+        assert self.storage in _STORAGE_DTYPES
+
+
+def make_initial_state(
+    shape,  # (Z, Y, X)
+    *,
+    config: StepConfig,
+    rho: Optional[np.ndarray] = None,
+    u: Optional[np.ndarray] = None,
+    flags: Optional[np.ndarray] = None,
+    T: Optional[np.ndarray] = None,
+) -> LBMState:
+    """Initialize DDFs at equilibrium from (rho, u[, T]) — the analog of the
+    reference initialize kernel (kernel.cpp:1370)."""
+    from .reference import equilibrium_f, equilibrium_g  # local import to avoid cycle
+
+    Z, Y, X = shape
+    rho_a = jnp.asarray(rho if rho is not None else np.ones(shape), dtype=jnp.float32)
+    u_a = jnp.asarray(u if u is not None else np.zeros((3, *shape)), dtype=jnp.float32)
+    flags_a = jnp.asarray(flags if flags is not None else np.zeros(shape), dtype=jnp.uint8)
+    fi = encode_ddf(equilibrium_f(rho_a, u_a), config.storage)
+    gi = None
+    T_a = None
+    if config.thermal:
+        T_a = jnp.asarray(T if T is not None else np.ones(shape), dtype=jnp.float32)
+        gi = encode_ddf(equilibrium_g(T_a, u_a), config.storage)
+    return LBMState(fi=fi, rho=rho_a, u=u_a, flags=flags_a, gi=gi, T=T_a)

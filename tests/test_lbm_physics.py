@@ -1,0 +1,258 @@
+"""Analytic physics validation for the reference-tier LBM step.
+
+The reference repo has no solver tests (SURVEY.md §4); these establish the
+ground truth the Pallas tier and multi-chip path are later checked against.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from latticeurbanwind_tpu.lbm import (
+    DynParams, LBMState, NudgeSpec, SpongeSpec, StepConfig,
+    TYPE_E, TYPE_S, TYPE_T,
+    build_forcing, check_lattice_integrity, make_initial_state, make_multi_step,
+    make_step, omega_from_nu, omega_t_from_alpha,
+)
+from latticeurbanwind_tpu.lbm.forcing import build_nudge_fields, build_sponge_profile
+
+
+def dyn_zero():
+    return DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3))
+
+
+def test_lattice_integrity():
+    check_lattice_integrity()
+
+
+def _random_smooth_state(shape, config, seed=0, amp=0.02):
+    rng = np.random.default_rng(seed)
+    Z, Y, X = shape
+    u = np.zeros((3, Z, Y, X), dtype=np.float32)
+    for a in range(3):
+        kz, ky, kx = rng.integers(1, 3, size=3)
+        ph = rng.uniform(0, 2 * np.pi, size=3)
+        z, y, x = np.meshgrid(np.arange(Z), np.arange(Y), np.arange(X), indexing="ij")
+        u[a] = amp * np.sin(2 * np.pi * kx * x / X + ph[0]) * \
+            np.cos(2 * np.pi * ky * y / Y + ph[1]) * np.cos(2 * np.pi * kz * z / Z + ph[2])
+    rho = 1.0 + amp * 0.1 * rng.standard_normal(shape).astype(np.float32)
+    return make_initial_state(shape, config=config, rho=rho, u=u)
+
+
+@pytest.mark.parametrize("collision", ["srt", "trt"])
+def test_mass_momentum_conservation_periodic(collision):
+    shape = (8, 8, 16)
+    config = StepConfig(omega=omega_from_nu(0.05), collision=collision,
+                        subgrid=False, storage="f32")
+    state = _random_smooth_state(shape, config)
+    run = make_multi_step(config, n_inner=50)
+    mass0 = float(jnp.sum(state.rho))
+    out = run(state, dyn_zero())
+    mass1 = float(jnp.sum(out.rho))
+    assert abs(mass1 - mass0) / mass0 < 1e-5
+    # momentum: sum(rho*u) conserved without forces/boundaries
+    mom0 = np.asarray(jnp.sum(state.rho * state.u, axis=(1, 2, 3)))
+    mom1 = np.asarray(jnp.sum(out.rho * out.u, axis=(1, 2, 3)))
+    assert np.allclose(mom0, mom1, atol=1e-4)
+
+
+def test_taylor_green_decay():
+    """2-D Taylor-Green vortex in a periodic box decays as exp(-2 nu k^2 t)."""
+    N = 32
+    nu = 0.02
+    shape = (4, N, N)
+    config = StepConfig(omega=omega_from_nu(nu), subgrid=False, storage="f32")
+    k = 2 * np.pi / N
+    z, y, x = np.meshgrid(np.arange(4), np.arange(N), np.arange(N), indexing="ij")
+    U0 = 0.01
+    u = np.zeros((3, *shape), dtype=np.float32)
+    u[0] = U0 * np.sin(k * x) * np.cos(k * y)
+    u[1] = -U0 * np.cos(k * x) * np.sin(k * y)
+    rho = 1.0 - (3.0 * U0**2 / 4.0) * (np.cos(2 * k * x) + np.cos(2 * k * y))
+    state = make_initial_state(shape, config=config, rho=rho, u=u)
+    steps = 200
+    run = make_multi_step(config, n_inner=steps)
+    out = run(state, dyn_zero())
+    expected = U0 * np.exp(-2.0 * nu * k * k * steps)
+    measured = float(jnp.max(jnp.abs(out.u[0])))
+    assert abs(measured - expected) / expected < 0.02, (measured, expected)
+
+
+def test_poiseuille_profile():
+    """Body-force channel flow between halfway bounce-back walls."""
+    Nz = 18
+    shape = (Nz, 4, 8)
+    nu = 0.1
+    config = StepConfig(omega=omega_from_nu(nu), subgrid=False, storage="f32")
+    flags = np.zeros(shape, dtype=np.uint8)
+    flags[0] = TYPE_S
+    flags[-1] = TYPE_S
+    state = make_initial_state(shape, config=config, flags=flags)
+    f = 1e-5
+    dyn = DynParams(force=jnp.array([f, 0.0, 0.0]), omega_coriolis=jnp.zeros(3))
+    run = make_multi_step(config, n_inner=500)
+    for _ in range(12):
+        state = run(state, dyn)
+    ux = np.asarray(state.u[0, :, 2, 4])
+    # walls at z=0.5 and z=Nz-1.5; H = Nz-2 cells; u(z) = f/(2 nu) * d*(H-d)
+    zc = np.arange(Nz, dtype=np.float64)
+    d = zc - 0.5
+    H = Nz - 2.0
+    expected = f / (2.0 * nu) * d * (H - d)
+    interior = slice(1, Nz - 1)
+    err = np.abs(ux[interior] - expected[interior]) / expected[interior].max()
+    assert err.max() < 0.02, err.max()
+
+
+def test_equilibrium_boundary_holds_uniform_flow():
+    shape = (8, 8, 8)
+    config = StepConfig(omega=omega_from_nu(0.05), subgrid=True, storage="f32")
+    u0 = np.zeros((3, *shape), dtype=np.float32)
+    u0[0] = 0.05
+    flags = np.zeros(shape, dtype=np.uint8)
+    for axis_slice in [(0, slice(None), slice(None)), (-1, slice(None), slice(None)),
+                       (slice(None), 0, slice(None)), (slice(None), -1, slice(None)),
+                       (slice(None), slice(None), 0), (slice(None), slice(None), -1)]:
+        flags[axis_slice] |= TYPE_E
+    state = make_initial_state(shape, config=config, u=u0, flags=flags)
+    run = make_multi_step(config, n_inner=100)
+    out = run(state, dyn_zero())
+    assert np.allclose(np.asarray(out.u[0]), 0.05, atol=1e-5)
+    assert np.allclose(np.asarray(out.u[1]), 0.0, atol=1e-5)
+    assert np.allclose(np.asarray(out.rho), 1.0, atol=1e-5)
+
+
+def test_solid_walls_no_leak():
+    """A sealed solid box: fluid stays bounded, mass conserved."""
+    shape = (10, 10, 10)
+    config = StepConfig(omega=omega_from_nu(0.05), subgrid=False, storage="f32")
+    flags = np.zeros(shape, dtype=np.uint8)
+    flags[0] = flags[-1] = TYPE_S
+    flags[:, 0] = flags[:, -1] = TYPE_S
+    flags[:, :, 0] = flags[:, :, -1] = TYPE_S
+    state = _random_smooth_state(shape, config, amp=0.01)
+    state = state._replace(flags=jnp.asarray(flags))
+    fluid = np.asarray(flags) == 0
+    mass0 = float(np.sum(np.asarray(state.rho)[fluid]))
+    run = make_multi_step(config, n_inner=200)
+    out = run(state, dyn_zero())
+    mass1 = float(np.sum(np.asarray(out.rho)[fluid]))
+    assert abs(mass1 - mass0) / mass0 < 1e-4
+    assert float(jnp.max(jnp.abs(out.u))) < 0.05
+
+
+def test_thermal_diffusion_rate():
+    """D3Q7 sine-wave temperature decay.
+
+    True effective diffusivity is cs_T^2 (tau_T - 1/2) with cs_T^2 = 1/4,
+    i.e. alpha/2 under the reference's w_T = 1/(2 alpha + 1/2) mapping
+    (documented parity quirk, see lattice.omega_t_from_alpha)."""
+    N = 32
+    alpha = 0.05
+    shape = (4, 4, N)
+    config = StepConfig(omega=omega_from_nu(0.05), subgrid=False, thermal=True,
+                        omega_t=omega_t_from_alpha(alpha), storage="f32")
+    k = 2 * np.pi / N
+    x = np.arange(N)
+    T = np.ones(shape, dtype=np.float32) + 0.1 * np.sin(k * x)[None, None, :]
+    state = make_initial_state(shape, config=config, T=T)
+    steps = 100
+    run = make_multi_step(config, n_inner=steps)
+    out = run(state, dyn_zero())
+    amp = float(jnp.max(jnp.abs(out.T - 1.0)))
+    alpha_eff = (1.0 / config.omega_t - 0.5) / 4.0  # = alpha/2
+    expected = 0.1 * np.exp(-alpha_eff * k * k * steps)
+    assert abs(amp - expected) / expected < 0.02, (amp, expected)
+
+
+def test_fixed_temperature_cells_hold():
+    shape = (4, 4, 8)
+    alpha = 0.05
+    config = StepConfig(omega=omega_from_nu(0.05), subgrid=False, thermal=True,
+                        omega_t=omega_t_from_alpha(alpha), storage="f32")
+    T = np.ones(shape, dtype=np.float32)
+    T[:, :, 0] = 1.5
+    flags = np.zeros(shape, dtype=np.uint8)
+    flags[:, :, 0] = TYPE_T
+    state = make_initial_state(shape, config=config, T=T, flags=flags)
+    run = make_multi_step(config, n_inner=200)
+    out = run(state, dyn_zero())
+    T_out = np.asarray(out.T)
+    assert np.allclose(T_out[:, :, 0], 1.5, atol=1e-6)
+    # heat diffused into the domain
+    assert T_out[:, :, 1].mean() > 1.05
+
+
+def test_coriolis_rotates_flow():
+    """Uniform flow + Coriolis turns the velocity vector without speed gain."""
+    shape = (8, 8, 8)
+    config = StepConfig(omega=omega_from_nu(0.05), subgrid=False, storage="f32")
+    u0 = np.zeros((3, *shape), dtype=np.float32)
+    u0[0] = 0.02
+    state = make_initial_state(shape, config=config, u=u0)
+    omega_z = 1e-3
+    dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.array([0.0, 0.0, omega_z]))
+    run = make_multi_step(config, n_inner=100)
+    out = run(state, dyn)
+    ux = float(out.u[0].mean())
+    uy = float(out.u[1].mean())
+    # f = -2 rho Omega x u; with Omega=+z and u=+x the deflection is -y
+    assert uy < -1e-4
+    speed = np.hypot(ux, uy)
+    assert abs(speed - 0.02) / 0.02 < 0.05
+
+
+def test_fp16_storage_tracks_fp32():
+    shape = (4, 16, 16)
+    cfg32 = StepConfig(omega=omega_from_nu(0.02), subgrid=False, storage="f32")
+    cfg16 = StepConfig(omega=omega_from_nu(0.02), subgrid=False, storage="f16")
+    state32 = _random_smooth_state(shape, cfg32, amp=0.02)
+    state16 = make_initial_state(
+        shape, config=cfg16, rho=np.asarray(state32.rho), u=np.asarray(state32.u))
+    out32 = make_multi_step(cfg32, n_inner=50)(state32, dyn_zero())
+    out16 = make_multi_step(cfg16, n_inner=50)(state16, dyn_zero())
+    err = float(jnp.max(jnp.abs(out32.u - out16.u)))
+    assert err < 5e-4, err  # FP16S-style storage noise stays tiny
+
+
+def test_nudge_band_geometry():
+    sigma, face = build_nudge_fields((6, 10, 12), NudgeSpec(n_cells=3, inv_tau=0.1,
+                                                            downstream_face=2))
+    # east face excluded (downstream_face=2): cells near x=max get west/south/north/top
+    assert sigma[3, 5, 0] == pytest.approx(0.1)        # on west face, full weight
+    assert face[3, 5, 0] == 0
+    assert sigma[3, 5, 11] == 0.0 or face[3, 5, 11] != 1  # east excluded
+    assert sigma[1, 5, 5] == 0.0                        # interior untouched
+    assert face[5, 5, 5] == 4 and sigma[5, 5, 5] == pytest.approx(0.1)  # top face
+    # sin^2 ramp: d=1 of 3
+    import math
+    assert sigma[3, 5, 1] == pytest.approx(0.1 * math.sin(0.5 * math.pi * (1 - 1 / 3)) ** 2)
+
+
+def test_sponge_profile_geometry():
+    sig = build_sponge_profile(20, SpongeSpec(n_cells=5, inv_tau=0.2))
+    assert sig[19] == 0.0          # top boundary cell itself outside (d=-1)
+    assert sig[18] == pytest.approx(0.2)   # d=0 -> xi=1 -> full strength
+    assert sig[14] == pytest.approx(0.0)   # d=4 -> xi=0 -> zero
+    assert sig[13] == 0.0
+    assert np.all(sig[:13] == 0.0)
+
+
+def test_nudging_pulls_interior_toward_boundary():
+    shape = (8, 8, 16)
+    config = StepConfig(omega=omega_from_nu(0.05), subgrid=False, storage="f32")
+    u0 = np.zeros((3, *shape), dtype=np.float32)
+    u0[0] = 0.03   # boundary target velocity
+    u0[0, :, :, 4:12] = 0.0  # interior hole
+    flags = np.zeros(shape, dtype=np.uint8)
+    flags[:, :, 0] = flags[:, :, -1] = TYPE_E
+    flags[:, 0, :] = flags[:, -1, :] = TYPE_E
+    flags[-1] = TYPE_E
+    flags[0] = TYPE_S
+    forcing = build_forcing(shape, nudge=NudgeSpec(n_cells=6, inv_tau=0.05))
+    state = make_initial_state(shape, config=config, u=u0, flags=flags)
+    run = make_multi_step(config, forcing, n_inner=200)
+    out = run(state, dyn_zero())
+    # cells inside the band moved toward the face value
+    assert float(out.u[0, 4, 4, 2]) > 0.02
