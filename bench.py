@@ -1,0 +1,99 @@
+"""Headline benchmark: D3Q19 FP16-storage MLUPs on one TPU chip.
+
+Measures the flagship fused step (SRT + Smagorinsky LES + equilibrium
+boundaries — the configuration LUW actually runs, reference defines.hpp) on
+the largest cubic-ish grid that fits, and prints ONE JSON line:
+  {"metric": ..., "value": ..., "unit": "MLUPs", "vs_baseline": ...}
+
+Baseline: 2000 MLUPs/chip (BASELINE.json target floor).
+vs_baseline = measured / 2000.
+
+Env overrides: LUW_BENCH_SHAPE="Z,Y,X", LUW_BENCH_STEPS, LUW_BENCH_STORAGE,
+LUW_BENCH_IMPL=reference|pallas.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+BASELINE_MLUPS = 2000.0
+
+
+def parse_shape() -> tuple:
+    raw = os.environ.get("LUW_BENCH_SHAPE")
+    if raw:
+        z, y, x = (int(v) for v in raw.split(","))
+        return z, y, x
+    return 256, 256, 256
+
+
+def main() -> None:
+    import jax
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.lbm import (
+        DynParams, StepConfig, TYPE_E, TYPE_S,
+        make_initial_state, omega_from_nu,
+    )
+    from latticeurbanwind_tpu.lbm.stepper import make_bench_runner
+
+    shape = parse_shape()
+    steps = int(os.environ.get("LUW_BENCH_STEPS", "30"))
+    storage = os.environ.get("LUW_BENCH_STORAGE", "f16")
+    impl = os.environ.get("LUW_BENCH_IMPL", "auto")
+
+    Z, Y, X = shape
+    n_cells = Z * Y * X
+    config = StepConfig(omega=omega_from_nu(1e-4), collision="srt",
+                        subgrid=True, storage=storage)
+
+    # urban-run-shaped case: ground solid, lateral+top equilibrium boundaries
+    flags = np.zeros(shape, dtype=np.uint8)
+    flags[0] = TYPE_S
+    flags[-1] = TYPE_E
+    flags[:, 0, :] = TYPE_E
+    flags[:, -1, :] = TYPE_E
+    flags[:, :, 0] = TYPE_E
+    flags[:, :, -1] = TYPE_E
+    u = np.zeros((3, Z, Y, X), dtype=np.float32)
+    u[0] = 0.05
+
+    state = make_initial_state(shape, config=config, u=u, flags=flags)
+    dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3))
+
+    run, impl_used = make_bench_runner(config, shape=shape, n_inner=steps, impl=impl)
+
+    def sync(s):
+        # hard device->host readback; block_until_ready is unreliable through
+        # the hosted TPU tunnel
+        return float(jnp.asarray(s.rho[0, 0, 0]))
+
+    # warm-up / compile
+    state = run(state, dyn)
+    sync(state)
+
+    t0 = time.perf_counter()
+    state = run(state, dyn)
+    sync(state)
+    dt = time.perf_counter() - t0
+
+    mlups = n_cells * steps / dt / 1e6
+    umax = float(jnp.max(jnp.abs(state.u)))
+    assert np.isfinite(umax), "benchmark produced non-finite velocities"
+
+    result = {
+        "metric": f"D3Q19 {storage} MLUPs/chip ({impl_used}, {Z}x{Y}x{X}, LES+EQ-BC)",
+        "value": round(mlups, 1),
+        "unit": "MLUPs",
+        "vs_baseline": round(mlups / BASELINE_MLUPS, 3),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -12,33 +12,57 @@ from __future__ import annotations
 
 import numpy as np
 
-# D3Q19: rest, 6 axis-aligned, 12 edge-diagonal directions.
+# D3Q19 in cz-grouped order — a TPU-native renumbering of the standard set:
+#   dirs 0..8   : cz = 0   (rest, x/y axes, xy diagonals)
+#   dirs 9..13  : cz = +1
+#   dirs 14..18 : cz = -1, arranged so OPP(9+k) = 14+k.
+# Grouping by the z-component lets the Pallas z-plane kernel fetch each
+# direction's plane exactly once (group cz=+1 streams from z-1, cz=-1 from
+# z+1, cz=0 from the own plane).  Physics is invariant under renumbering.
 # C19[i] = (cx, cy, cz)
 C19 = np.array(
     [
         (0, 0, 0),
         (1, 0, 0), (-1, 0, 0),
         (0, 1, 0), (0, -1, 0),
-        (0, 0, 1), (0, 0, -1),
         (1, 1, 0), (-1, -1, 0),
-        (1, 0, 1), (-1, 0, -1),
-        (0, 1, 1), (0, -1, -1),
         (1, -1, 0), (-1, 1, 0),
-        (1, 0, -1), (-1, 0, 1),
-        (0, 1, -1), (0, -1, 1),
+        # cz = +1
+        (0, 0, 1), (1, 0, 1), (-1, 0, 1), (0, 1, 1), (0, -1, 1),
+        # cz = -1 (opposites of the block above, same order)
+        (0, 0, -1), (-1, 0, -1), (1, 0, -1), (0, -1, -1), (0, 1, -1),
     ],
     dtype=np.int32,
 )
 
-W19 = np.array([1.0 / 3.0] + [1.0 / 18.0] * 6 + [1.0 / 36.0] * 12, dtype=np.float32)
+# weight by |c|^2: 1/3 rest, 1/18 axis, 1/36 diagonal
+W19 = np.array(
+    [1.0 / 3.0 if (c * c).sum() == 0 else (1.0 / 18.0 if (c * c).sum() == 1 else 1.0 / 36.0)
+     for c in C19],
+    dtype=np.float32,
+)
 
 # Opposite direction: OPP19[i] is the index of -C19[i].
-OPP19 = np.array([0] + [i + 1 if i % 2 == 1 else i - 1 for i in range(1, 19)], dtype=np.int32)
+OPP19 = np.array(
+    [int(np.where((C19 == -C19[i]).all(axis=1))[0][0]) for i in range(19)],
+    dtype=np.int32,
+)
 
-# D3Q7 thermal sub-lattice: rest + 6 axis directions (same order as C19[0:7]).
-C7 = C19[:7].copy()
+# Index ranges of the cz groups (contiguous by construction).
+GROUP0 = slice(0, 9)     # cz = 0
+GROUP_P = slice(9, 14)   # cz = +1
+GROUP_M = slice(14, 19)  # cz = -1
+
+# D3Q7 thermal sub-lattice, same grouping: 0..4 cz=0, 5 cz=+1, 6 cz=-1.
+C7 = np.array(
+    [(0, 0, 0), (1, 0, 0), (-1, 0, 0), (0, 1, 0), (0, -1, 0), (0, 0, 1), (0, 0, -1)],
+    dtype=np.int32,
+)
 W7 = np.array([1.0 / 4.0] + [1.0 / 8.0] * 6, dtype=np.float32)
 OPP7 = np.array([0, 2, 1, 4, 3, 6, 5], dtype=np.int32)
+G7_0 = slice(0, 5)
+G7_P = slice(5, 6)
+G7_M = slice(6, 7)
 
 # Lattice speed of sound for D3Q19 (c = 1/sqrt(3)); D3Q7 uses cs^2 = 1/2.
 CS = 0.57735027

@@ -22,9 +22,10 @@ Parity notes vs the reference kernel:
     even/odd in-place indexing is a VRAM optimization, not semantics).
   * periodic wrap at the global box edge matches the reference's modular
     neighbor indexing.
-  * nudging/sponge read the *current* velocity at the face reference cell;
-    the reference reads the persistent field, which is identical whenever the
-    reference cell is a TYPE_E boundary cell (always true in LUW cases).
+  * nudging/sponge targets read the previous step's stored velocity field —
+    deterministic, and identical to the reference's in-place field read
+    whenever the reference cell is a TYPE_E boundary (always true in LUW
+    cases; the in-place read is scheduling-dependent otherwise).
 """
 
 from __future__ import annotations
@@ -189,13 +190,18 @@ def make_step(config: StepConfig, forcing: Forcing = Forcing()):
         F = F + cor
 
         not_e = ~eqbc
+        # Nudge/sponge targets read the previous step's stored field (state.u)
+        # — deterministic, and identical to reading the current value whenever
+        # the face reference cell is a TYPE_E boundary (always true in LUW
+        # cases; the reference kernel's in-place field read is racy otherwise).
+        up = state.u
         if forcing.nudge_sigma is not None:
             face = forcing.nudge_face
-            u_tgt = un[:, :, :, 0:1]                       # west: x = 0
-            u_tgt = jnp.where(face[None] == 1, un[:, :, :, -1:], u_tgt)   # east
-            u_tgt = jnp.where(face[None] == 2, un[:, :, 0:1, :], u_tgt)   # south
-            u_tgt = jnp.where(face[None] == 3, un[:, :, -1:, :], u_tgt)   # north
-            u_tgt = jnp.where(face[None] == 4, un[:, -1:, :, :], u_tgt)   # top
+            u_tgt = up[:, :, :, 0:1]                       # west: x = 0
+            u_tgt = jnp.where(face[None] == 1, up[:, :, :, -1:], u_tgt)   # east
+            u_tgt = jnp.where(face[None] == 2, up[:, :, 0:1, :], u_tgt)   # south
+            u_tgt = jnp.where(face[None] == 3, up[:, :, -1:, :], u_tgt)   # north
+            u_tgt = jnp.where(face[None] == 4, up[:, -1:, :, :], u_tgt)   # top
             sig = jnp.where(not_e, forcing.nudge_sigma, 0.0)
             acc = sig * (u_tgt - un)
             if not forcing.nudge_vertical:
@@ -205,7 +211,7 @@ def make_step(config: StepConfig, forcing: Forcing = Forcing()):
         if forcing.sponge_sigma_z is not None:
             sig_z = forcing.sponge_sigma_z[:, None, None]
             sig = jnp.where(not_e, sig_z, 0.0)
-            u_top = un[:, -1:, :, :]
+            u_top = state.u[:, -1:, :, :]
             F = F + rhon * sig * (u_top - un)
 
         # --- temperature sub-lattice ---------------------------------------

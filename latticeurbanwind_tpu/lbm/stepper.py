@@ -1,0 +1,72 @@
+"""Step-function dispatch: reference (jnp) tier vs Pallas performance tier.
+
+`make_runner` picks the fastest available implementation for the current
+backend and wraps it in a scan-chunked jitted multi-step.  The pallas tier
+keeps DDFs in a cz-split internal layout across the scan; conversion happens
+once per runner call, amortized over n_inner steps.
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+
+from .state import DynParams, Forcing, LBMState, StepConfig
+from .reference import make_step as make_reference_step
+
+
+def _pallas_ok(shape, config: StepConfig) -> bool:
+    try:
+        if jax.default_backend() != "tpu":
+            return False
+        from ..ops.stream_collide import pallas_supported
+
+        return pallas_supported(shape, config)
+    except Exception:
+        return False
+
+
+def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
+                shape: Tuple[int, int, int] = None, n_inner: int = 1,
+                impl: str = "auto", donate: bool = True):
+    """Jitted `run(state, dyn) -> state` advancing n_inner steps.
+
+    Returns (runner, impl_name).  impl: "auto" | "reference" | "pallas".
+    """
+    use_pallas = impl == "pallas" or (
+        impl == "auto" and shape is not None and _pallas_ok(shape, config))
+
+    if use_pallas:
+        from ..ops.stream_collide import make_pallas_step, merge_state, split_state
+
+        step = make_pallas_step(config, forcing, shape)
+
+        def body(state: LBMState, dyn: DynParams) -> LBMState:
+            s = split_state(state)
+
+            def inner(carry, _):
+                return step(carry, dyn), None
+
+            out, _ = jax.lax.scan(inner, s, None, length=n_inner)
+            return merge_state(out)
+
+        impl_name = "pallas"
+    else:
+        step = make_reference_step(config, forcing)
+
+        def body(state: LBMState, dyn: DynParams) -> LBMState:
+            def inner(s, _):
+                return step(s, dyn), None
+
+            out, _ = jax.lax.scan(inner, state, None, length=n_inner)
+            return out
+
+        impl_name = "reference"
+
+    jitted = jax.jit(body, donate_argnums=(0,) if donate else ())
+    return jitted, impl_name
+
+
+def make_bench_runner(config: StepConfig, *, shape, n_inner: int, impl: str = "auto"):
+    return make_runner(config, Forcing(), shape=shape, n_inner=n_inner, impl=impl)

@@ -1,0 +1,454 @@
+"""Fused Pallas stream-collide kernel — the performance tier.
+
+TPU-native replacement for the reference's OpenCL hot loop
+(reference: kernel.cpp:1475-1780 stream_collide).  Design:
+
+  * DDFs are stored split by their z-velocity component into three arrays
+    f0 (9, Z, Y, X) for cz=0, fp (5, Z, Y, X) for cz=+1, fm (5, Z, Y, X)
+    for cz=-1 (lattice.GROUP0/GROUP_P/GROUP_M).  A z-plane kernel program
+    then fetches every direction's plane exactly once: cz=+1 pulls from
+    z-1, cz=-1 from z+1, cz=0 from its own plane.  In-plane (y, x) shifts
+    are register-level lane/sublane rolls — global-periodic, matching the
+    reference's modular neighbor indexing.
+  * One grid program per z-plane; Pallas pipelines the plane DMAs against
+    compute (double-buffered), so HBM streaming stays saturated.
+  * fp/fm are additionally fetched at the own plane for the halfway
+    bounce-back opposite values (extra 20 B/cell; still ~1.5x under the
+    2x of a naive double-fetch scheme).
+  * All arithmetic fp32; storage f16 (range-shifted, FP16S-equivalent),
+    bf16 or f32 (state.encode_ddf/decode_ddf codecs).
+  * Physics per plane reuses the reference-tier jnp helpers (equilibrium,
+    moments, Guo forcing, Smagorinsky LES) on (Y, X) arrays — single
+    source of truth for the math, verified equivalent by
+    tests/test_pallas_kernel.py.
+
+Constraints: X % 128 == 0, Y % 32 == 0, Z >= 4 (falls back to the
+reference tier otherwise).  Single-chip; the multi-chip path wraps the
+reference tier via GSPMD until the shard_map'd pallas variant lands.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import List, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..lbm.lattice import C19, C7, G7_0, G7_M, G7_P, GROUP0, GROUP_M, GROUP_P, OPP19, W19, CS
+from ..lbm.reference import (
+    _guo_forcing_terms,
+    _les_omega,
+    equilibrium_f,
+    equilibrium_g,
+    moments,
+)
+from ..lbm.state import (
+    DynParams,
+    FP16_INV_SCALE,
+    FP16_SCALE,
+    Forcing,
+    LBMState,
+    StepConfig,
+    TYPE_E,
+    TYPE_S,
+    TYPE_T,
+)
+
+# direction index -> (group array id, index within group); group 0=f0, 1=fp, 2=fm
+_D2G = {}
+for _d in range(19):
+    _cz = int(C19[_d, 2])
+    if _cz == 0:
+        _D2G[_d] = (0, _d - GROUP0.start)
+    elif _cz == 1:
+        _D2G[_d] = (1, _d - GROUP_P.start)
+    else:
+        _D2G[_d] = (2, _d - GROUP_M.start)
+
+
+class SplitState(NamedTuple):
+    """Internal pallas-tier state with cz-split DDF storage."""
+
+    f0: jnp.ndarray   # (9, Z, Y, X)
+    fp: jnp.ndarray   # (5, Z, Y, X)
+    fm: jnp.ndarray   # (5, Z, Y, X)
+    rho: jnp.ndarray
+    u: jnp.ndarray
+    flags: jnp.ndarray
+    g0: Optional[jnp.ndarray] = None  # (5, Z, Y, X)
+    gp: Optional[jnp.ndarray] = None  # (1, Z, Y, X)
+    gm: Optional[jnp.ndarray] = None  # (1, Z, Y, X)
+    T: Optional[jnp.ndarray] = None
+
+
+def split_state(state: LBMState) -> SplitState:
+    fi = state.fi
+    kw = {}
+    if state.gi is not None:
+        kw = dict(g0=state.gi[G7_0], gp=state.gi[G7_P], gm=state.gi[G7_M], T=state.T)
+    return SplitState(f0=fi[GROUP0], fp=fi[GROUP_P], fm=fi[GROUP_M],
+                      rho=state.rho, u=state.u, flags=state.flags, **kw)
+
+
+def merge_state(s: SplitState) -> LBMState:
+    fi = jnp.concatenate([s.f0, s.fp, s.fm], axis=0)
+    gi = None
+    if s.g0 is not None:
+        gi = jnp.concatenate([s.g0, s.gp, s.gm], axis=0)
+    return LBMState(fi=fi, rho=s.rho, u=s.u, flags=s.flags, gi=gi, T=s.T)
+
+
+def pallas_supported(shape: Tuple[int, int, int], config: StepConfig) -> bool:
+    Z, Y, X = shape
+    return X % 128 == 0 and Y % 32 == 0 and Z >= 4
+
+
+def _roll2(plane, cy: int, cx: int):
+    """result[y, x] = plane[y-cy, x-cx] (periodic)."""
+    out = plane
+    if cy:
+        out = pltpu.roll(out, cy % out.shape[0], 0)
+    if cx:
+        out = pltpu.roll(out, cx % out.shape[1], 1)
+    return out
+
+
+def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int, int]):
+    """Build `step(split_state, dyn) -> split_state` for a fixed grid shape."""
+    Z, Y, X = shape
+    if not pallas_supported(shape, config):
+        raise NotImplementedError(f"pallas tier unsupported for shape {shape}")
+
+    storage = config.storage
+    thermal = config.thermal
+    has_nudge = forcing.nudge_sigma is not None
+    has_sponge = forcing.sponge_sigma_z is not None
+    has_forcing = has_nudge or has_sponge
+    nudge_vertical = forcing.nudge_vertical
+
+    def dec(x):
+        if storage == "f32":
+            return x
+        if storage == "f16":
+            return x.astype(jnp.float32) * FP16_INV_SCALE
+        return x.astype(jnp.float32)
+
+    def enc(x):
+        if storage == "f32":
+            return x
+        if storage == "f16":
+            return (x * FP16_SCALE).astype(jnp.float16)
+        return x.astype(jnp.bfloat16)
+
+    # ---------------- kernel ----------------
+
+    def kernel(*refs):
+        it = iter(refs)
+        f0_ref = next(it)      # (9,1,Y,X) @ z
+        fp_ref = next(it)      # (5,1,Y,X) @ z-1
+        fm_ref = next(it)      # (5,1,Y,X) @ z+1
+        fpc_ref = next(it)     # (5,1,Y,X) @ z (bounce-back opposites)
+        fmc_ref = next(it)     # (5,1,Y,X) @ z
+        flc_ref = next(it)     # (1,Y,X) flags @ z
+        flb_ref = next(it)     # @ z-1
+        fla_ref = next(it)     # @ z+1
+        rho_ref = next(it)     # (1,Y,X)
+        u_ref = next(it)       # (3,1,Y,X)
+        dyn_ref = next(it)     # (1,8) SMEM
+        if has_forcing:
+            nsig_ref = next(it)   # (1,Y,X)
+            nface_ref = next(it)  # (1,Y,X) uint8
+            uw_ref = next(it)     # (3,1,Y)
+            ue_ref = next(it)
+            us_ref = next(it)     # (3,1,X)
+            un_ref = next(it)
+            utop_ref = next(it)   # (3,Y,X)
+            ssig_ref = next(it)   # (1,1) SMEM
+        if thermal:
+            g0_ref = next(it)     # (5,1,Y,X) @ z
+            gp_ref = next(it)     # (1,1,Y,X) @ z-1
+            gm_ref = next(it)     # (1,1,Y,X) @ z+1
+            gpc_ref = next(it)
+            gmc_ref = next(it)
+            T_ref = next(it)      # (1,Y,X)
+            Ttop_ref = next(it)   # (Y,X)
+        # outputs
+        f0_out = next(it)
+        fp_out = next(it)
+        fm_out = next(it)
+        rho_out = next(it)
+        u_out = next(it)
+        if thermal:
+            g0_out = next(it)
+            gp_out = next(it)
+            gm_out = next(it)
+            T_out = next(it)
+
+        fxg = dyn_ref[0, 0]
+        fyg = dyn_ref[0, 1]
+        fzg = dyn_ref[0, 2]
+        ox = dyn_ref[0, 3]
+        oy = dyn_ref[0, 4]
+        oz = dyn_ref[0, 5]
+
+        flags_c = flc_ref[0]
+        solid_c = (flags_c & TYPE_S) != 0
+        eqbc = (flags_c & TYPE_E) != 0
+
+        group_refs = (f0_ref, fp_ref, fm_ref)
+        # solid mask of the pull-source plane per group, as fp32 for cheap rolls
+        solid_src = tuple(
+            ((r[0] & TYPE_S) != 0).astype(jnp.float32)
+            for r in (flc_ref, flb_ref, fla_ref)
+        )
+        # opposite-at-own-plane source per group: group0 -> f0_ref (own plane),
+        # group+ opposites live in group- at own z (fmc), group- in group+ (fpc)
+        opp_refs = (f0_ref, fmc_ref, fpc_ref)
+
+        planes: List = []
+        for d in range(19):
+            cx, cy, cz = (int(v) for v in C19[d])
+            g, k = _D2G[d]
+            plane = dec(group_refs[g][k, 0])
+            shifted = _roll2(plane, cy, cx)
+            src_solid = _roll2(solid_src[g], cy, cx) > 0.5
+            od = int(OPP19[d])
+            og, ok = _D2G[od]
+            opp_plane = dec(opp_refs[g][ok, 0])
+            planes.append(jnp.where(src_solid, opp_plane, shifted))
+        f = jnp.stack(planes)                      # (19, Y, X) fp32
+
+        rho_m, u_m = moments(f)
+        rho_pre = rho_ref[0]
+        u_pre = u_ref[:, 0]
+        rhon = jnp.where(eqbc, rho_pre, rho_m)
+        un = jnp.where(eqbc[None], u_pre, u_m)
+
+        # forces: global + Coriolis
+        Fx = fxg - 2.0 * rhon * (oy * un[2] - oz * un[1])
+        Fy = fyg - 2.0 * rhon * (oz * un[0] - ox * un[2])
+        Fz = fzg - 2.0 * rhon * (ox * un[1] - oy * un[0])
+
+        not_e = ~eqbc
+        if has_forcing:
+            face = nface_ref[0]
+            u_w = uw_ref[:, 0][:, :, None]            # (3,Y,1)
+            u_e = ue_ref[:, 0][:, :, None]
+            u_s = us_ref[:, 0][:, None, :]            # (3,1,X)
+            u_n = un_ref[:, 0][:, None, :]
+            u_t = utop_ref[:]                          # (3,Y,X)
+            u_tgt = jnp.broadcast_to(u_w, (3, Y, X))
+            u_tgt = jnp.where(face[None] == 1, u_e, u_tgt)
+            u_tgt = jnp.where(face[None] == 2, u_s, u_tgt)
+            u_tgt = jnp.where(face[None] == 3, u_n, u_tgt)
+            u_tgt = jnp.where(face[None] == 4, u_t, u_tgt)
+            sig = jnp.where(not_e, nsig_ref[0], 0.0)
+            Fx = Fx + rhon * sig * (u_tgt[0] - un[0])
+            Fy = Fy + rhon * sig * (u_tgt[1] - un[1])
+            if nudge_vertical:
+                Fz = Fz + rhon * sig * (u_tgt[2] - un[2])
+            ssig = ssig_ref[0, 0]
+            sig_sp = jnp.where(not_e, ssig, 0.0)
+            Fx = Fx + rhon * sig_sp * (u_t[0] - un[0])
+            Fy = Fy + rhon * sig_sp * (u_t[1] - un[1])
+            Fz = Fz + rhon * sig_sp * (u_t[2] - un[2])
+
+        if thermal:
+            tfix = (flags_c & TYPE_T) != 0
+            g_refs = (g0_ref, gp_ref, gm_ref)
+            g_opp_refs = (g0_ref, gmc_ref, gpc_ref)
+            gplanes = []
+            for d in range(7):
+                cx, cy, cz = (int(v) for v in C7[d])
+                g_id = 0 if cz == 0 else (1 if cz == 1 else 2)
+                k = d - (0, 5, 6)[g_id]
+                plane = dec(g_refs[g_id][k, 0])
+                shifted = _roll2(plane, cy, cx)
+                src_solid = _roll2(solid_src[g_id], cy, cx) > 0.5
+                od = (0, 2, 1, 4, 3, 6, 5)[d]
+                og_id = 0 if int(C7[od, 2]) == 0 else (1 if int(C7[od, 2]) == 1 else 2)
+                okk = od - (0, 5, 6)[og_id]
+                opp_plane = dec(g_opp_refs[g_id][okk, 0])
+                gplanes.append(jnp.where(src_solid, opp_plane, shifted))
+            g = jnp.stack(gplanes)                     # (7, Y, X)
+            T_m = 1.0 + jnp.sum(g, axis=0)
+            T_pre = T_ref[0]
+            Tn = jnp.where(tfix, T_pre, T_m)
+            if has_forcing:
+                sig_t = jnp.where(not_e & ~tfix, ssig, 0.0)
+                Tn = Tn + sig_t * (Ttop_ref[:] - Tn)
+            geq = equilibrium_g(Tn, un)
+            g_post = jnp.where(tfix[None], geq,
+                               (1.0 - config.omega_t) * g + config.omega_t * geq)
+            g_post = jnp.where(solid_c[None], 0.0, g_post)
+            T_new = jnp.where(solid_c | tfix, T_pre, Tn)
+            bterm = config.beta * (Tn - config.t_avg)
+            Fx = Fx - fxg * bterm
+            Fy = Fy - fyg * bterm
+            Fz = Fz - fzg * bterm
+
+        F = jnp.stack([Fx, Fy, Fz])
+        u_star = jnp.clip(un + F * (0.5 / rhon), -CS, CS)
+        fin = _guo_forcing_terms(u_star, F)
+        feq = equilibrium_f(rhon, u_star)
+
+        if config.subgrid:
+            omega_eff = _les_omega(f, feq, rhon, config.omega)
+        else:
+            omega_eff = jnp.full_like(rhon, config.omega)
+
+        if config.collision == "srt":
+            fin = fin * (1.0 - 0.5 * omega_eff)
+            f_post = (1.0 - omega_eff) * f + omega_eff * feq + fin
+        else:
+            wp = omega_eff
+            wm = 1.0 / (0.1875 / (1.0 / wp - 0.5) + 0.5)
+            fin_b = fin[np.asarray(OPP19)]
+            fin = (0.5 - 0.25 * wp) * (fin + fin_b) + (0.5 - 0.25 * wm) * (fin - fin_b)
+            fhb = f[np.asarray(OPP19)]
+            feb = feq[np.asarray(OPP19)]
+            f_post = (f + 0.5 * wp * (feq - f + feb - fhb)
+                      + 0.5 * wm * (feq - feb - f + fhb) + fin)
+
+        f_post = jnp.where(eqbc[None], feq, f_post)
+        f_post = jnp.where(solid_c[None], 0.0, f_post)
+
+        keep = solid_c | eqbc
+        rho_new = jnp.where(keep, rho_pre, rhon)
+        u_new = jnp.where(keep[None], u_pre, u_star)
+
+        f0_out[:, 0] = enc(f_post[GROUP0])
+        fp_out[:, 0] = enc(f_post[GROUP_P])
+        fm_out[:, 0] = enc(f_post[GROUP_M])
+        rho_out[0] = rho_new
+        u_out[:, 0] = u_new
+        if thermal:
+            g0_out[:, 0] = enc(g_post[G7_0])
+            gp_out[:, 0] = enc(g_post[G7_P])
+            gm_out[:, 0] = enc(g_post[G7_M])
+            T_out[0] = T_new
+
+    # ---------------- specs ----------------
+
+    v = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
+    sm = partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+
+    in_specs = [
+        v((9, 1, Y, X), lambda i: (0, i, 0, 0)),
+        v((5, 1, Y, X), lambda i: (0, (i - 1) % Z, 0, 0)),
+        v((5, 1, Y, X), lambda i: (0, (i + 1) % Z, 0, 0)),
+        v((5, 1, Y, X), lambda i: (0, i, 0, 0)),
+        v((5, 1, Y, X), lambda i: (0, i, 0, 0)),
+        v((1, Y, X), lambda i: (i, 0, 0)),
+        v((1, Y, X), lambda i: ((i - 1) % Z, 0, 0)),
+        v((1, Y, X), lambda i: ((i + 1) % Z, 0, 0)),
+        v((1, Y, X), lambda i: (i, 0, 0)),
+        v((3, 1, Y, X), lambda i: (0, i, 0, 0)),
+        sm((1, 8), lambda i: (0, 0)),
+    ]
+    if has_forcing:
+        in_specs += [
+            v((1, Y, X), lambda i: (i, 0, 0)),
+            v((1, Y, X), lambda i: (i, 0, 0)),
+            v((3, 1, Y), lambda i: (0, i, 0)),
+            v((3, 1, Y), lambda i: (0, i, 0)),
+            v((3, 1, X), lambda i: (0, i, 0)),
+            v((3, 1, X), lambda i: (0, i, 0)),
+            v((3, Y, X), lambda i: (0, 0, 0)),
+            sm((1, 1), lambda i: (i, 0)),
+        ]
+    if thermal:
+        in_specs += [
+            v((5, 1, Y, X), lambda i: (0, i, 0, 0)),
+            v((1, 1, Y, X), lambda i: (0, (i - 1) % Z, 0, 0)),
+            v((1, 1, Y, X), lambda i: (0, (i + 1) % Z, 0, 0)),
+            v((1, 1, Y, X), lambda i: (0, i, 0, 0)),
+            v((1, 1, Y, X), lambda i: (0, i, 0, 0)),
+            v((1, Y, X), lambda i: (i, 0, 0)),
+            v((Y, X), lambda i: (0, 0)),
+        ]
+
+    sdt = {"f32": jnp.float32, "f16": jnp.float16, "bf16": jnp.bfloat16}[storage]
+    out_shapes = [
+        jax.ShapeDtypeStruct((9, Z, Y, X), sdt),
+        jax.ShapeDtypeStruct((5, Z, Y, X), sdt),
+        jax.ShapeDtypeStruct((5, Z, Y, X), sdt),
+        jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+        jax.ShapeDtypeStruct((3, Z, Y, X), jnp.float32),
+    ]
+    out_specs = [
+        v((9, 1, Y, X), lambda i: (0, i, 0, 0)),
+        v((5, 1, Y, X), lambda i: (0, i, 0, 0)),
+        v((5, 1, Y, X), lambda i: (0, i, 0, 0)),
+        v((1, Y, X), lambda i: (i, 0, 0)),
+        v((3, 1, Y, X), lambda i: (0, i, 0, 0)),
+    ]
+    if thermal:
+        out_shapes += [
+            jax.ShapeDtypeStruct((5, Z, Y, X), sdt),
+            jax.ShapeDtypeStruct((1, Z, Y, X), sdt),
+            jax.ShapeDtypeStruct((1, Z, Y, X), sdt),
+            jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
+        ]
+        out_specs += [
+            v((5, 1, Y, X), lambda i: (0, i, 0, 0)),
+            v((1, 1, Y, X), lambda i: (0, i, 0, 0)),
+            v((1, 1, Y, X), lambda i: (0, i, 0, 0)),
+            v((1, Y, X), lambda i: (i, 0, 0)),
+        ]
+
+    import os
+
+    call = pl.pallas_call(
+        kernel,
+        grid=(Z,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shapes,
+        interpret=bool(os.environ.get("LUW_PALLAS_INTERPRET")),
+    )
+
+    sponge_z = (
+        np.asarray(forcing.sponge_sigma_z, dtype=np.float32).reshape(Z, 1)
+        if has_sponge else np.zeros((Z, 1), dtype=np.float32)
+    )
+    nudge_sigma = (
+        forcing.nudge_sigma if has_nudge else jnp.zeros((Z, Y, X), jnp.float32)
+    )
+    nudge_face = (
+        forcing.nudge_face.astype(jnp.uint8) if has_nudge
+        else jnp.zeros((Z, Y, X), jnp.uint8)
+    )
+    sponge_z = jnp.asarray(sponge_z)
+
+    def step(s: SplitState, dyn: DynParams) -> SplitState:
+        dyn_arr = jnp.concatenate([
+            dyn.force.astype(jnp.float32),
+            dyn.omega_coriolis.astype(jnp.float32),
+            jnp.zeros(2, jnp.float32),
+        ]).reshape(1, 8)
+        args = [s.f0, s.fp, s.fm, s.fp, s.fm, s.flags, s.flags, s.flags,
+                s.rho, s.u, dyn_arr]
+        if has_forcing:
+            args += [
+                nudge_sigma, nudge_face,
+                s.u[:, :, :, 0], s.u[:, :, :, -1],    # west, east (3,Z,Y)
+                s.u[:, :, 0, :], s.u[:, :, -1, :],    # south, north (3,Z,X)
+                s.u[:, -1, :, :],                     # top (3,Y,X)
+                sponge_z,
+            ]
+        if thermal:
+            args += [s.g0, s.gp, s.gm, s.gp, s.gm, s.T, s.T[-1]]
+        out = call(*args)
+        if thermal:
+            f0, fp, fm, rho, u, g0, gp, gm, T = out
+            return SplitState(f0=f0, fp=fp, fm=fm, rho=rho, u=u, flags=s.flags,
+                              g0=g0, gp=gp, gm=gm, T=T)
+        f0, fp, fm, rho, u = out
+        return SplitState(f0=f0, fp=fp, fm=fm, rho=rho, u=u, flags=s.flags)
+
+    return step

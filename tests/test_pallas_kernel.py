@@ -1,0 +1,89 @@
+"""Pallas stream-collide kernel vs reference tier (interpret mode on CPU).
+
+The performance tier must reproduce the reference tier to fp32 rounding with
+every feature enabled: LES, equilibrium boundaries, bounce-back obstacles,
+Coriolis, buffer nudging, top sponge, thermal sub-lattice, buoyancy.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("LUW_PALLAS_INTERPRET", "1")
+
+
+def _mk_case(thermal, shape=(8, 32, 128)):
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.lbm import (
+        DynParams, NudgeSpec, SpongeSpec, StepConfig, TYPE_E, TYPE_S, TYPE_T,
+        build_forcing, make_initial_state, omega_from_nu,
+    )
+
+    Z, Y, X = shape
+    rng = np.random.default_rng(0)
+    cfg = StepConfig(omega=omega_from_nu(0.03), subgrid=True, thermal=thermal,
+                     omega_t=1.1, beta=0.002, storage="f32")
+    u = 0.02 * rng.standard_normal((3, Z, Y, X)).astype(np.float32)
+    rho = (1.0 + 0.001 * rng.standard_normal(shape)).astype(np.float32)
+    flags = np.zeros(shape, np.uint8)
+    flags[0] = TYPE_S
+    flags[-1] = TYPE_E
+    flags[:, :5, 3] = TYPE_S
+    flags[2, 10:20, 40:60] = TYPE_S
+    if thermal:
+        flags[:, :, 0] |= TYPE_T
+    T = (1.0 + 0.01 * rng.standard_normal(shape)).astype(np.float32) if thermal else None
+    state = make_initial_state(shape, config=cfg, rho=rho, u=u, flags=flags, T=T)
+    forcing = build_forcing(shape,
+                            nudge=NudgeSpec(n_cells=3, inv_tau=0.02, downstream_face=2),
+                            sponge=SpongeSpec(n_cells=3, inv_tau=0.05))
+    dyn = DynParams(force=jnp.array([1e-5, 0.0, -2e-5]),
+                    omega_coriolis=jnp.array([0.0, 1e-5, 2e-5]))
+    return cfg, state, forcing, dyn
+
+
+@pytest.mark.parametrize("thermal", [False, True])
+def test_pallas_matches_reference(thermal):
+    import jax
+
+    from latticeurbanwind_tpu.lbm.reference import make_step as ref_step_f
+    from latticeurbanwind_tpu.ops.stream_collide import (
+        make_pallas_step, merge_state, split_state,
+    )
+
+    cfg, state, forcing, dyn = _mk_case(thermal)
+    ref_step = jax.jit(ref_step_f(cfg, forcing))
+    pstep = make_pallas_step(cfg, forcing, state.rho.shape)
+    pal = jax.jit(lambda st, d: merge_state(pstep(split_state(st), d)))
+    r = p = state
+    for _ in range(5):
+        r = ref_step(r, dyn)
+        p = pal(p, dyn)
+    np.testing.assert_allclose(np.asarray(p.fi), np.asarray(r.fi), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(p.rho), np.asarray(r.rho), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(p.u), np.asarray(r.u), atol=3e-6)
+    if thermal:
+        np.testing.assert_allclose(np.asarray(p.T), np.asarray(r.T), atol=3e-6)
+
+
+def test_split_merge_round_trip():
+    from latticeurbanwind_tpu.ops.stream_collide import merge_state, split_state
+
+    cfg, state, _, _ = _mk_case(thermal=True)
+    back = merge_state(split_state(state))
+    np.testing.assert_array_equal(np.asarray(back.fi), np.asarray(state.fi))
+    np.testing.assert_array_equal(np.asarray(back.gi), np.asarray(state.gi))
+
+
+def test_pallas_support_gate():
+    from latticeurbanwind_tpu.lbm import StepConfig
+    from latticeurbanwind_tpu.ops.stream_collide import pallas_supported
+
+    cfg = StepConfig(omega=1.0)
+    assert pallas_supported((8, 32, 128), cfg)
+    assert not pallas_supported((8, 32, 100), cfg)   # X not lane-aligned
+    assert not pallas_supported((8, 30, 128), cfg)   # Y not sublane-aligned
+    assert not pallas_supported((2, 32, 128), cfg)   # too few planes
