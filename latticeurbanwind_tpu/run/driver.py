@@ -1,0 +1,250 @@
+"""Solver run driver: the TPU-native equivalent of the reference's run_lbm
+loop (setup.cpp:4117-4911).
+
+Responsibilities:
+  * step the lattice in jit-compiled scan chunks (few distinct chunk lengths
+    to bound compile count),
+  * Welford mean/variance accumulation over the final `purge_avg` window at
+    `purge_avg_stride` — on device (the reference reads fields back to the
+    host per sample),
+  * unsteady u VTK snapshots every `unsteady_output` steps,
+  * probe column sampling over the probe window,
+  * two-phase timing plan (normal vs averaging phase step cost) + ETA,
+  * finalize: transient u/rho/T VTKs, `<prefix><datetime>_avg-<t>.vtk` with
+    u_avg/rho_avg[/T_avg]/fluid + tke/TI/TLS, probe CSVs, transform.info.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from ..io.progress import ProgressEmitter
+from ..io.vtk import write_structured_points
+from ..lbm.state import DynParams, Forcing, LBMState, StepConfig
+from ..lbm.stepper import make_runner
+from ..units import Units
+from .derived import derived_turbulence_fields
+from .probes import GridProbe
+from .welford import AvgState, init_avg, variance_u, welford_update
+
+DEFAULT_RUN_STEPS = 20001
+
+
+def vtk_timestep_name(name: str, t: int) -> str:
+    """`<name>-<9-digit t>.vtk` (reference default_filename, lbm.cpp:235)."""
+    return f"{name}-{t:09d}.vtk"
+
+
+@dataclass
+class RunSettings:
+    run_nstep: int = 0                 # 0 -> default 20001
+    research_output: int = 0
+    unsteady_output: int = 0
+    purge_avg: int = 0
+    purge_avg_stride: int = 1
+    output_fields: Tuple[str, ...] = ("tke", "ti", "tls")
+    chunk: int = 50                    # max steps per compiled scan chunk
+
+
+@dataclass
+class SolverCase:
+    """Everything needed to run one LBM case."""
+
+    config: StepConfig
+    forcing: Forcing
+    state: LBMState
+    dyn: DynParams
+    units: Units
+    cell_m: float
+    parent: Path
+    datetime: str
+    vtk_prefix: str = ""
+    nz_out: int = 0                    # crop output above this (sponge rows)
+    settings: RunSettings = field(default_factory=RunSettings)
+    probes: List[GridProbe] = field(default_factory=list)
+    thermal_output: bool = False       # include T in outputs/averaging
+    origin_shift: Tuple[float, float, float] = (0.0, 0.0, 0.0)
+    impl: str = "auto"
+    pre_step: Optional[object] = None  # callable (state, t) -> state (VK inlet)
+
+
+@dataclass
+class RunResult:
+    state: LBMState
+    avg: Optional[AvgState]
+    total_steps: int
+    solver_seconds: float
+    files: List[Path]
+    timing: Dict[str, float]
+
+
+def _sync(state: LBMState) -> None:
+    import jax.numpy as jnp
+
+    float(jnp.asarray(state.rho[0, 0, 0]))
+
+
+def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
+    import jax.numpy as jnp
+
+    s = case.settings
+    total_steps = (s.run_nstep if s.run_nstep > 0 else DEFAULT_RUN_STEPS) + max(s.research_output, 0)
+    avg_window = min(s.purge_avg, total_steps) if s.purge_avg > 0 else 0
+    avg_stride = max(1, s.purge_avg_stride)
+    avg_start = total_steps - avg_window + 1 if avg_window else total_steps + 1
+    unsteady = max(0, s.unsteady_output)
+    probe_window = avg_window if case.probes else 0
+    probe_start = total_steps - probe_window + 1 if probe_window else total_steps + 1
+
+    shape = case.state.rho.shape
+    progress = ProgressEmitter("solve")
+    files: List[Path] = []
+
+    runners = {}
+
+    def runner(n: int):
+        if n not in runners:
+            runners[n] = make_runner(case.config, case.forcing, shape=shape,
+                                     n_inner=n, impl=case.impl, donate=True)[0]
+        return runners[n]
+
+    impl_name = make_runner(case.config, case.forcing, shape=shape, n_inner=1,
+                            impl=case.impl, donate=False)[1]
+
+    # event times where we must stop stepping
+    events = set()
+    if unsteady:
+        events.update(range(unsteady, total_steps + 1, unsteady))
+    if avg_window:
+        events.update(range(avg_start, total_steps + 1, avg_stride))
+    if probe_window:
+        events.update(range(probe_start, total_steps + 1, avg_stride))
+    events.add(total_steps)
+    event_list = sorted(events)
+
+    state = case.state
+    avg = init_avg(shape, case.thermal_output) if avg_window else None
+
+    u_factor = case.units.si_u(1.0)
+    rho_factor = case.units.si_rho(1.0)
+    dt_si = case.units.si_t(1)
+    vtk_dir = case.parent / "RESULTS" / "vtk"
+    raw_base = f"{case.vtk_prefix}{case.datetime}_raw_"
+
+    def write_raw(name: str, data: np.ndarray, t: int, affine_T: bool = False):
+        arr = np.asarray(data)
+        if affine_T:
+            arr = arr * case.units.unit_K + case.units.unit_K_offset
+        path = vtk_dir / vtk_timestep_name(raw_base + name, t)
+        write_structured_points(
+            path, {"data": arr.astype(np.float32)},
+            spacing=case.cell_m, origin_shift=case.origin_shift,
+            nz_write=case.nz_out,
+        )
+        files.append(path)
+        return path
+
+    # --- timing plan: normal benchmark ------------------------------------
+    t = 0
+    t0 = time.perf_counter()
+    bench_steps = min(16, event_list[0] if event_list else 16, total_steps)
+    if bench_steps > 0:
+        state = runner(bench_steps)(state, case.dyn)
+        _sync(state)
+        t = bench_steps
+    normal_sps = bench_steps / max(time.perf_counter() - t0, 1e-9)
+    timing = {"normal_steps_per_second": normal_sps}
+    eta_normal = max(0, min(avg_start - 1, total_steps) - t) / max(normal_sps, 1e-9)
+    if not quiet:
+        print(f"| LBM TIMING PLAN | impl={impl_name} normal {normal_sps:.1f} steps/s, "
+              f"normal-phase ETA {eta_normal:.1f} s")
+    progress.emit("Solving CFD", f"{t}/{total_steps} steps", t, total_steps)
+
+    avg_phase_t0 = None
+    avg_samples = 0
+    last_unsteady_t = -1
+
+    for ev in event_list:
+        if ev <= t:
+            pass
+        while t < ev:
+            n = min(s.chunk, ev - t)
+            state = runner(n)(state, case.dyn)
+            t += n
+            if not quiet and progress.enabled:
+                progress.emit("Solving CFD", f"{t}/{total_steps} steps", t, total_steps)
+        # event actions at step t
+        if avg_window and t >= avg_start and (t - avg_start) % avg_stride == 0:
+            if avg_phase_t0 is None:
+                _sync(state)
+                avg_phase_t0 = time.perf_counter()
+                avg_phase_start_t = t
+            avg = welford_update(avg, state)
+            avg_samples += 1
+        if case.probes and t >= probe_start and (t - probe_start) % avg_stride == 0:
+            for p in case.probes:
+                # tiny (3, Z) device->host gather per probe column
+                col = np.asarray(state.u[:, :, p.y, p.x])
+                p.sample_column(col, t * dt_si, u_factor)
+        if unsteady and t % unsteady == 0 and t > 0 and t != last_unsteady_t:
+            write_raw("u", np.asarray(state.u) * u_factor, t)
+            last_unsteady_t = t
+
+    _sync(state)
+    solver_seconds = time.perf_counter() - t0
+    if avg_phase_t0 is not None and t > avg_phase_start_t:
+        timing["avg_steps_per_second"] = (t - avg_phase_start_t) / max(
+            time.perf_counter() - avg_phase_t0, 1e-9)
+    timing["solver_seconds"] = solver_seconds
+
+    # --- finalize ----------------------------------------------------------
+    if last_unsteady_t != t:
+        write_raw("u", np.asarray(state.u) * u_factor, t)
+    write_raw("rho", np.asarray(state.rho) * rho_factor, t)
+    if case.thermal_output and state.T is not None:
+        write_raw("T", np.asarray(state.T), t, affine_T=True)
+
+    if avg is not None and avg_samples > 0:
+        mean_u = np.asarray(avg.mean_u)
+        var_u = np.asarray(variance_u(avg))
+        flags = np.asarray(state.flags)
+        fields: Dict[str, np.ndarray] = {
+            "u_avg": (mean_u * u_factor).astype(np.float32),
+            "rho_avg": (np.asarray(avg.mean_rho) * rho_factor).astype(np.float32),
+        }
+        if case.thermal_output and avg.mean_T is not None:
+            fields["T_avg"] = (np.asarray(avg.mean_T) * case.units.unit_K
+                               + case.units.unit_K_offset).astype(np.float32)
+        want = tuple(f.lower() for f in s.output_fields)
+        derived = derived_turbulence_fields(
+            mean_u, var_u, flags, avg_count=avg_samples,
+            u_factor=u_factor, spacing=case.cell_m, want=want)
+        fields["fluid"] = derived.pop("fluid")
+        # tke written in SI already by derived (uses u_factor)
+        for key in ("tke", "TI", "TLS"):
+            if key in derived and key.lower() in want:
+                fields[key] = derived[key]
+        avg_path = vtk_dir / vtk_timestep_name(
+            f"{case.vtk_prefix}{case.datetime}_avg", t)
+        write_structured_points(avg_path, fields, spacing=case.cell_m,
+                                origin_shift=case.origin_shift, nz_write=case.nz_out)
+        files.append(avg_path)
+
+    results_dir = case.parent / "RESULTS"
+    for p in case.probes:
+        files.append(p.write_csv(results_dir))
+
+    if s.research_output > 0:
+        info_path = case.parent / "proj_temp" / "transform.info"
+        info_path.parent.mkdir(parents=True, exist_ok=True)
+        info_path.write_text(f"dt = {dt_si:.10f}s\n")
+        files.append(info_path)
+
+    progress.done("Solving CFD", f"{t}/{total_steps} steps")
+    return RunResult(state=state, avg=avg, total_steps=t,
+                     solver_seconds=solver_seconds, files=files, timing=timing)
