@@ -162,12 +162,12 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         if has_forcing:
             nsig_ref = next(it)   # (1,Y,X)
             nface_ref = next(it)  # (1,Y,X) uint8
-            uw_ref = next(it)     # (3,1,Y)
+            uw_ref = next(it)     # (1,3,Y)  z-leading layout for tiling rules
             ue_ref = next(it)
-            us_ref = next(it)     # (3,1,X)
+            us_ref = next(it)     # (1,3,X)
             un_ref = next(it)
             utop_ref = next(it)   # (3,Y,X)
-            ssig_ref = next(it)   # (1,1) SMEM
+            ssig_ref = next(it)   # (Z,1) SMEM, full profile
         if thermal:
             g0_ref = next(it)     # (5,1,Y,X) @ z
             gp_ref = next(it)     # (1,1,Y,X) @ z-1
@@ -236,10 +236,10 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         not_e = ~eqbc
         if has_forcing:
             face = nface_ref[0]
-            u_w = uw_ref[:, 0][:, :, None]            # (3,Y,1)
-            u_e = ue_ref[:, 0][:, :, None]
-            u_s = us_ref[:, 0][:, None, :]            # (3,1,X)
-            u_n = un_ref[:, 0][:, None, :]
+            u_w = uw_ref[0][:, :, None]               # (3,Y,1)
+            u_e = ue_ref[0][:, :, None]
+            u_s = us_ref[0][:, None, :]               # (3,1,X)
+            u_n = un_ref[0][:, None, :]
             u_t = utop_ref[:]                          # (3,Y,X)
             u_tgt = jnp.broadcast_to(u_w, (3, Y, X))
             u_tgt = jnp.where(face[None] == 1, u_e, u_tgt)
@@ -251,7 +251,7 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             Fy = Fy + rhon * sig * (u_tgt[1] - un[1])
             if nudge_vertical:
                 Fz = Fz + rhon * sig * (u_tgt[2] - un[2])
-            ssig = ssig_ref[0, 0]
+            ssig = ssig_ref[pl.program_id(0), 0]
             sig_sp = jnp.where(not_e, ssig, 0.0)
             Fx = Fx + rhon * sig_sp * (u_t[0] - un[0])
             Fy = Fy + rhon * sig_sp * (u_t[1] - un[1])
@@ -354,12 +354,12 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         in_specs += [
             v((1, Y, X), lambda i: (i, 0, 0)),
             v((1, Y, X), lambda i: (i, 0, 0)),
-            v((3, 1, Y), lambda i: (0, i, 0)),
-            v((3, 1, Y), lambda i: (0, i, 0)),
-            v((3, 1, X), lambda i: (0, i, 0)),
-            v((3, 1, X), lambda i: (0, i, 0)),
+            v((1, 3, Y), lambda i: (i, 0, 0)),
+            v((1, 3, Y), lambda i: (i, 0, 0)),
+            v((1, 3, X), lambda i: (i, 0, 0)),
+            v((1, 3, X), lambda i: (i, 0, 0)),
             v((3, Y, X), lambda i: (0, 0, 0)),
-            sm((1, 1), lambda i: (i, 0)),
+            sm((Z, 1), lambda i: (0, 0)),   # full sponge profile; indexed by program_id
         ]
     if thermal:
         in_specs += [
@@ -436,8 +436,9 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         if has_forcing:
             args += [
                 nudge_sigma, nudge_face,
-                s.u[:, :, :, 0], s.u[:, :, :, -1],    # west, east (3,Z,Y)
-                s.u[:, :, 0, :], s.u[:, :, -1, :],    # south, north (3,Z,X)
+                # face targets in z-leading layout (Z,3,Y)/(Z,3,X) for tiling
+                s.u[:, :, :, 0].swapaxes(0, 1), s.u[:, :, :, -1].swapaxes(0, 1),
+                s.u[:, :, 0, :].swapaxes(0, 1), s.u[:, :, -1, :].swapaxes(0, 1),
                 s.u[:, -1, :, :],                     # top (3,Y,X)
                 sponge_z,
             ]
