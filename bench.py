@@ -74,11 +74,11 @@ def main() -> None:
         return float(jnp.asarray(s.rho[0, 0, 0]))
 
     # warm-up / compile
-    state = run(state, dyn)
+    state = run(state, dyn, 0)
     sync(state)
 
     t0 = time.perf_counter()
-    state = run(state, dyn)
+    state = run(state, dyn, steps)
     sync(state)
     dt = time.perf_counter() - t0
 

@@ -35,11 +35,15 @@ def _pallas_ok(shape, config: StepConfig) -> bool:
 
 def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
                 shape: Tuple[int, int, int] = None, n_inner: int = 1,
-                impl: str = "auto", donate: bool = True):
-    """Jitted `run(state, dyn) -> state` advancing n_inner steps.
+                impl: str = "auto", donate: bool = True, pre_step=None):
+    """Jitted `run(state, dyn, t0) -> state` advancing n_inner steps from
+    global step index t0 (t0 feeds per-step hooks like the VK inlet).
 
     Returns (runner, impl_name).  impl: "auto" | "reference" | "pallas".
+    `pre_step(state, t) -> state` runs before each step inside the scan.
     """
+    import jax.numpy as jnp
+
     use_pallas = impl == "pallas" or (
         impl == "auto" and shape is not None and _pallas_ok(shape, config))
 
@@ -48,24 +52,32 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
 
         step = make_pallas_step(config, forcing, shape)
 
-        def body(state: LBMState, dyn: DynParams) -> LBMState:
+        def body(state: LBMState, dyn: DynParams, t0) -> LBMState:
             s = split_state(state)
 
             def inner(carry, _):
-                return step(carry, dyn), None
+                st, t = carry
+                if pre_step is not None:
+                    st = pre_step(st, t)
+                return (step(st, dyn), t + 1), None
 
-            out, _ = jax.lax.scan(inner, s, None, length=n_inner)
+            (out, _), _ = jax.lax.scan(inner, (s, jnp.asarray(t0, jnp.int32)),
+                                       None, length=n_inner)
             return merge_state(out)
 
         impl_name = "pallas"
     else:
         step = make_reference_step(config, forcing)
 
-        def body(state: LBMState, dyn: DynParams) -> LBMState:
-            def inner(s, _):
-                return step(s, dyn), None
+        def body(state: LBMState, dyn: DynParams, t0) -> LBMState:
+            def inner(carry, _):
+                st, t = carry
+                if pre_step is not None:
+                    st = pre_step(st, t)
+                return (step(st, dyn), t + 1), None
 
-            out, _ = jax.lax.scan(inner, state, None, length=n_inner)
+            (out, _), _ = jax.lax.scan(inner, (state, jnp.asarray(t0, jnp.int32)),
+                                       None, length=n_inner)
             return out
 
         impl_name = "reference"

@@ -34,16 +34,19 @@ def derived_turbulence_fields(
     out["fluid"] = fluid
     has_m2 = avg_count > 1
     var_sum = var_u.sum(axis=0) if has_m2 else np.zeros((Z, Y, X), np.float32)
+    # cells where derived fields are defined (note: has_m2 is a Python bool;
+    # never fold it into numpy bitwise ops)
+    invalid = solid if has_m2 else np.ones_like(solid, dtype=bool)
 
     if "tke" in want:
         tke = 0.5 * var_sum * (u_factor * u_factor)
-        out["tke"] = np.where(solid | ~has_m2, 0.0, tke).astype(np.float32)
+        out["tke"] = np.where(invalid, 0.0, tke).astype(np.float32)
 
     if "ti" in want:
         umag = np.sqrt((mean_u ** 2).sum(axis=0))
         urms = np.sqrt(var_sum / 3.0)
         ti = np.where((umag > 1e-9) & (var_sum > 0), urms / np.maximum(umag, 1e-30), 0.0)
-        out["TI"] = np.where(solid | ~has_m2, 0.0, ti).astype(np.float32)
+        out["TI"] = np.where(invalid, 0.0, ti).astype(np.float32)
 
     if "tls" in want:
         u_si = mean_u * u_factor
@@ -87,6 +90,6 @@ def derived_turbulence_fields(
         k_si = 0.5 * var_sum * (u_factor * u_factor)
         tls = np.where((smag > 1e-10) & (k_si > 0), np.sqrt(np.maximum(k_si, 0)) / np.maximum(smag, 1e-30), 0.0)
         cap = max(X, Y, Z) * dx
-        out["TLS"] = np.where(solid | ~has_m2, 0.0, np.clip(tls, 0.0, cap)).astype(np.float32)
+        out["TLS"] = np.where(invalid, 0.0, np.clip(tls, 0.0, cap)).astype(np.float32)
 
     return out

@@ -110,7 +110,8 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
     def runner(n: int):
         if n not in runners:
             runners[n] = make_runner(case.config, case.forcing, shape=shape,
-                                     n_inner=n, impl=case.impl, donate=True)[0]
+                                     n_inner=n, impl=case.impl, donate=True,
+                                     pre_step=case.pre_step)[0]
         return runners[n]
 
     impl_name = make_runner(case.config, case.forcing, shape=shape, n_inner=1,
@@ -154,7 +155,7 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
     t0 = time.perf_counter()
     bench_steps = min(16, event_list[0] if event_list else 16, total_steps)
     if bench_steps > 0:
-        state = runner(bench_steps)(state, case.dyn)
+        state = runner(bench_steps)(state, case.dyn, t)
         _sync(state)
         t = bench_steps
     normal_sps = bench_steps / max(time.perf_counter() - t0, 1e-9)
@@ -174,7 +175,7 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
             pass
         while t < ev:
             n = min(s.chunk, ev - t)
-            state = runner(n)(state, case.dyn)
+            state = runner(n)(state, case.dyn, t)
             t += n
             if not quiet and progress.enabled:
                 progress.emit("Solving CFD", f"{t}/{total_steps} steps", t, total_steps)

@@ -241,13 +241,24 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
         state = make_initial_state(shape, config=config, u=u, flags=flags)
         import jax.numpy as jnp
 
+        from ..bc.vk_inlet import build_vk_runtime, make_vk_pre_step, vk_config_from_deck
+
+        pre_step = None
+        vk_cfg = vk_config_from_deck(deck, units=units, downstream_bc=downstream)
+        vk_rt = build_vk_runtime(vk_cfg, flags, u)
+        if vk_rt is not None:
+            pre_step = make_vk_pre_step(vk_cfg, vk_rt)
+            if not quiet:
+                print(f"| VK inlet        | active: {len(vk_rt.sigma)} points, "
+                      f"{vk_cfg.nmodes} modes, faces={sorted(set(vk_rt.face_of.tolist()))}")
+
         dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.asarray(omega_cor))
         prefix = "" if single else f"ANG_{_format_tag(angle)}_"
         case = SolverCase(
             config=config, forcing=forcing, state=state, dyn=dyn, units=units,
             cell_m=plan.cell_m, parent=parent, datetime=datetime_tag,
             vtk_prefix=prefix, nz_out=plan.nz_core if plan.sponge_extended else 0,
-            settings=settings, impl=impl,
+            settings=settings, impl=impl, pre_step=pre_step,
         )
         if not quiet:
             print(f"| Profile case    | {idx + 1}/{len(angles)} angle={angle} deg "

@@ -211,6 +211,16 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
     forcing = build_forcing(shape, nudge=nudge, sponge=sponge)
     state = make_initial_state(shape, config=config, u=u, flags=flags,
                                T=T_field if use_temperature else None)
+    from ..bc.vk_inlet import build_vk_runtime, make_vk_pre_step, vk_config_from_deck
+
+    pre_step = None
+    vk_cfg = vk_config_from_deck(deck, units=units, downstream_bc=downstream_bc)
+    vk_rt = build_vk_runtime(vk_cfg, flags, u)
+    if vk_rt is not None:
+        pre_step = make_vk_pre_step(vk_cfg, vk_rt)
+        if not quiet:
+            print(f"| VK inlet        | active: {len(vk_rt.sigma)} points, "
+                  f"{vk_cfg.nmodes} modes")
     import jax.numpy as jnp
 
     dyn = DynParams(force=jnp.zeros(3),
@@ -220,7 +230,7 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
         cell_m=plan.cell_m, parent=parent, datetime=datetime_tag,
         vtk_prefix="", nz_out=plan.nz_core if plan.sponge_extended else 0,
         settings=run_settings_from_deck(deck), impl=impl,
-        thermal_output=use_temperature,
+        thermal_output=use_temperature, pre_step=pre_step,
     )
     if not quiet:
         bc_kind = "patch-2d" if samples.has_patch else ("high-order" if high_order else "nearest")

@@ -1,0 +1,119 @@
+"""Von Kármán synthetic inlet: spectrum statistics, face selection, runtime."""
+
+import numpy as np
+import pytest
+
+from latticeurbanwind_tpu.bc.vk_inlet import (
+    ALL_SIDES, EXCLUDE_DOWNSTREAM_SIDES, VkConfig,
+    build_vk_runtime, make_vk_pre_step, _sample_modes,
+)
+from latticeurbanwind_tpu.lbm.state import TYPE_E, TYPE_S
+
+
+def _inlet_case(shape=(10, 12, 14), u0=0.05):
+    Z, Y, X = shape
+    flags = np.zeros(shape, np.uint8)
+    flags[0] = TYPE_S
+    flags[-1] = TYPE_E
+    flags[:, 0, :] |= TYPE_E
+    flags[:, -1, :] |= TYPE_E
+    flags[:, :, 0] |= TYPE_E
+    flags[:, :, -1] |= TYPE_E
+    u = np.zeros((3, Z, Y, X), np.float32)
+    u[0] = u0
+    return flags, u
+
+
+def test_mode_spectrum_unit_rms():
+    cfg = VkConfig(L_lbm=20.0, nmodes=256, seed=42)
+    m = _sample_modes(cfg, u_ref=0.05, conv_dir=np.array([1.0, 0, 0]), seed=42)
+    # amplitudes normalized so that 0.5*sum(A^2) = 1 per component (aniso=1)
+    var = 0.5 * (m["A"][:, 0] ** 2).sum()
+    assert var == pytest.approx(1.0, rel=1e-6)
+    # wavenumber band
+    k = np.linalg.norm(m["k"], axis=1)
+    assert k.min() >= 2 * np.pi / (10 * 20.0) * 0.99
+    assert k.max() <= np.pi * 1.01
+    # convective frequency consistent
+    np.testing.assert_allclose(m["omega"], 0.05 * m["k"][:, 0], rtol=1e-6)
+
+
+def test_face_selection_excludes_downstream_and_top():
+    flags, u = _inlet_case()
+    cfg = VkConfig(nmodes=32, inflow_only=True, downstream_face_id=3)  # north downstream
+    rt = build_vk_runtime(cfg, flags, u)
+    faces = set(rt.face_of.tolist())
+    assert 3 not in faces            # downstream excluded
+    assert 4 not in faces            # top excluded (EXCLUDE_DOWNSTREAM_SIDES)
+    assert {0, 1, 2} <= faces
+
+    cfg2 = VkConfig(nmodes=32, inflow_only=False)
+    rt2 = build_vk_runtime(cfg2, flags, u)
+    assert set(rt2.face_of.tolist()) == {0, 1, 2, 3}  # ALL_SIDES: top excluded
+
+
+def test_runtime_points_are_boundary_e_cells():
+    flags, u = _inlet_case()
+    cfg = VkConfig(nmodes=16)
+    rt = build_vk_runtime(cfg, flags, u)
+    zi, yi, xi = rt.idx
+    assert (flags[zi, yi, xi] & TYPE_E).all()
+    assert (zi > 0).all()
+    # sigma = ti * |u| = 0.05 * 0.05
+    np.testing.assert_allclose(rt.sigma, 0.05 * 0.05, rtol=1e-5)
+
+
+def test_pre_step_perturbs_with_correct_rms():
+    import jax.numpy as jnp
+    from latticeurbanwind_tpu.lbm import StepConfig, make_initial_state, omega_from_nu
+
+    flags, u = _inlet_case()
+    cfg = VkConfig(nmodes=128, ti=0.1, seed=7)
+    rt = build_vk_runtime(cfg, flags, u)
+    pre = make_vk_pre_step(cfg, rt)
+    state = make_initial_state(flags.shape, config=StepConfig(omega=1.0), u=u,
+                               flags=flags)
+    zi, yi, xi = rt.idx
+    # collect perturbations over many time steps -> RMS ~ sigma per component set
+    samples = []
+    for t in range(0, 600, 7):
+        out = pre(state, t)
+        du = np.asarray(out.u[:, zi, yi, xi]) - np.asarray(rt.base_u)
+        samples.append(du)
+    du = np.stack(samples)              # (T, 3, P)
+    total_rms = np.sqrt((du ** 2).sum(axis=1).mean())
+    sigma = float(rt.sigma[0])
+    # unit-RMS mode basis per component -> per-point magnitude on the order of
+    # sigma (finite-mode standing pattern; statistical band, not exact)
+    assert 0.3 * sigma < total_rms < 3.0 * sigma
+    assert np.abs(du).max() < 20 * sigma
+    # interior untouched
+    assert float(jnp.abs(out.u[:, 5, 5, 5] - state.u[:, 5, 5, 5]).max()) == 0.0
+
+
+def test_stride_hold_and_interpolation():
+    flags, u = _inlet_case()
+    cfg = VkConfig(nmodes=32, update_stride=4, stride_interpolation=False)
+    rt = build_vk_runtime(cfg, flags, u)
+    pre = make_vk_pre_step(cfg, rt)
+    from latticeurbanwind_tpu.lbm import StepConfig, make_initial_state
+    state = make_initial_state(flags.shape, config=StepConfig(omega=1.0), u=u,
+                               flags=flags)
+    zi, yi, xi = rt.idx
+    u4 = np.asarray(pre(state, 4).u[:, zi, yi, xi])
+    u6 = np.asarray(pre(state, 6).u[:, zi, yi, xi])
+    u8 = np.asarray(pre(state, 8).u[:, zi, yi, xi])
+    np.testing.assert_allclose(u4, u6)          # held within the stride
+    assert np.abs(u8 - u4).max() > 0            # advances at the anchor
+    cfg_i = VkConfig(nmodes=32, update_stride=4, stride_interpolation=True)
+    pre_i = make_vk_pre_step(cfg_i, build_vk_runtime(cfg_i, flags, u))
+    a4 = np.asarray(pre_i(state, 4).u[:, zi, yi, xi])
+    a6 = np.asarray(pre_i(state, 6).u[:, zi, yi, xi])
+    a8 = np.asarray(pre_i(state, 8).u[:, zi, yi, xi])
+    np.testing.assert_allclose(a6, 0.5 * (a4 + a8), atol=1e-6)
+
+
+def test_disabled_when_no_inflow():
+    flags, u = _inlet_case(u0=0.0)   # zero base velocity -> Uc too small
+    assert build_vk_runtime(VkConfig(), flags, u) is None
+    assert build_vk_runtime(VkConfig(enable=False), *_inlet_case()) is None
