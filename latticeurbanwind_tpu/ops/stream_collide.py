@@ -38,7 +38,10 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from ..lbm.lattice import C19, C7, G7_0, G7_M, G7_P, GROUP0, GROUP_M, GROUP_P, OPP19, W19, CS
+from ..lbm.lattice import (
+    C19, C7, CS, G7_0, G7_M, G7_P, GROUP0, GROUP_M, GROUP_P, OPP19,
+    SMAGORINSKY_FACTOR, W19, W7,
+)
 from ..lbm.reference import (
     _guo_forcing_terms,
     _les_omega,
@@ -107,14 +110,95 @@ def pallas_supported(shape: Tuple[int, int, int], config: StepConfig) -> bool:
     return X % 128 == 0 and Y % 32 == 0 and Z >= 4
 
 
+# ---------------------------------------------------------------------------
+# Stacked-tensor physics (kernel-internal variants of the reference-tier
+# helpers).  The reference tier unrolls the 19 directions into hundreds of
+# scalar-plane expressions — numerically identical but brutal on the Mosaic
+# compiler.  These use small dot_general contractions over the direction axis
+# so the kernel graph stays compact.
+# ---------------------------------------------------------------------------
+
+# Lattice coefficient tables, padded for VMEM tiling and passed to the kernel
+# as inputs (Pallas kernels cannot capture array constants).
+# TAB19 columns: 0-2 C, 3-11 outer(C,C).ravel(), 12 W.   TAB7: 0-2 C7, 3 W7.
+_C19F = np.asarray(C19, dtype=np.float32)             # (19, 3)
+_CC19F = np.stack([np.outer(c, c).ravel() for c in _C19F])  # (19, 9)
+TAB19 = np.zeros((19, 16), np.float32)
+TAB19[:, 0:3] = _C19F
+TAB19[:, 3:12] = _CC19F
+TAB19[:, 12] = W19
+TAB7 = np.zeros((7, 8), np.float32)
+TAB7[:, 0:3] = C7
+TAB7[:, 3] = W7
+
+
+def _dot_dirs(coeff, field):
+    """(D, K) coefficients . (K, Y, X) field -> (D, Y, X)."""
+    return jax.lax.dot_general(
+        coeff, field,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _moments_stacked(f, tab19):
+    """rho (Y,X), u (3,Y,X) from stacked DDF-shifted populations (19,Y,X)."""
+    rho = 1.0 + jnp.sum(f, axis=0)
+    mom = _dot_dirs(tab19[:, 0:3].T, f)
+    return rho, mom / rho
+
+
+def _feq_stacked(rho, u, tab19):
+    w = tab19[:, 12][:, None, None]
+    rhom1 = rho - 1.0
+    cu = 3.0 * _dot_dirs(tab19[:, 0:3], u)             # (19, Y, X)
+    c3 = -3.0 * jnp.sum(u * u, axis=0)
+    return w * (rhom1 + rho * (0.5 * (cu * cu + c3) + cu))
+
+
+def _guo_stacked(u, F, tab19):
+    w = tab19[:, 12][:, None, None]
+    uF = -(1.0 / 3.0) * jnp.sum(u * F, axis=0)
+    cF = _dot_dirs(tab19[:, 0:3], F)
+    cu = _dot_dirs(tab19[:, 0:3], u)
+    return 9.0 * w * (cF * (cu + 1.0 / 3.0) + uF)
+
+
+def _les_omega_stacked(f, feq, rho, omega0: float, tab19):
+    fneq = f - feq
+    H = _dot_dirs(tab19[:, 3:12].T, fneq)              # (9, Y, X) full tensor
+    Q = (H[0] ** 2 + H[4] ** 2 + H[8] ** 2
+         + 2.0 * (H[1] ** 2 + H[2] ** 2 + H[5] ** 2))
+    tau0 = 1.0 / omega0
+    return 2.0 / (tau0 + jnp.sqrt(tau0 * tau0 + SMAGORINSKY_FACTOR * jnp.sqrt(Q) / rho))
+
+
+def _geq_stacked(T, u, tab7):
+    """D3Q7 DDF-shifted equilibrium, stacked (7, Y, X)."""
+    w7 = tab7[:, 3][:, None, None]
+    Tm1 = T - 1.0
+    cu = _dot_dirs(tab7[:, 0:3], u)                    # (7, Y, X)
+    return w7 * Tm1 + 4.0 * w7 * T * cu
+
+
+def _shift1(a, axis: int, c: int):
+    """Periodic unit shift via slice+concat (result[i] = a[i-c]).
+
+    Implemented with concatenate rather than pltpu.roll — the Mosaic
+    compiler takes minutes per roll op but compiles slice/concat quickly.
+    """
+    if c == 0:
+        return a
+    if axis == 0:
+        return (jnp.concatenate([a[-1:], a[:-1]], 0) if c > 0
+                else jnp.concatenate([a[1:], a[:1]], 0))
+    return (jnp.concatenate([a[:, -1:], a[:, :-1]], 1) if c > 0
+            else jnp.concatenate([a[:, 1:], a[:, :1]], 1))
+
+
 def _roll2(plane, cy: int, cx: int):
     """result[y, x] = plane[y-cy, x-cx] (periodic)."""
-    out = plane
-    if cy:
-        out = pltpu.roll(out, cy % out.shape[0], 0)
-    if cx:
-        out = pltpu.roll(out, cx % out.shape[1], 1)
-    return out
+    return _shift1(_shift1(plane, 0, cy), 1, cx)
 
 
 def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int, int]):
@@ -159,6 +243,8 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         rho_ref = next(it)     # (1,Y,X)
         u_ref = next(it)       # (3,1,Y,X)
         dyn_ref = next(it)     # (1,8) SMEM
+        tab19_ref = next(it)   # (19,16) VMEM coefficient table
+        tab7_ref = next(it)    # (7,8) VMEM
         if has_forcing:
             nsig_ref = next(it)   # (1,Y,X)
             nface_ref = next(it)  # (1,Y,X) uint8
@@ -195,14 +281,21 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         oy = dyn_ref[0, 4]
         oz = dyn_ref[0, 5]
 
-        flags_c = flc_ref[0]
-        solid_c = (flags_c & TYPE_S) != 0
-        eqbc = (flags_c & TYPE_E) != 0
+        # masks kept as f32 throughout: Mosaic's vector<i1> relayouts are
+        # broken on this toolchain (bitwise not/or on bool vectors fail)
+        # widen uint8 flags to int32 first: the VPU has no 8-bit compares
+        flags_c = flc_ref[0].astype(jnp.int32)
+        solid_f = ((flags_c & TYPE_S) != 0).astype(jnp.float32)
+        eqbc_f = ((flags_c & TYPE_E) != 0).astype(jnp.float32)
+
+        def blend(mask_f, a, b):
+            # a where mask else b, f32-mask select
+            return a * mask_f + b * (1.0 - mask_f)
 
         group_refs = (f0_ref, fp_ref, fm_ref)
         # solid mask of the pull-source plane per group, as fp32 for cheap rolls
         solid_src = tuple(
-            ((r[0] & TYPE_S) != 0).astype(jnp.float32)
+            ((r[0].astype(jnp.int32) & TYPE_S) != 0).astype(jnp.float32)
             for r in (flc_ref, flb_ref, fla_ref)
         )
         # opposite-at-own-plane source per group: group0 -> f0_ref (own plane),
@@ -215,50 +308,50 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             g, k = _D2G[d]
             plane = dec(group_refs[g][k, 0])
             shifted = _roll2(plane, cy, cx)
-            src_solid = _roll2(solid_src[g], cy, cx) > 0.5
+            src_solid_f = _roll2(solid_src[g], cy, cx)
             od = int(OPP19[d])
             og, ok = _D2G[od]
             opp_plane = dec(opp_refs[g][ok, 0])
-            planes.append(jnp.where(src_solid, opp_plane, shifted))
+            planes.append(opp_plane * src_solid_f + shifted * (1.0 - src_solid_f))
         f = jnp.stack(planes)                      # (19, Y, X) fp32
 
-        rho_m, u_m = moments(f)
+        tab19 = tab19_ref[:]
+        rho_m, u_m = _moments_stacked(f, tab19)
         rho_pre = rho_ref[0]
         u_pre = u_ref[:, 0]
-        rhon = jnp.where(eqbc, rho_pre, rho_m)
-        un = jnp.where(eqbc[None], u_pre, u_m)
+        rhon = blend(eqbc_f, rho_pre, rho_m)
+        un = blend(eqbc_f[None], u_pre, u_m)
 
         # forces: global + Coriolis
         Fx = fxg - 2.0 * rhon * (oy * un[2] - oz * un[1])
         Fy = fyg - 2.0 * rhon * (oz * un[0] - ox * un[2])
         Fz = fzg - 2.0 * rhon * (ox * un[1] - oy * un[0])
 
-        not_e = ~eqbc
+        not_e_f = 1.0 - eqbc_f
         if has_forcing:
-            face = nface_ref[0]
+            face = nface_ref[0].astype(jnp.int32)
             u_w = uw_ref[0][:, :, None]               # (3,Y,1)
             u_e = ue_ref[0][:, :, None]
             u_s = us_ref[0][:, None, :]               # (3,1,X)
             u_n = un_ref[0][:, None, :]
             u_t = utop_ref[:]                          # (3,Y,X)
             u_tgt = jnp.broadcast_to(u_w, (3, Y, X))
-            u_tgt = jnp.where(face[None] == 1, u_e, u_tgt)
-            u_tgt = jnp.where(face[None] == 2, u_s, u_tgt)
-            u_tgt = jnp.where(face[None] == 3, u_n, u_tgt)
-            u_tgt = jnp.where(face[None] == 4, u_t, u_tgt)
-            sig = jnp.where(not_e, nsig_ref[0], 0.0)
+            for fidv, tgt in ((1, u_e), (2, u_s), (3, u_n), (4, u_t)):
+                m = (face[None] == fidv).astype(jnp.float32)
+                u_tgt = blend(m, jnp.broadcast_to(tgt, (3, Y, X)), u_tgt)
+            sig = nsig_ref[0] * not_e_f
             Fx = Fx + rhon * sig * (u_tgt[0] - un[0])
             Fy = Fy + rhon * sig * (u_tgt[1] - un[1])
             if nudge_vertical:
                 Fz = Fz + rhon * sig * (u_tgt[2] - un[2])
             ssig = ssig_ref[pl.program_id(0), 0]
-            sig_sp = jnp.where(not_e, ssig, 0.0)
+            sig_sp = ssig * not_e_f
             Fx = Fx + rhon * sig_sp * (u_t[0] - un[0])
             Fy = Fy + rhon * sig_sp * (u_t[1] - un[1])
             Fz = Fz + rhon * sig_sp * (u_t[2] - un[2])
 
         if thermal:
-            tfix = (flags_c & TYPE_T) != 0
+            tfix_f = ((flags_c & TYPE_T) != 0).astype(jnp.float32)
             g_refs = (g0_ref, gp_ref, gm_ref)
             g_opp_refs = (g0_ref, gmc_ref, gpc_ref)
             gplanes = []
@@ -268,24 +361,25 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 k = d - (0, 5, 6)[g_id]
                 plane = dec(g_refs[g_id][k, 0])
                 shifted = _roll2(plane, cy, cx)
-                src_solid = _roll2(solid_src[g_id], cy, cx) > 0.5
+                src_solid_f = _roll2(solid_src[g_id], cy, cx)
                 od = (0, 2, 1, 4, 3, 6, 5)[d]
                 og_id = 0 if int(C7[od, 2]) == 0 else (1 if int(C7[od, 2]) == 1 else 2)
                 okk = od - (0, 5, 6)[og_id]
                 opp_plane = dec(g_opp_refs[g_id][okk, 0])
-                gplanes.append(jnp.where(src_solid, opp_plane, shifted))
+                gplanes.append(opp_plane * src_solid_f + shifted * (1.0 - src_solid_f))
             g = jnp.stack(gplanes)                     # (7, Y, X)
             T_m = 1.0 + jnp.sum(g, axis=0)
             T_pre = T_ref[0]
-            Tn = jnp.where(tfix, T_pre, T_m)
+            Tn = blend(tfix_f, T_pre, T_m)
             if has_forcing:
-                sig_t = jnp.where(not_e & ~tfix, ssig, 0.0)
+                sig_t = ssig * not_e_f * (1.0 - tfix_f)
                 Tn = Tn + sig_t * (Ttop_ref[:] - Tn)
-            geq = equilibrium_g(Tn, un)
-            g_post = jnp.where(tfix[None], geq,
-                               (1.0 - config.omega_t) * g + config.omega_t * geq)
-            g_post = jnp.where(solid_c[None], 0.0, g_post)
-            T_new = jnp.where(solid_c | tfix, T_pre, Tn)
+            geq = _geq_stacked(Tn, un, tab7_ref[:])
+            g_post = blend(tfix_f[None], geq,
+                           (1.0 - config.omega_t) * g + config.omega_t * geq)
+            g_post = g_post * (1.0 - solid_f[None])
+            keep_t_f = jnp.maximum(solid_f, tfix_f)
+            T_new = blend(keep_t_f, T_pre, Tn)
             bterm = config.beta * (Tn - config.t_avg)
             Fx = Fx - fxg * bterm
             Fy = Fy - fyg * bterm
@@ -293,11 +387,11 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
 
         F = jnp.stack([Fx, Fy, Fz])
         u_star = jnp.clip(un + F * (0.5 / rhon), -CS, CS)
-        fin = _guo_forcing_terms(u_star, F)
-        feq = equilibrium_f(rhon, u_star)
+        fin = _guo_stacked(u_star, F, tab19)
+        feq = _feq_stacked(rhon, u_star, tab19)
 
         if config.subgrid:
-            omega_eff = _les_omega(f, feq, rhon, config.omega)
+            omega_eff = _les_omega_stacked(f, feq, rhon, config.omega, tab19)
         else:
             omega_eff = jnp.full_like(rhon, config.omega)
 
@@ -314,12 +408,12 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             f_post = (f + 0.5 * wp * (feq - f + feb - fhb)
                       + 0.5 * wm * (feq - feb - f + fhb) + fin)
 
-        f_post = jnp.where(eqbc[None], feq, f_post)
-        f_post = jnp.where(solid_c[None], 0.0, f_post)
+        f_post = blend(eqbc_f[None], feq, f_post)
+        f_post = f_post * (1.0 - solid_f[None])
 
-        keep = solid_c | eqbc
-        rho_new = jnp.where(keep, rho_pre, rhon)
-        u_new = jnp.where(keep[None], u_pre, u_star)
+        keep_f = jnp.maximum(solid_f, eqbc_f)
+        rho_new = blend(keep_f, rho_pre, rhon)
+        u_new = blend(keep_f[None], u_pre, u_star)
 
         f0_out[:, 0] = enc(f_post[GROUP0])
         fp_out[:, 0] = enc(f_post[GROUP_P])
@@ -349,6 +443,8 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         v((1, Y, X), lambda i: (i, 0, 0)),
         v((3, 1, Y, X), lambda i: (0, i, 0, 0)),
         sm((1, 8), lambda i: (0, 0)),
+        v((19, 16), lambda i: (0, 0)),
+        v((7, 8), lambda i: (0, 0)),
     ]
     if has_forcing:
         in_specs += [
@@ -424,6 +520,8 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         else jnp.zeros((Z, Y, X), jnp.uint8)
     )
     sponge_z = jnp.asarray(sponge_z)
+    _tab19 = jnp.asarray(TAB19)
+    _tab7 = jnp.asarray(TAB7)
 
     def step(s: SplitState, dyn: DynParams) -> SplitState:
         dyn_arr = jnp.concatenate([
@@ -432,7 +530,7 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             jnp.zeros(2, jnp.float32),
         ]).reshape(1, 8)
         args = [s.f0, s.fp, s.fm, s.fp, s.fm, s.flags, s.flags, s.flags,
-                s.rho, s.u, dyn_arr]
+                s.rho, s.u, dyn_arr, _tab19, _tab7]
         if has_forcing:
             args += [
                 nudge_sigma, nudge_face,

