@@ -58,12 +58,21 @@ def _column_crossings(tris: np.ndarray, px: np.ndarray, py: np.ndarray,
     return crossings
 
 
-def voxelize_mesh_columns(mesh: Mesh, shape, jitter: float = 1e-4) -> np.ndarray:
+def voxelize_mesh_columns(mesh: Mesh, shape, jitter: float = 1e-4,
+                          use_native: bool = True) -> np.ndarray:
     """Solid mask (Z, Y, X) bool from a watertight mesh in lattice units.
 
     `jitter` nudges ray origins off exact vertex/edge alignments (the same
-    robustness trick as the reference's ray-direction jitter).
+    robustness trick as the reference's ray-direction jitter).  Uses the
+    native C++ voxelizer when available (utils/native.py); the numpy path
+    below is the reference implementation and fallback.
     """
+    if use_native and len(mesh.tris):
+        from ..utils.native import voxelize_columns_native
+
+        native = voxelize_columns_native(mesh.tris, shape, jitter)
+        if native is not None:
+            return native
     Z, Y, X = shape
     ys, xs = np.meshgrid(np.arange(Y), np.arange(X), indexing="ij")
     px = (xs.ravel() + 0.5 + jitter).astype(np.float64)

@@ -1,0 +1,92 @@
+"""Solver checkpoint/resume — a capability the reference lacks entirely
+(SURVEY.md §5: a killed run restarts from step 0).
+
+Serializes the complete lattice state (DDFs, fields, flags, thermal arrays),
+the Welford accumulator, and the run cursor to a single compressed .npz under
+proj_temp/checkpoints/.  Restore rebuilds the exact LBMState/AvgState, so a
+run continues bit-exactly from the saved step.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+from typing import Optional, Tuple
+
+import numpy as np
+
+from ..lbm.state import LBMState
+from .welford import AvgState
+
+FORMAT_VERSION = 1
+
+
+def checkpoint_path(parent: Path, datetime_tag: str, prefix: str = "") -> Path:
+    return (Path(parent) / "proj_temp" / "checkpoints"
+            / f"{prefix}{datetime_tag}.ckpt.npz")
+
+
+def save_checkpoint(path: Path, state: LBMState, *, step: int,
+                    avg: Optional[AvgState] = None,
+                    avg_samples: int = 0,
+                    meta: Optional[dict] = None) -> Path:
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    payload = {
+        "fi": np.asarray(state.fi),
+        "rho": np.asarray(state.rho),
+        "u": np.asarray(state.u),
+        "flags": np.asarray(state.flags),
+    }
+    if state.gi is not None:
+        payload["gi"] = np.asarray(state.gi)
+        payload["T"] = np.asarray(state.T)
+    if avg is not None:
+        payload["avg_mean_u"] = np.asarray(avg.mean_u)
+        payload["avg_m2_u"] = np.asarray(avg.m2_u)
+        payload["avg_mean_rho"] = np.asarray(avg.mean_rho)
+        if avg.mean_T is not None:
+            payload["avg_mean_T"] = np.asarray(avg.mean_T)
+        payload["avg_count"] = np.asarray(int(avg.count))
+    header = {
+        "version": FORMAT_VERSION,
+        "step": int(step),
+        "avg_samples": int(avg_samples),
+        "thermal": state.gi is not None,
+        "meta": meta or {},
+    }
+    payload["header"] = np.frombuffer(
+        json.dumps(header).encode(), dtype=np.uint8)
+    tmp = path.with_suffix(".tmp.npz")
+    np.savez_compressed(tmp, **payload)
+    tmp.replace(path)
+    return path
+
+
+def load_checkpoint(path: Path) -> Tuple[LBMState, int, Optional[AvgState], int, dict]:
+    """Returns (state, step, avg_or_None, avg_samples, meta)."""
+    import jax.numpy as jnp
+
+    with np.load(path) as z:
+        header = json.loads(bytes(z["header"].tobytes()).decode())
+        if header.get("version") != FORMAT_VERSION:
+            raise ValueError(f"unsupported checkpoint version: {header.get('version')}")
+        thermal = header["thermal"]
+        state = LBMState(
+            fi=jnp.asarray(z["fi"]),
+            rho=jnp.asarray(z["rho"]),
+            u=jnp.asarray(z["u"]),
+            flags=jnp.asarray(z["flags"]),
+            gi=jnp.asarray(z["gi"]) if thermal else None,
+            T=jnp.asarray(z["T"]) if thermal else None,
+        )
+        avg = None
+        if "avg_count" in z:
+            avg = AvgState(
+                count=jnp.asarray(int(z["avg_count"]), jnp.int32),
+                mean_u=jnp.asarray(z["avg_mean_u"]),
+                m2_u=jnp.asarray(z["avg_m2_u"]),
+                mean_rho=jnp.asarray(z["avg_mean_rho"]),
+                mean_T=jnp.asarray(z["avg_mean_T"]) if "avg_mean_T" in z else None,
+            )
+        return state, header["step"], avg, header["avg_samples"], header["meta"]

@@ -49,6 +49,8 @@ class RunSettings:
     purge_avg_stride: int = 1
     output_fields: Tuple[str, ...] = ("tke", "ti", "tls")
     chunk: int = 50                    # max steps per compiled scan chunk
+    checkpoint_interval: int = 0       # save state every N steps (0 = off)
+    resume: bool = True                # resume from an existing checkpoint
 
 
 @dataclass
@@ -125,11 +127,31 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         events.update(range(avg_start, total_steps + 1, avg_stride))
     if probe_window:
         events.update(range(probe_start, total_steps + 1, avg_stride))
+    if s.checkpoint_interval > 0:
+        events.update(range(s.checkpoint_interval, total_steps + 1,
+                            s.checkpoint_interval))
     events.add(total_steps)
     event_list = sorted(events)
 
     state = case.state
     avg = init_avg(shape, case.thermal_output) if avg_window else None
+    avg_samples = 0
+    resume_t = 0
+    ckpt_path = None
+    if s.checkpoint_interval > 0:
+        from .checkpoint import checkpoint_path, load_checkpoint, save_checkpoint
+
+        ckpt_path = checkpoint_path(case.parent, case.datetime, case.vtk_prefix)
+        if s.resume and ckpt_path.exists():
+            try:
+                state, resume_t, avg_loaded, avg_samples, _ = load_checkpoint(ckpt_path)
+                if avg_loaded is not None:
+                    avg = avg_loaded
+                if not quiet:
+                    print(f"| Checkpoint      | resumed from step {resume_t}")
+            except (ValueError, KeyError, OSError) as e:
+                print(f"| Checkpoint      | ignoring unreadable checkpoint: {e}")
+                resume_t = 0
 
     u_factor = case.units.si_u(1.0)
     rho_factor = case.units.si_rho(1.0)
@@ -151,28 +173,29 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         return path
 
     # --- timing plan: normal benchmark ------------------------------------
-    t = 0
+    t = resume_t
     t0 = time.perf_counter()
-    bench_steps = min(16, event_list[0] if event_list else 16, total_steps)
+    next_events = [e for e in event_list if e > t]
+    bench_steps = 0 if t else min(16, next_events[0] if next_events else 16,
+                                  total_steps)
     if bench_steps > 0:
         state = runner(bench_steps)(state, case.dyn, t)
         _sync(state)
         t = bench_steps
     normal_sps = bench_steps / max(time.perf_counter() - t0, 1e-9)
     timing = {"normal_steps_per_second": normal_sps}
-    eta_normal = max(0, min(avg_start - 1, total_steps) - t) / max(normal_sps, 1e-9)
-    if not quiet:
+    if not quiet and bench_steps > 0:
+        eta_normal = max(0, min(avg_start - 1, total_steps) - t) / max(normal_sps, 1e-9)
         print(f"| LBM TIMING PLAN | impl={impl_name} normal {normal_sps:.1f} steps/s, "
               f"normal-phase ETA {eta_normal:.1f} s")
     progress.emit("Solving CFD", f"{t}/{total_steps} steps", t, total_steps)
 
     avg_phase_t0 = None
-    avg_samples = 0
     last_unsteady_t = -1
 
     for ev in event_list:
-        if ev <= t:
-            pass
+        if ev <= resume_t:
+            continue   # already handled before the interruption
         while t < ev:
             n = min(s.chunk, ev - t)
             state = runner(n)(state, case.dyn, t)
@@ -195,6 +218,13 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         if unsteady and t % unsteady == 0 and t > 0 and t != last_unsteady_t:
             write_raw("u", np.asarray(state.u) * u_factor, t)
             last_unsteady_t = t
+        if (ckpt_path is not None and s.checkpoint_interval > 0
+                and t % s.checkpoint_interval == 0 and t > resume_t):
+            from .checkpoint import save_checkpoint
+
+            save_checkpoint(ckpt_path, state, step=t, avg=avg,
+                            avg_samples=avg_samples,
+                            meta={"total_steps": total_steps})
 
     _sync(state)
     solver_seconds = time.perf_counter() - t0

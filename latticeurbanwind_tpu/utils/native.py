@@ -1,0 +1,94 @@
+"""Loader for the native C++ runtime library (ctypes, built on demand).
+
+Compiles native/luwnative.cpp with the system g++ on first use and caches the
+shared object next to the source.  Every consumer has a pure-numpy fallback,
+so environments without a toolchain still work.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import subprocess
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parents[2] / "native" / "luwnative.cpp"
+_LIB = _SRC.with_name("libluwnative.so")
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
+             "-o", str(_LIB), str(_SRC), "-lpthread"],
+            check=True, capture_output=True, timeout=240,
+        )
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError) as e:
+        print(f"[native] build failed, using numpy fallbacks: {e}")
+        return False
+
+
+def load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not _SRC.exists():
+        return None
+    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(str(_LIB))
+        lib.voxelize_columns.argtypes = [
+            ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
+            ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            ctypes.c_double, ctypes.POINTER(ctypes.c_uint8),
+        ]
+        lib.encode_be_f32_aos.argtypes = [
+            ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
+            ctypes.POINTER(ctypes.c_float),
+        ]
+        _lib = lib
+    except OSError as e:
+        print(f"[native] load failed, using numpy fallbacks: {e}")
+    return _lib
+
+
+def voxelize_columns_native(tris: np.ndarray, shape, jitter: float = 1e-4
+                            ) -> Optional[np.ndarray]:
+    lib = load()
+    if lib is None:
+        return None
+    Z, Y, X = shape
+    tris64 = np.ascontiguousarray(tris, dtype=np.float64)
+    out = np.zeros((Z, Y, X), dtype=np.uint8)
+    lib.voxelize_columns(
+        tris64.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.c_int64(len(tris64)),
+        ctypes.c_int64(Z), ctypes.c_int64(Y), ctypes.c_int64(X),
+        ctypes.c_double(jitter),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+    )
+    return out.astype(bool)
+
+
+def encode_be_f32_aos_native(planes: np.ndarray) -> Optional[bytes]:
+    """(C, N) float32 SoA -> big-endian AoS bytes, single native pass."""
+    lib = load()
+    if lib is None:
+        return None
+    src = np.ascontiguousarray(planes, dtype=np.float32)
+    comp, n = src.shape
+    dst = np.empty(n * comp, dtype=np.float32)
+    lib.encode_be_f32_aos(
+        src.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+        ctypes.c_int64(n), ctypes.c_int64(comp),
+        dst.ctypes.data_as(ctypes.POINTER(ctypes.c_float)),
+    )
+    return dst.tobytes()

@@ -1,0 +1,70 @@
+"""Checkpoint/resume: bit-exact continuation of an interrupted run."""
+
+import numpy as np
+
+from latticeurbanwind_tpu.lbm import (
+    DynParams, StepConfig, TYPE_E, TYPE_S, make_initial_state, omega_from_nu,
+)
+from latticeurbanwind_tpu.run.checkpoint import (
+    checkpoint_path, load_checkpoint, save_checkpoint,
+)
+from latticeurbanwind_tpu.run.driver import RunSettings, SolverCase, run_case
+from latticeurbanwind_tpu.units import Units
+
+
+def _case(tmp_path, run_nstep):
+    import jax.numpy as jnp
+    from latticeurbanwind_tpu.lbm import Forcing
+
+    shape = (6, 8, 10)
+    rng = np.random.default_rng(3)
+    u = 0.02 * rng.standard_normal((3, *shape)).astype(np.float32)
+    flags = np.zeros(shape, np.uint8)
+    flags[0] = TYPE_S
+    flags[-1] = TYPE_E
+    config = StepConfig(omega=omega_from_nu(0.05), subgrid=True, storage="f32")
+    state = make_initial_state(shape, config=config, u=u, flags=flags)
+    units = Units()
+    units.set_m_kg_s(1.0, 0.1, 1.0, 20.0, 8.0, 1.225)
+    return SolverCase(
+        config=config, forcing=Forcing(), state=state,
+        dyn=DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3)),
+        units=units, cell_m=20.0, parent=tmp_path, datetime="20250101000000",
+        settings=RunSettings(run_nstep=run_nstep, purge_avg=8, purge_avg_stride=2,
+                             checkpoint_interval=10, chunk=5),
+    )
+
+
+def test_checkpoint_save_load_round_trip(tmp_path):
+    case = _case(tmp_path, 4)
+    p = tmp_path / "x.ckpt.npz"
+    save_checkpoint(p, case.state, step=7, meta={"k": 1})
+    state, step, avg, samples, meta = load_checkpoint(p)
+    assert step == 7 and avg is None and samples == 0 and meta == {"k": 1}
+    np.testing.assert_array_equal(np.asarray(state.fi), np.asarray(case.state.fi))
+    np.testing.assert_array_equal(np.asarray(state.flags), np.asarray(case.state.flags))
+
+
+def test_interrupted_run_resumes_identically(tmp_path):
+    # full run in one go
+    full_dir = tmp_path / "full"
+    full_dir.mkdir()
+    r_full = run_case(_case(full_dir, 30), quiet=True)
+
+    # interrupted run: first 10 steps only (checkpoint lands at step 10)
+    part_dir = tmp_path / "part"
+    part_dir.mkdir()
+    case1 = _case(part_dir, 10)
+    case1.settings.purge_avg = 0    # no averaging in the stub segment
+    run_case(case1, quiet=True)
+    ck = checkpoint_path(part_dir, "20250101000000")
+    assert ck.exists()
+
+    # resume to 30 with the original settings
+    case2 = _case(part_dir, 30)
+    r_resumed = run_case(case2, quiet=True)
+    assert r_resumed.total_steps == 30
+    np.testing.assert_allclose(np.asarray(r_resumed.state.u),
+                               np.asarray(r_full.state.u), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(r_resumed.state.fi),
+                               np.asarray(r_full.state.fi), atol=1e-6)
