@@ -44,7 +44,7 @@ def main() -> None:
 
     shape = parse_shape()
     steps = int(os.environ.get("LUW_BENCH_STEPS", "30"))
-    storage = os.environ.get("LUW_BENCH_STORAGE", "f16")
+    storage = os.environ.get("LUW_BENCH_STORAGE", "bf16")
     impl = os.environ.get("LUW_BENCH_IMPL", "auto")
 
     Z, Y, X = shape

@@ -35,6 +35,9 @@ COMMANDS = {
     "luwcutvis": _lazy("latticeurbanwind_tpu.post.cut_vis", "main"),
     "luwspectra": _lazy("latticeurbanwind_tpu.post.les_spectra", "main"),
     "luwseason": _lazy("latticeurbanwind_tpu.post.season_average", "main"),
+    "dgprepare": _lazy("latticeurbanwind_tpu.pre.dgprepare", "main"),
+    "buildingscale": _lazy("latticeurbanwind_tpu.post.buildingscale", "main"),
+    "luwutmnc": _lazy("latticeurbanwind_tpu.post.vtk_avg_to_utm_asl_nc", "main"),
 }
 
 

@@ -19,9 +19,7 @@ from .reference import make_step as make_reference_step
 def _pallas_ok(shape, config: StepConfig) -> bool:
     import os
 
-    # The hosted Mosaic compiler currently hangs on the fused kernel; keep the
-    # pallas tier opt-in (impl="pallas" or LUW_ENABLE_PALLAS=1) until fixed.
-    if not os.environ.get("LUW_ENABLE_PALLAS"):
+    if os.environ.get("LUW_DISABLE_PALLAS"):
         return False
     try:
         if jax.default_backend() != "tpu":

@@ -106,7 +106,11 @@ def merge_state(s: SplitState) -> LBMState:
 
 
 def pallas_supported(shape: Tuple[int, int, int], config: StepConfig) -> bool:
+    import os
+
     Z, Y, X = shape
+    if config.storage == "f16" and not os.environ.get("LUW_PALLAS_INTERPRET"):
+        return False  # Mosaic has no IEEE f16; use bf16/f32 (or the jnp tier)
     return X % 128 == 0 and Y % 32 == 0 and Z >= 4
 
 

@@ -223,6 +223,28 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
                   f"{vk_cfg.nmodes} modes")
     import jax.numpy as jnp
 
+    # probe columns (deck `probes` syntax; needs the geographic mapping)
+    probes = []
+    probes_raw = deck.get_raw("probes")
+    if probes_raw and probes_raw.strip():
+        try:
+            from ..post.transform import TransformModel
+            from .probe_parse import resolve_probes
+
+            model = TransformModel.from_deck(
+                deck, (plan.nx * plan.cell_m, plan.ny * plan.cell_m))
+            lon_pair = deck.get_pair("cut_lon_manual")
+            lat_pair = deck.get_pair("cut_lat_manual")
+            center = (0.5 * sum(lon_pair), 0.5 * sum(lat_pair))
+            probes = resolve_probes(
+                probes_raw, model=model, center_lonlat=center, flags=flags,
+                cell_m=plan.cell_m,
+                si_size_xy=(plan.nx * plan.cell_m, plan.ny * plan.cell_m))
+            if probes and not quiet:
+                print(f"| Probes          | {len(probes)} column(s) resolved")
+        except ValueError as e:
+            print(f"| Probes          | disabled: {e}")
+
     dyn = DynParams(force=jnp.zeros(3),
                     omega_coriolis=jnp.asarray(coriolis_lbmu(deck, plan.cell_m, si_ref_u)))
     case = SolverCase(
@@ -230,7 +252,7 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
         cell_m=plan.cell_m, parent=parent, datetime=datetime_tag,
         vtk_prefix="", nz_out=plan.nz_core if plan.sponge_extended else 0,
         settings=run_settings_from_deck(deck), impl=impl,
-        thermal_output=use_temperature, pre_step=pre_step,
+        thermal_output=use_temperature, pre_step=pre_step, probes=probes,
     )
     if not quiet:
         bc_kind = "patch-2d" if samples.has_patch else ("high-order" if high_order else "nearest")
