@@ -38,6 +38,7 @@ COMMANDS = {
     "dgprepare": _lazy("latticeurbanwind_tpu.pre.dgprepare", "main"),
     "buildingscale": _lazy("latticeurbanwind_tpu.post.buildingscale", "main"),
     "luwutmnc": _lazy("latticeurbanwind_tpu.post.vtk_avg_to_utm_asl_nc", "main"),
+    "luwenv": _lazy("latticeurbanwind_tpu.utils.accelerator", "main"),
 }
 
 

@@ -317,14 +317,28 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             og, ok = _D2G[od]
             opp_plane = dec(opp_refs[g][ok, 0])
             planes.append(opp_plane * src_solid_f + shifted * (1.0 - src_solid_f))
-        f = jnp.stack(planes)                      # (19, Y, X) fp32
+        f = planes                                  # list of 19 (Y, X) fp32
 
-        tab19 = tab19_ref[:]
-        rho_m, u_m = _moments_stacked(f, tab19)
+        # ---- unrolled moments (dot_general relayouts are ~10x slower) ----
+        rho_m = f[0]
+        for d in range(1, 19):
+            rho_m = rho_m + f[d]
+        rho_m = rho_m + 1.0
+        mom = [None, None, None]
+        for d in range(1, 19):
+            for a in range(3):
+                c = int(C19[d, a])
+                if c == 0:
+                    continue
+                t = f[d] if c == 1 else -f[d]
+                mom[a] = t if mom[a] is None else mom[a] + t
+        inv_rho = 1.0 / rho_m
+        u_m = [m * inv_rho for m in mom]
+
         rho_pre = rho_ref[0]
         u_pre = u_ref[:, 0]
         rhon = blend(eqbc_f, rho_pre, rho_m)
-        un = blend(eqbc_f[None], u_pre, u_m)
+        un = [blend(eqbc_f, u_pre[a], u_m[a]) for a in range(3)]
 
         # forces: global + Coriolis
         Fx = fxg - 2.0 * rhon * (oy * un[2] - oz * un[1])
@@ -358,7 +372,7 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             tfix_f = ((flags_c & TYPE_T) != 0).astype(jnp.float32)
             g_refs = (g0_ref, gp_ref, gm_ref)
             g_opp_refs = (g0_ref, gmc_ref, gpc_ref)
-            gplanes = []
+            gpl = []
             for d in range(7):
                 cx, cy, cz = (int(v) for v in C7[d])
                 g_id = 0 if cz == 0 else (1 if cz == 1 else 2)
@@ -370,18 +384,28 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 og_id = 0 if int(C7[od, 2]) == 0 else (1 if int(C7[od, 2]) == 1 else 2)
                 okk = od - (0, 5, 6)[og_id]
                 opp_plane = dec(g_opp_refs[g_id][okk, 0])
-                gplanes.append(opp_plane * src_solid_f + shifted * (1.0 - src_solid_f))
-            g = jnp.stack(gplanes)                     # (7, Y, X)
-            T_m = 1.0 + jnp.sum(g, axis=0)
+                gpl.append(opp_plane * src_solid_f + shifted * (1.0 - src_solid_f))
+            T_m = gpl[0]
+            for d in range(1, 7):
+                T_m = T_m + gpl[d]
+            T_m = T_m + 1.0
             T_pre = T_ref[0]
             Tn = blend(tfix_f, T_pre, T_m)
             if has_forcing:
                 sig_t = ssig * not_e_f * (1.0 - tfix_f)
                 Tn = Tn + sig_t * (Ttop_ref[:] - Tn)
-            geq = _geq_stacked(Tn, un, tab7_ref[:])
-            g_post = blend(tfix_f[None], geq,
-                           (1.0 - config.omega_t) * g + config.omega_t * geq)
-            g_post = g_post * (1.0 - solid_f[None])
+            # unrolled D3Q7 equilibrium + collision, opposite pairs share cu
+            Tm1_q = 0.125 * (Tn - 1.0)
+            geq = [0.25 * (Tn - 1.0)]
+            for d, ax in ((1, 0), (3, 1), (5, 2)):
+                cu_t = 0.5 * Tn * un[ax]
+                geq.append(Tm1_q + cu_t)
+                geq.append(Tm1_q - cu_t)
+            keep_solid = 1.0 - solid_f
+            g_post = []
+            for d in range(7):
+                coll = (1.0 - config.omega_t) * gpl[d] + config.omega_t * geq[d]
+                g_post.append(blend(tfix_f, geq[d], coll) * keep_solid)
             keep_t_f = jnp.maximum(solid_f, tfix_f)
             T_new = blend(keep_t_f, T_pre, Tn)
             bterm = config.beta * (Tn - config.t_avg)
@@ -389,45 +413,97 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             Fy = Fy - fyg * bterm
             Fz = Fz - fzg * bterm
 
-        F = jnp.stack([Fx, Fy, Fz])
-        u_star = jnp.clip(un + F * (0.5 / rhon), -CS, CS)
-        fin = _guo_stacked(u_star, F, tab19)
-        feq = _feq_stacked(rhon, u_star, tab19)
+        # ---- Guo half-step + clamp -------------------------------------
+        half = 0.5 / rhon
+        FF = (Fx, Fy, Fz)
+        u_star = [jnp.clip(un[a] + FF[a] * half, -CS, CS) for a in range(3)]
+        ux, uy, uz = u_star
 
+        # ---- unrolled equilibrium + Guo terms (opposite pairs share cu) ---
+        c3 = -3.0 * (ux * ux + uy * uy + uz * uz)
+        rhom1 = rhon - 1.0
+        uF = -(1.0 / 3.0) * (ux * Fx + uy * Fy + uz * Fz)
+        feq = [None] * 19
+        fin = [None] * 19
+        feq[0] = (1.0 / 3.0) * (rhom1 + rhon * (0.5 * c3))
+        fin[0] = 3.0 * uF
+        for d in range(1, 19, 2):
+            cx, cy, cz = (int(v) for v in C19[d])
+            w = float(W19[d])
+            od = int(OPP19[d])
+            cu = 3.0 * ((cx * ux if cx else 0.0)
+                        + (cy * uy if cy else 0.0)
+                        + (cz * uz if cz else 0.0))
+            base = w * (rhom1 + rhon * (0.5 * (cu * cu + c3)))
+            wcu = w * rhon * cu
+            feq[d] = base + wcu
+            feq[od] = base - wcu
+            cF = ((cx * Fx if cx else 0.0) + (cy * Fy if cy else 0.0)
+                  + (cz * Fz if cz else 0.0))
+            w9 = 9.0 * w
+            cu3 = cu * (1.0 / 3.0)
+            # Fin_d = 9w [cF (cu/3 + 1/3) + uF]; Fin_opp with cF,cu negated
+            fin[d] = w9 * (cF * (cu3 + 1.0 / 3.0) + uF)
+            fin[od] = w9 * (cF * (cu3 - 1.0 / 3.0) + uF)
+
+        # ---- unrolled Smagorinsky LES -----------------------------------
         if config.subgrid:
-            omega_eff = _les_omega_stacked(f, feq, rhon, config.omega, tab19)
+            H = {}
+            for a in range(3):
+                for b in range(a, 3):
+                    acc = None
+                    for d in range(1, 19):
+                        coeff = int(C19[d, a]) * int(C19[d, b])
+                        if coeff == 0:
+                            continue
+                        t = (f[d] - feq[d]) if coeff == 1 else (feq[d] - f[d])
+                        acc = t if acc is None else acc + t
+                    H[(a, b)] = acc
+            Q = (H[(0, 0)] ** 2 + H[(1, 1)] ** 2 + H[(2, 2)] ** 2
+                 + 2.0 * (H[(0, 1)] ** 2 + H[(0, 2)] ** 2 + H[(1, 2)] ** 2))
+            tau0 = 1.0 / config.omega
+            omega_eff = 2.0 / (tau0 + jnp.sqrt(
+                tau0 * tau0 + SMAGORINSKY_FACTOR * jnp.sqrt(Q) / rhon))
         else:
             omega_eff = jnp.full_like(rhon, config.omega)
 
+        keep_fluid = (1.0 - solid_f) * (1.0 - eqbc_f)
+        sel_eq = eqbc_f * (1.0 - solid_f)
+        f_post = [None] * 19
         if config.collision == "srt":
-            fin = fin * (1.0 - 0.5 * omega_eff)
-            f_post = (1.0 - omega_eff) * f + omega_eff * feq + fin
+            cfin = 1.0 - 0.5 * omega_eff
+            one_m_w = 1.0 - omega_eff
+            for d in range(19):
+                coll = one_m_w * f[d] + omega_eff * feq[d] + cfin * fin[d]
+                f_post[d] = coll * keep_fluid + feq[d] * sel_eq
         else:
             wp = omega_eff
             wm = 1.0 / (0.1875 / (1.0 / wp - 0.5) + 0.5)
-            fin_b = fin[np.asarray(OPP19)]
-            fin = (0.5 - 0.25 * wp) * (fin + fin_b) + (0.5 - 0.25 * wm) * (fin - fin_b)
-            fhb = f[np.asarray(OPP19)]
-            feb = feq[np.asarray(OPP19)]
-            f_post = (f + 0.5 * wp * (feq - f + feb - fhb)
-                      + 0.5 * wm * (feq - feb - f + fhb) + fin)
-
-        f_post = blend(eqbc_f[None], feq, f_post)
-        f_post = f_post * (1.0 - solid_f[None])
+            c_taup = 0.5 - 0.25 * wp
+            c_taum = 0.5 - 0.25 * wm
+            for d in range(19):
+                od = int(OPP19[d])
+                fin_t = c_taup * (fin[d] + fin[od]) + c_taum * (fin[d] - fin[od])
+                coll = (f[d] + 0.5 * wp * (feq[d] - f[d] + feq[od] - f[od])
+                        + 0.5 * wm * (feq[d] - feq[od] - f[d] + f[od]) + fin_t)
+                f_post[d] = coll * keep_fluid + feq[d] * sel_eq
 
         keep_f = jnp.maximum(solid_f, eqbc_f)
         rho_new = blend(keep_f, rho_pre, rhon)
-        u_new = blend(keep_f[None], u_pre, u_star)
+        u_new = jnp.stack([blend(keep_f, u_pre[a], u_star[a]) for a in range(3)])
 
-        f0_out[:, 0] = enc(f_post[GROUP0])
-        fp_out[:, 0] = enc(f_post[GROUP_P])
-        fm_out[:, 0] = enc(f_post[GROUP_M])
+        for k in range(9):
+            f0_out[k, 0] = enc(f_post[GROUP0.start + k])
+        for k in range(5):
+            fp_out[k, 0] = enc(f_post[GROUP_P.start + k])
+            fm_out[k, 0] = enc(f_post[GROUP_M.start + k])
         rho_out[0] = rho_new
         u_out[:, 0] = u_new
         if thermal:
-            g0_out[:, 0] = enc(g_post[G7_0])
-            gp_out[:, 0] = enc(g_post[G7_P])
-            gm_out[:, 0] = enc(g_post[G7_M])
+            for k in range(5):
+                g0_out[k, 0] = enc(g_post[k])
+            gp_out[0, 0] = enc(g_post[5])
+            gm_out[0, 0] = enc(g_post[6])
             T_out[0] = T_new
 
     # ---------------- specs ----------------

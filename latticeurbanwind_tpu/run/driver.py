@@ -29,6 +29,7 @@ from ..lbm.state import DynParams, Forcing, LBMState, StepConfig
 from ..lbm.stepper import make_runner
 from ..units import Units
 from .derived import derived_turbulence_fields
+from .info import RunInfo
 from .probes import GridProbe
 from .welford import AvgState, init_avg, variance_u, welford_update
 
@@ -173,8 +174,14 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         return path
 
     # --- timing plan: normal benchmark ------------------------------------
+    info = RunInfo(total_steps=total_steps,
+                   avg_start=avg_start if avg_window else 0,
+                   n_cells=int(np.prod(shape)),
+                   storage=case.config.storage,
+                   thermal=case.config.thermal)
     t = resume_t
     t0 = time.perf_counter()
+    info.start(t)
     next_events = [e for e in event_list if e > t]
     bench_steps = 0 if t else min(16, next_events[0] if next_events else 16,
                                   total_steps)
@@ -182,12 +189,11 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         state = runner(bench_steps)(state, case.dyn, t)
         _sync(state)
         t = bench_steps
-    normal_sps = bench_steps / max(time.perf_counter() - t0, 1e-9)
-    timing = {"normal_steps_per_second": normal_sps}
+        info.update(t)
+    timing = {"normal_steps_per_second": info.steps_per_second()}
     if not quiet and bench_steps > 0:
-        eta_normal = max(0, min(avg_start - 1, total_steps) - t) / max(normal_sps, 1e-9)
-        print(f"| LBM TIMING PLAN | impl={impl_name} normal {normal_sps:.1f} steps/s, "
-              f"normal-phase ETA {eta_normal:.1f} s")
+        print(info.timing_plan(impl_name)
+              + f", ETA {info.eta_seconds(t):.1f} s")
     progress.emit("Solving CFD", f"{t}/{total_steps} steps", t, total_steps)
 
     avg_phase_t0 = None
@@ -201,7 +207,14 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
             state = runner(n)(state, case.dyn, t)
             t += n
             if not quiet and progress.enabled:
-                progress.emit("Solving CFD", f"{t}/{total_steps} steps", t, total_steps)
+                _sync(state)
+                info.update(t)
+                progress.emit(
+                    "Solving CFD",
+                    f"{t}/{total_steps} steps | "
+                    f"{info.steps_per_second():.1f} Steps/s | "
+                    f"ETA {info.eta_seconds(t):.0f} s",
+                    t, total_steps)
         # event actions at step t
         if avg_window and t >= avg_start and (t - avg_start) % avg_stride == 0:
             if avg_phase_t0 is None:
@@ -232,6 +245,7 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         timing["avg_steps_per_second"] = (t - avg_phase_start_t) / max(
             time.perf_counter() - avg_phase_t0, 1e-9)
     timing["solver_seconds"] = solver_seconds
+    timing["mlups"] = info.mlups()
 
     # --- finalize ----------------------------------------------------------
     if last_unsteady_t != t:
