@@ -205,8 +205,14 @@ def _roll2(plane, cy: int, cx: int):
     return _shift1(_shift1(plane, 0, cy), 1, cx)
 
 
-def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int, int]):
-    """Build `step(split_state, dyn) -> split_state` for a fixed grid shape."""
+def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int, int],
+                     halo_mode: bool = False):
+    """Build `step(split_state, dyn) -> split_state` for a fixed grid shape.
+
+    halo_mode=True builds the per-shard variant used under shard_map: the
+    z-neighbor reads come from halo-extended arrays supplied per step
+    (parallel/halo.py) instead of wrapping modularly within the local slab.
+    """
     Z, Y, X = shape
     if not pallas_supported(shape, config):
         raise NotImplementedError(f"pallas tier unsupported for shape {shape}")
@@ -511,15 +517,27 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     v = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     sm = partial(pl.BlockSpec, memory_space=pltpu.SMEM)
 
+    if halo_mode:
+        # z-neighbor inputs are halo-extended arrays: fp_ext[:, i] == fp@z-1,
+        # fm_ext[:, i+1] == fm@z+1, flags_b/a_ext[i] == flags@z-/+1
+        fp_map = lambda i: (0, i, 0, 0)
+        fm_map = lambda i: (0, i + 1, 0, 0)
+        flb_map = lambda i: (i, 0, 0)
+        fla_map = lambda i: (i, 0, 0)
+    else:
+        fp_map = lambda i: (0, (i - 1) % Z, 0, 0)
+        fm_map = lambda i: (0, (i + 1) % Z, 0, 0)
+        flb_map = lambda i: ((i - 1) % Z, 0, 0)
+        fla_map = lambda i: ((i + 1) % Z, 0, 0)
     in_specs = [
         v((9, 1, Y, X), lambda i: (0, i, 0, 0)),
-        v((5, 1, Y, X), lambda i: (0, (i - 1) % Z, 0, 0)),
-        v((5, 1, Y, X), lambda i: (0, (i + 1) % Z, 0, 0)),
+        v((5, 1, Y, X), fp_map),
+        v((5, 1, Y, X), fm_map),
         v((5, 1, Y, X), lambda i: (0, i, 0, 0)),
         v((5, 1, Y, X), lambda i: (0, i, 0, 0)),
         v((1, Y, X), lambda i: (i, 0, 0)),
-        v((1, Y, X), lambda i: ((i - 1) % Z, 0, 0)),
-        v((1, Y, X), lambda i: ((i + 1) % Z, 0, 0)),
+        v((1, Y, X), flb_map),
+        v((1, Y, X), fla_map),
         v((1, Y, X), lambda i: (i, 0, 0)),
         v((3, 1, Y, X), lambda i: (0, i, 0, 0)),
         sm((1, 8), lambda i: (0, 0)),
@@ -538,10 +556,14 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             sm((Z, 1), lambda i: (0, 0)),   # full sponge profile; indexed by program_id
         ]
     if thermal:
+        gp_map = (lambda i: (0, i, 0, 0)) if halo_mode else (
+            lambda i: (0, (i - 1) % Z, 0, 0))
+        gm_map = (lambda i: (0, i + 1, 0, 0)) if halo_mode else (
+            lambda i: (0, (i + 1) % Z, 0, 0))
         in_specs += [
             v((5, 1, Y, X), lambda i: (0, i, 0, 0)),
-            v((1, 1, Y, X), lambda i: (0, (i - 1) % Z, 0, 0)),
-            v((1, 1, Y, X), lambda i: (0, (i + 1) % Z, 0, 0)),
+            v((1, 1, Y, X), gp_map),
+            v((1, 1, Y, X), gm_map),
             v((1, 1, Y, X), lambda i: (0, i, 0, 0)),
             v((1, 1, Y, X), lambda i: (0, i, 0, 0)),
             v((1, Y, X), lambda i: (i, 0, 0)),
@@ -606,13 +628,21 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     _tab19 = jnp.asarray(TAB19)
     _tab7 = jnp.asarray(TAB7)
 
-    def step(s: SplitState, dyn: DynParams) -> SplitState:
+    def step(s: SplitState, dyn: DynParams, *, fp_halo=None, fm_halo=None,
+             flb_halo=None, fla_halo=None, gp_halo=None, gm_halo=None) -> SplitState:
         dyn_arr = jnp.concatenate([
             dyn.force.astype(jnp.float32),
             dyn.omega_coriolis.astype(jnp.float32),
             jnp.zeros(2, jnp.float32),
         ]).reshape(1, 8)
-        args = [s.f0, s.fp, s.fm, s.fp, s.fm, s.flags, s.flags, s.flags,
+        if halo_mode:
+            fp_in = jnp.concatenate([fp_halo, s.fp], axis=1)      # (5, Z+1, Y, X)
+            fm_in = jnp.concatenate([s.fm, fm_halo], axis=1)
+            flb_in = jnp.concatenate([flb_halo, s.flags[:-1]], axis=0)
+            fla_in = jnp.concatenate([s.flags[1:], fla_halo], axis=0)
+        else:
+            fp_in, fm_in, flb_in, fla_in = s.fp, s.fm, s.flags, s.flags
+        args = [s.f0, fp_in, fm_in, s.fp, s.fm, s.flags, flb_in, fla_in,
                 s.rho, s.u, dyn_arr, _tab19, _tab7]
         if has_forcing:
             args += [
@@ -624,7 +654,12 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 sponge_z,
             ]
         if thermal:
-            args += [s.g0, s.gp, s.gm, s.gp, s.gm, s.T, s.T[-1]]
+            if halo_mode:
+                gp_in = jnp.concatenate([gp_halo, s.gp], axis=1)
+                gm_in = jnp.concatenate([s.gm, gm_halo], axis=1)
+            else:
+                gp_in, gm_in = s.gp, s.gm
+            args += [s.g0, gp_in, gm_in, s.gp, s.gm, s.T, s.T[-1]]
         out = call(*args)
         if thermal:
             f0, fp, fm, rho, u, g0, gp, gm, T = out
