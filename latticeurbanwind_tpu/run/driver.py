@@ -52,6 +52,7 @@ class RunSettings:
     chunk: int = 50                    # max steps per compiled scan chunk
     checkpoint_interval: int = 0       # save state every N steps (0 = off)
     resume: bool = True                # resume from an existing checkpoint
+    snapshots: bool = True             # render PNG snapshots at unsteady events
 
 
 @dataclass
@@ -231,6 +232,14 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         if unsteady and t % unsteady == 0 and t > 0 and t != last_unsteady_t:
             write_raw("u", np.asarray(state.u) * u_factor, t)
             last_unsteady_t = t
+            if s.snapshots:
+                from .snapshots import write_snapshot
+
+                snap = case.parent / "proj_temp" / "snapshots" / (
+                    f"{case.vtk_prefix}{case.datetime}_{t:09d}.png")
+                files.append(write_snapshot(
+                    state, snap, u_factor=u_factor, nz_out=case.nz_out,
+                    title=f"{case.vtk_prefix}{case.datetime} step {t}"))
         if (ckpt_path is not None and s.checkpoint_interval > 0
                 and t % s.checkpoint_interval == 0 and t > resume_t):
             from .checkpoint import save_checkpoint

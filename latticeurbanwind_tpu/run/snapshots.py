@@ -1,0 +1,118 @@
+"""Offscreen solver snapshots — the framework's analog of the reference's
+OpenCL graphics pipeline (reference: graphics.cpp + kernel.cpp:2574-3200,
+invoked from run_lbm at setup.cpp:4843-4861 to write PNG frames).
+
+Rather than a rasterizer/raytracer, snapshots are rendered from the live
+device fields with matplotlib (Agg): velocity-magnitude slices with building
+silhouettes, and the Q-criterion field (computed with the same
+central-difference stencil as the reference's calculate_Q, kernel.cpp:933)
+shown as a top-down maximum-intensity projection.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional
+
+import numpy as np
+
+from ..lbm.state import LBMState, TYPE_S
+
+
+def q_criterion(u: np.ndarray) -> np.ndarray:
+    """Q = (||Omega||^2 - ||S||^2)/2 from central differences (lattice units).
+
+    Matches the reference's cached formulation (kernel.cpp:933-955) including
+    the extra 1/2 factor from the 2-cell-wide central difference.
+    """
+    def d(comp, axis):
+        return 0.5 * (np.roll(comp, -1, axis) - np.roll(comp, 1, axis))
+
+    # axes: u[c][z, y, x]; derivatives along x=2, y=1, z=0
+    dudx, dudy, dudz = d(u[0], 2), d(u[0], 1), d(u[0], 0)
+    dvdx, dvdy, dvdz = d(u[1], 2), d(u[1], 1), d(u[1], 0)
+    dwdx, dwdy, dwdz = d(u[2], 2), d(u[2], 1), d(u[2], 0)
+    omega2 = (dudy - dvdx) ** 2 + (dudz - dwdx) ** 2 + (dvdz - dwdy) ** 2
+    s2 = (2.0 * (dudx ** 2 + dvdy ** 2 + dwdz ** 2)
+          + (dudy + dvdx) ** 2 + (dudz + dwdx) ** 2 + (dvdz + dwdy) ** 2)
+    return 0.25 * (omega2 - s2)
+
+
+def write_snapshot(state: LBMState, out_path: Path, *, u_factor: float = 1.0,
+                   nz_out: int = 0, title: str = "") -> Path:
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    u = np.asarray(state.u) * u_factor
+    flags = np.asarray(state.flags)
+    if nz_out:
+        u = u[:, :nz_out]
+        flags = flags[:nz_out]
+    Z, Y, X = flags.shape
+    solid = (flags & TYPE_S) != 0
+    speed = np.sqrt((u ** 2).sum(axis=0))
+
+    fig, axes = plt.subplots(1, 3, figsize=(18, 5.5))
+    k = max(1, min(Z - 1, 2))
+    pm0 = axes[0].pcolormesh(speed[k], shading="auto", cmap="viridis")
+    axes[0].contourf(solid[k], levels=[0.5, 1.5], colors="k")
+    axes[0].set_title(f"|u| @ z={k}")
+    fig.colorbar(pm0, ax=axes[0], label="m/s")
+
+    jmid = Y // 2
+    pm1 = axes[1].pcolormesh(speed[:, jmid, :], shading="auto", cmap="viridis")
+    axes[1].contourf(solid[:, jmid, :], levels=[0.5, 1.5], colors="k")
+    axes[1].set_title(f"|u| vertical slice @ y={jmid}")
+    fig.colorbar(pm1, ax=axes[1], label="m/s")
+
+    q = q_criterion(np.asarray(state.u))
+    q[:, :, :][np.broadcast_to(solid, q.shape)] = 0.0
+    q_proj = q[: nz_out or Z].max(axis=0)
+    vmax = max(np.percentile(q_proj, 99.5), 1e-12)
+    pm2 = axes[2].pcolormesh(np.clip(q_proj, 0, vmax), shading="auto",
+                             cmap="inferno")
+    axes[2].set_title("Q-criterion (top-down max projection)")
+    fig.colorbar(pm2, ax=axes[2], label="Q (lattice)")
+
+    if title:
+        fig.suptitle(title)
+    out_path.parent.mkdir(parents=True, exist_ok=True)
+    fig.savefig(out_path, dpi=100, bbox_inches="tight")
+    plt.close(fig)
+    return out_path
+
+
+def solid_boundary_force(state: LBMState) -> np.ndarray:
+    """Momentum-exchange force on solid cells, (3,) total in lattice units.
+
+    TPU analog of the reference's FORCE_FIELD extension
+    (update_force_field, kernel.cpp:2031-2130): for every fluid-solid link,
+    the halfway-bounce-back momentum transfer is 2 c_i (f_i + f_opp(i))
+    summed over links.  Computed from the stored DDFs with shifted masks.
+    """
+    import jax.numpy as jnp
+
+    from ..lbm.lattice import C19, OPP19
+    from ..lbm.state import decode_ddf
+
+    from ..lbm.lattice import W19
+
+    solid = (np.asarray(state.flags) & TYPE_S) != 0
+    raw = np.asarray(state.fi)
+    f = raw.astype(np.float32)
+    if raw.dtype == np.float16:           # FP16S-style range shift
+        f = f * (1.0 / 32768.0)
+    total = np.zeros(3)
+    for d in range(1, 19):
+        cx, cy, cz = (int(v) for v in C19[d])
+        # fluid cell at x with solid neighbor at x + c_d: the post-collision
+        # population f_d heads into the wall and bounces, depositing 2 c_d f_d
+        nbr_solid = np.roll(solid, shift=(-cz, -cy, -cx), axis=(0, 1, 2))
+        link = (~solid) & nbr_solid
+        if not link.any():
+            continue
+        mom = (f[d][link] + float(W19[d])).sum()   # undo the DDF shift
+        total += np.array([cx, cy, cz]) * 2.0 * mom
+    return total
