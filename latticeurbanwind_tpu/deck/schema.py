@@ -193,6 +193,9 @@ FIELDS: Tuple[FieldSpec, ...] = (
     FieldSpec("downstream_open_face", "boolean", "cfd", "Downstream open",
               "Treat the downstream face as an open outlet."),
     FieldSpec("run_nstep", "integer", "cfd", "Run steps override", "Override solver run length in steps."),
+    FieldSpec("lbm_storage", "enum", "cfd", "DDF storage codec",
+              "DDF precision: bf16 (TPU-native, default), f16 (FP16S analog), f32.",
+              ("bf16", "f16", "f32")),
     FieldSpec("research_output", "integer", "cfd", "Research output stride", "Research snapshot cadence."),
     # Output & Probes
     FieldSpec("unsteady_output", "integer", "output", "Unsteady output stride", "Write unsteady VTK every N steps."),

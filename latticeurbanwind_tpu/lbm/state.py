@@ -109,6 +109,10 @@ class StepConfig:
         assert self.storage in _STORAGE_DTYPES
 
 
+def _np_storage_dtype(storage: str):
+    return {"f32": np.float32, "f16": np.float16, "bf16": None}[storage]
+
+
 def make_initial_state(
     shape,  # (Z, Y, X)
     *,
@@ -119,17 +123,59 @@ def make_initial_state(
     T: Optional[np.ndarray] = None,
 ) -> LBMState:
     """Initialize DDFs at equilibrium from (rho, u[, T]) — the analog of the
-    reference initialize kernel (kernel.cpp:1370)."""
-    from .reference import equilibrium_f, equilibrium_g  # local import to avoid cycle
+    reference initialize kernel (kernel.cpp:1370).
+
+    Equilibria are built direction-by-direction on the host so the transient
+    footprint stays one fp32 plane-set instead of a full 19-channel fp32
+    lattice (matters for 10^8-cell grids).
+    """
+    from .lattice import C19, C7, W19, W7
 
     Z, Y, X = shape
-    rho_a = jnp.asarray(rho if rho is not None else np.ones(shape), dtype=jnp.float32)
-    u_a = jnp.asarray(u if u is not None else np.zeros((3, *shape)), dtype=jnp.float32)
-    flags_a = jnp.asarray(flags if flags is not None else np.zeros(shape), dtype=jnp.uint8)
-    fi = encode_ddf(equilibrium_f(rho_a, u_a), config.storage)
+    rho_h = np.asarray(rho if rho is not None else np.ones(shape), dtype=np.float32)
+    u_h = np.asarray(u if u is not None else np.zeros((3, *shape)), dtype=np.float32)
+    flags_h = np.asarray(flags if flags is not None else np.zeros(shape), dtype=np.uint8)
+
+    import ml_dtypes
+
+    np_dt = _np_storage_dtype(config.storage) or ml_dtypes.bfloat16
+    scale = FP16_SCALE if config.storage == "f16" else 1.0
+
+    rhom1 = rho_h - 1.0
+    c3 = -3.0 * (u_h[0] ** 2 + u_h[1] ** 2 + u_h[2] ** 2)
+    fi_h = np.empty((19, Z, Y, X), dtype=np_dt)
+    for d in range(19):
+        cx, cy, cz = (int(v) for v in C19[d])
+        w = float(W19[d])
+        if cx == 0 and cy == 0 and cz == 0:
+            feq = w * (rhom1 + rho_h * (0.5 * c3))
+        else:
+            cu = 3.0 * (cx * u_h[0] + cy * u_h[1] + cz * u_h[2])
+            feq = w * (rhom1 + rho_h * (0.5 * (cu * cu + c3) + cu))
+        fi_h[d] = (feq * scale).astype(np_dt)
+
     gi = None
     T_a = None
     if config.thermal:
-        T_a = jnp.asarray(T if T is not None else np.ones(shape), dtype=jnp.float32)
-        gi = encode_ddf(equilibrium_g(T_a, u_a), config.storage)
-    return LBMState(fi=fi, rho=rho_a, u=u_a, flags=flags_a, gi=gi, T=T_a)
+        T_h = np.asarray(T if T is not None else np.ones(shape), dtype=np.float32)
+        gi_h = np.empty((7, Z, Y, X), dtype=np_dt)
+        for d in range(7):
+            cx, cy, cz = (int(v) for v in C7[d])
+            w = float(W7[d])
+            if d == 0:
+                geq = w * (T_h - 1.0)
+            else:
+                cu = cx * u_h[0] + cy * u_h[1] + cz * u_h[2]
+                geq = w * (T_h - 1.0) + 4.0 * w * T_h * cu
+            gi_h[d] = (geq * scale).astype(np_dt)
+        gi = jnp.asarray(gi_h)
+        T_a = jnp.asarray(T_h)
+
+    return LBMState(
+        fi=jnp.asarray(fi_h),
+        rho=jnp.asarray(rho_h),
+        u=jnp.asarray(u_h),
+        flags=jnp.asarray(flags_h),
+        gi=gi,
+        T=T_a,
+    )

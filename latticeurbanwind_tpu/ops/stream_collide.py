@@ -111,7 +111,11 @@ def pallas_supported(shape: Tuple[int, int, int], config: StepConfig) -> bool:
     Z, Y, X = shape
     if config.storage == "f16" and not os.environ.get("LUW_PALLAS_INTERPRET"):
         return False  # Mosaic has no IEEE f16; use bf16/f32 (or the jnp tier)
-    return X % 128 == 0 and Y % 32 == 0 and Z >= 4
+    # Full-plane blocks (C, 1, Y, X) legalize for ANY Y, X: Mosaic allows
+    # unaligned block dims when they equal the whole array dims (verified on
+    # v5e at 45x44 and 333x250, diff vs jnp tier ~7e-8).  The plane working
+    # set must still fit VMEM (~60 fp32 plane temporaries @ 128 MiB limit).
+    return Z >= 3 and Y >= 8 and X >= 8 and Y * X <= 262144
 
 
 # ---------------------------------------------------------------------------
@@ -629,7 +633,11 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     _tab7 = jnp.asarray(TAB7)
 
     def step(s: SplitState, dyn: DynParams, *, fp_halo=None, fm_halo=None,
-             flb_halo=None, fla_halo=None, gp_halo=None, gm_halo=None) -> SplitState:
+             flb_halo=None, fla_halo=None, gp_halo=None, gm_halo=None,
+             forcing_loc=None) -> SplitState:
+        """`forcing_loc` (sharded path): dict overriding the closure forcing
+        with per-shard slices — keys nudge_sigma (zs,Y,X), nudge_face,
+        sponge_z (zs,1), top_u (3,Y,X) global-top plane, top_T (Y,X)."""
         dyn_arr = jnp.concatenate([
             dyn.force.astype(jnp.float32),
             dyn.omega_coriolis.astype(jnp.float32),
@@ -645,13 +653,15 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         args = [s.f0, fp_in, fm_in, s.fp, s.fm, s.flags, flb_in, fla_in,
                 s.rho, s.u, dyn_arr, _tab19, _tab7]
         if has_forcing:
+            fl = forcing_loc or {}
             args += [
-                nudge_sigma, nudge_face,
+                fl.get("nudge_sigma", nudge_sigma),
+                fl.get("nudge_face", nudge_face),
                 # face targets in z-leading layout (Z,3,Y)/(Z,3,X) for tiling
                 s.u[:, :, :, 0].swapaxes(0, 1), s.u[:, :, :, -1].swapaxes(0, 1),
                 s.u[:, :, 0, :].swapaxes(0, 1), s.u[:, :, -1, :].swapaxes(0, 1),
-                s.u[:, -1, :, :],                     # top (3,Y,X)
-                sponge_z,
+                fl.get("top_u", s.u[:, -1, :, :]),    # top (3,Y,X)
+                fl.get("sponge_z", sponge_z),
             ]
         if thermal:
             if halo_mode:

@@ -103,6 +103,21 @@ def sponge_spec_from_deck(deck: DeckDocument, *, cell_m: float, si_ref_u: float,
     return SpongeSpec(n_cells=ns, inv_tau=dt_si / tau, ref_mode=0)
 
 
+def storage_from_deck(deck: DeckDocument) -> str:
+    """DDF storage codec for solver runs.
+
+    The reference always stores DDFs as FP16S halves (defines.hpp:30,
+    lbm.cpp:707).  On TPU the Mosaic kernel path has no IEEE f16, so the
+    default here is bf16 — same 2-byte footprint and HBM traffic, runs on
+    the Pallas performance tier.  Decks can pin `lbm_storage = f16` (exact
+    FP16S analog, jnp tier) or `f32` (exact arithmetic, double footprint).
+    """
+    raw = (deck.get_text("lbm_storage", "bf16") or "bf16").strip().lower()
+    if raw not in ("bf16", "f16", "f32"):
+        raise ValueError(f"lbm_storage must be bf16|f16|f32, got {raw!r}")
+    return raw
+
+
 def run_settings_from_deck(deck: DeckDocument):
     from .driver import RunSettings
 

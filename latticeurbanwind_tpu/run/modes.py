@@ -30,6 +30,7 @@ from ..lbm import (
 from .case import (
     DEFAULT_BASE_HEIGHT, LBM_REF_U, SI_NU_AIR,
     anchor_units, coriolis_lbmu, nudge_spec_from_deck, run_settings_from_deck,
+    storage_from_deck,
     si_size_from_deck, sponge_spec_from_deck,
 )
 from ..bc.flux import apply_flux_correction
@@ -157,6 +158,7 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
         raise ValueError("profile.dat has non-positive max U")
 
     # grid sizing
+    storage = storage_from_deck(deck)
     mesh_control = (deck.get_text("mesh_control", "gpu_memory") or "gpu_memory").lower()
     cell_size = deck.get_float("cell_size")
     memory_mb = deck.get_int("gpu_memory", 20000)
@@ -168,7 +170,7 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
         si_size,
         cell_m=cell_size if mesh_control == "cell_size" and cell_size else None,
         memory_mb=memory_mb, n_devices=n_devices,
-        storage="f16", thermal=False,
+        storage=storage, thermal=False,
         sponge_thickness_m=deck.get_float("sponge_thickness_m", 200.0) or 0.0,
         sponge_enabled=sponge_on,
     )
@@ -191,7 +193,7 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
     config = StepConfig(
         omega=omega_from_nu(units.nu(SI_NU_AIR)),
         collision="srt", subgrid=True, thermal=False,
-        storage="f16",
+        storage=storage,
     )
     settings = run_settings_from_deck(deck)
     flux_on = deck.get_bool("flux_correction", False)
@@ -285,6 +287,7 @@ def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
     si_size = si_size_from_deck(deck)
     si_ref_u = max(inflows)
 
+    storage = storage_from_deck(deck)
     mesh_control = (deck.get_text("mesh_control", "gpu_memory") or "gpu_memory").lower()
     cell_size = deck.get_float("cell_size")
     memory_mb = deck.get_int("gpu_memory", 20000)
@@ -293,7 +296,7 @@ def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
         si_size,
         cell_m=cell_size if mesh_control == "cell_size" and cell_size else None,
         memory_mb=memory_mb, n_devices=int(np.prod(ngpu)),
-        storage="f16", thermal=False,
+        storage=storage, thermal=False,
         sponge_thickness_m=0.0, sponge_enabled=False,
     )
     units = anchor_units(plan.cell_m, si_ref_u)
@@ -303,7 +306,7 @@ def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
     solid = _voxelize_case(mesh, plan, progress)
 
     config = StepConfig(omega=omega_from_nu(units.nu(SI_NU_AIR)),
-                        collision="srt", subgrid=True, storage="f16")
+                        collision="srt", subgrid=True, storage=storage)
     settings = run_settings_from_deck(deck)
     omega_cor = coriolis_lbmu(deck, plan.cell_m, si_ref_u)
     shape = (plan.nz, plan.ny, plan.nx)

@@ -68,7 +68,8 @@ def write_snapshot(state: LBMState, out_path: Path, *, u_factor: float = 1.0,
     fig.colorbar(pm1, ax=axes[1], label="m/s")
 
     q = q_criterion(np.asarray(state.u))
-    q[:, :, :][np.broadcast_to(solid, q.shape)] = 0.0
+    solid_full = (np.asarray(state.flags) & TYPE_S) != 0
+    q[solid_full] = 0.0
     q_proj = q[: nz_out or Z].max(axis=0)
     vmax = max(np.percentile(q_proj, 99.5), 1e-12)
     pm2 = axes[2].pcolormesh(np.clip(q_proj, 0, vmax), shading="auto",

@@ -43,6 +43,7 @@ from .case import (
     DEFAULT_BASE_HEIGHT, LBM_REF_U, SI_ALPHA_AIR, SI_NU_AIR,
     TEMPERATURE_MAX_K, TEMPERATURE_MIN_K, TEMPERATURE_REF_K,
     anchor_units, coriolis_lbmu, nudge_spec_from_deck, run_settings_from_deck,
+    storage_from_deck,
     si_size_from_deck, sponge_spec_from_deck,
 )
 from .driver import RunResult, SolverCase, run_case
@@ -106,11 +107,12 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
     mesh_control = (deck.get_text("mesh_control", "gpu_memory") or "gpu_memory").lower()
     cell_size = deck.get_float("cell_size")
     ngpu = deck.get_int_list("n_gpu") or [1, 1, 1]
+    storage = storage_from_deck(deck)
     plan = plan_grid(
         si_size,
         cell_m=cell_size if mesh_control == "cell_size" and cell_size else None,
         memory_mb=deck.get_int("gpu_memory", 20000),
-        n_devices=int(np.prod(ngpu)), storage="f16", thermal=use_temperature,
+        n_devices=int(np.prod(ngpu)), storage=storage, thermal=use_temperature,
         sponge_thickness_m=deck.get_float("sponge_thickness_m", 200.0) or 0.0,
         sponge_enabled=sponge_on,
     )
@@ -202,7 +204,7 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
         omega_t=omega_t_from_alpha(units.alpha(SI_ALPHA_AIR)) if use_temperature else 1.0,
         beta=units.beta(1.0 / temp_ref) if use_temperature else 0.0,
         t_avg=1.0,
-        storage="f16",
+        storage=storage,
     )
     nudge = nudge_spec_from_deck(deck, cell_m=plan.cell_m, si_ref_u=si_ref_u,
                                  grid=shape, downstream_bc=downstream_bc)

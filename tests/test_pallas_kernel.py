@@ -46,7 +46,8 @@ def _mk_case(thermal, shape=(8, 32, 128)):
 
 
 @pytest.mark.parametrize("thermal", [False, True])
-def test_pallas_matches_reference(thermal):
+@pytest.mark.parametrize("shape", [(8, 32, 128), (7, 21, 45)])
+def test_pallas_matches_reference(thermal, shape):
     import jax
 
     from latticeurbanwind_tpu.lbm.reference import make_step as ref_step_f
@@ -54,7 +55,7 @@ def test_pallas_matches_reference(thermal):
         make_pallas_step, merge_state, split_state,
     )
 
-    cfg, state, forcing, dyn = _mk_case(thermal)
+    cfg, state, forcing, dyn = _mk_case(thermal, shape=shape)
     ref_step = jax.jit(ref_step_f(cfg, forcing))
     pstep = make_pallas_step(cfg, forcing, state.rho.shape)
     pal = jax.jit(lambda st, d: merge_state(pstep(split_state(st), d)))
@@ -84,6 +85,9 @@ def test_pallas_support_gate():
 
     cfg = StepConfig(omega=1.0)
     assert pallas_supported((8, 32, 128), cfg)
-    assert not pallas_supported((8, 32, 100), cfg)   # X not lane-aligned
-    assert not pallas_supported((8, 30, 128), cfg)   # Y not sublane-aligned
-    assert not pallas_supported((2, 32, 128), cfg)   # too few planes
+    # unaligned planes legalize as full-dim blocks (verified on v5e)
+    assert pallas_supported((10, 44, 45), cfg)
+    assert pallas_supported((31, 250, 333), cfg)
+    assert not pallas_supported((2, 32, 128), cfg)     # too few planes
+    assert not pallas_supported((8, 4, 128), cfg)      # degenerate plane
+    assert not pallas_supported((8, 1024, 1024), cfg)  # plane exceeds VMEM

@@ -61,3 +61,7 @@ def test_write_snapshot(tmp_path):
     out = write_snapshot(state, tmp_path / "snap.png", u_factor=10.0,
                          title="test")
     assert out.exists() and out.stat().st_size > 10000
+    # nz_out crop (sponge-extended grids): cropped flags vs full-depth Q field
+    out2 = write_snapshot(state, tmp_path / "snap2.png", u_factor=10.0,
+                          nz_out=8)
+    assert out2.exists() and out2.stat().st_size > 10000
