@@ -669,7 +669,8 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 gm_in = jnp.concatenate([s.gm, gm_halo], axis=1)
             else:
                 gp_in, gm_in = s.gp, s.gm
-            args += [s.g0, gp_in, gm_in, s.gp, s.gm, s.T, s.T[-1]]
+            args += [s.g0, gp_in, gm_in, s.gp, s.gm, s.T,
+                     (forcing_loc or {}).get("top_T", s.T[-1])]
         out = call(*args)
         if thermal:
             f0, fp, fm, rho, u, g0, gp, gm, T = out

@@ -54,10 +54,31 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
         raise ValueError(f"Z={Z} not divisible by z shards {nz_shards}")
     zs = Z // nz_shards
     local_shape = (zs, Y, X)
-    step_local = make_pallas_step(config, _slice_forcing(forcing, zs),
-                                  local_shape, halo_mode=True)
+    has_nudge = forcing.nudge_sigma is not None
+    has_sponge = forcing.sponge_sigma_z is not None
+    has_forcing = has_nudge or has_sponge
+    thermal = config.thermal
+    # The kernel closure only keys presence off the Forcing arg; actual values
+    # are fed per shard through `forcing_loc`.  Hand it local-shape zeros.
+    placeholder = Forcing(
+        nudge_sigma=jnp.zeros(local_shape, jnp.float32) if has_nudge else None,
+        nudge_face=jnp.zeros(local_shape, jnp.int8) if has_nudge else None,
+        nudge_vertical=forcing.nudge_vertical,
+        sponge_sigma_z=(jnp.zeros(zs, jnp.float32) if has_sponge else None),
+    )
+    step_local = make_pallas_step(config, placeholder, local_shape,
+                                  halo_mode=True)
 
-    def sharded_step(s: SplitState, dyn: DynParams) -> SplitState:
+    # global forcing arrays, passed through shard_map with z-sharded specs
+    nsig_g = (jnp.asarray(forcing.nudge_sigma, jnp.float32) if has_nudge
+              else jnp.zeros((Z, 1, 1), jnp.float32))
+    nface_g = (jnp.asarray(forcing.nudge_face).astype(jnp.uint8) if has_nudge
+               else jnp.zeros((Z, 1, 1), jnp.uint8))
+    spz_g = (jnp.asarray(forcing.sponge_sigma_z, jnp.float32).reshape(Z, 1)
+             if has_sponge else jnp.zeros((Z, 1), jnp.float32))
+
+    def sharded_step(s: SplitState, dyn: DynParams,
+                     nsig, nface, spz) -> SplitState:
         # halo planes: fp needs z-1 (from shard below), fm needs z+1 (above)
         fp_halo = _shift_up(s.fp[:, -1:], "z")       # (5, 1, Y, X)
         fm_halo = _shift_down(s.fm[:, :1], "z")
@@ -68,16 +89,29 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
         if s.gp is not None:
             halos["gp_halo"] = _shift_up(s.gp[:, -1:], "z")
             halos["gm_halo"] = _shift_down(s.gm[:, :1], "z")
+        if has_forcing:
+            # nudge/sponge reference targets live on the GLOBAL top plane;
+            # gather local tops along z and take the topmost shard's
+            fl = dict(sponge_z=spz)
+            if has_nudge:
+                fl["nudge_sigma"] = jnp.broadcast_to(nsig, local_shape)
+                fl["nudge_face"] = jnp.broadcast_to(nface, local_shape)
+            tops = jax.lax.all_gather(s.u[:, -1, :, :], "z")  # (nz, 3, Y, X)
+            fl["top_u"] = tops[-1]
+            if thermal and has_sponge:
+                fl["top_T"] = jax.lax.all_gather(s.T[-1], "z")[-1]
+            halos["forcing_loc"] = fl
         return step_local(s, dyn, **halos)
 
-    def body(state: LBMState, dyn: DynParams, t0) -> LBMState:
+    def body(state: LBMState, dyn: DynParams, t0,
+             nsig, nface, spz) -> LBMState:
         s = split_state(state)
 
         def inner(carry, _):
             st, t = carry
             if pre_step is not None:
                 st = pre_step(st, t)
-            return (sharded_step(st, dyn), t + 1), None
+            return (sharded_step(st, dyn, nsig, nface, spz), t + 1), None
 
         (out, _), _ = jax.lax.scan(inner, (s, jnp.asarray(t0, jnp.int32)),
                                    None, length=n_inner)
@@ -85,7 +119,6 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
 
     spec_v = P(None, "z", None, None)
     spec_s = P("z", None, None)
-    thermal = config.thermal
     from jax.experimental.shard_map import shard_map
 
     in_state_specs = LBMState(
@@ -93,25 +126,13 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
         gi=spec_v if thermal else None, T=spec_s if thermal else None)
     smapped = shard_map(
         body, mesh=mesh,
-        in_specs=(in_state_specs, P(), P()),
+        in_specs=(in_state_specs, P(), P(), spec_s, spec_s, P("z", None)),
         out_specs=in_state_specs,
         check_rep=False,
     )
-    return jax.jit(smapped, donate_argnums=(0,))
+    jitted = jax.jit(smapped, donate_argnums=(0,))
 
+    def run(state: LBMState, dyn: DynParams, t0) -> LBMState:
+        return jitted(state, dyn, t0, nsig_g, nface_g, spz_g)
 
-def _slice_forcing(forcing: Forcing, zs: int) -> Forcing:
-    """Per-shard forcing fields (z-sharded nudge arrays, local sponge profile).
-
-    shard_map passes array arguments sharded automatically; the precomputed
-    forcing fields live inside the kernel closure, so for the sharded path we
-    simply keep them as-is when absent.  Nudge/sponge with z-sharding needs
-    per-shard slices — not wired yet; the sharded pallas runner currently
-    supports forcing-free configs (bench/datagen) and falls back to the GSPMD
-    reference tier otherwise (stepper handles the dispatch).
-    """
-    if forcing.nudge_sigma is not None or forcing.sponge_sigma_z is not None:
-        raise NotImplementedError(
-            "sharded pallas with nudge/sponge forcing not yet supported; "
-            "use the GSPMD reference tier")
-    return forcing
+    return run

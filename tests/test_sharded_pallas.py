@@ -59,15 +59,48 @@ def test_sharded_pallas_matches_single():
                                atol=1e-6)
 
 
-def test_sharded_pallas_rejects_forcing():
-    import pytest as _pytest
+def test_sharded_pallas_with_forcing_matches_single():
+    """Nudge + sponge forcing under z-sharding: per-shard sigma/face slices
+    and the all-gathered global-top reference plane must reproduce the
+    single-device pallas step."""
+    import jax
+    import jax.numpy as jnp
 
-    from latticeurbanwind_tpu.lbm import NudgeSpec, StepConfig, build_forcing, omega_from_nu
-    from latticeurbanwind_tpu.parallel import domain_mesh
+    from latticeurbanwind_tpu.lbm import (
+        DynParams, NudgeSpec, SpongeSpec, StepConfig, TYPE_E, TYPE_S,
+        build_forcing, make_initial_state, omega_from_nu,
+    )
+    from latticeurbanwind_tpu.ops.stream_collide import (
+        make_pallas_step, merge_state, split_state,
+    )
+    from latticeurbanwind_tpu.parallel import domain_mesh, shard_state
     from latticeurbanwind_tpu.parallel.halo import make_sharded_pallas_runner
 
-    cfg = StepConfig(omega=omega_from_nu(0.03), storage="f32")
-    forcing = build_forcing((8, 32, 128), nudge=NudgeSpec(2, 0.01))
+    shape = (8, 32, 128)
+    rng = np.random.default_rng(1)
+    cfg = StepConfig(omega=omega_from_nu(0.03), subgrid=True, storage="f32")
+    u = 0.02 * rng.standard_normal((3, *shape)).astype(np.float32)
+    flags = np.zeros(shape, np.uint8)
+    flags[0] = TYPE_S
+    flags[-1] = TYPE_E
+    state = make_initial_state(shape, config=cfg, u=u, flags=flags)
+    forcing = build_forcing(shape,
+                            nudge=NudgeSpec(n_cells=3, inv_tau=0.02,
+                                            downstream_face=1),
+                            sponge=SpongeSpec(n_cells=3, inv_tau=0.05))
+    dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3))
+
+    pstep = make_pallas_step(cfg, forcing, shape)
+    step1 = jax.jit(lambda st, d: merge_state(pstep(split_state(st), d)))
+    single = state
+    for _ in range(4):
+        single = step1(single, dyn)
+
     mesh = domain_mesh((1, 1, 2))
-    with _pytest.raises(NotImplementedError):
-        make_sharded_pallas_runner(cfg, forcing, (8, 32, 128), mesh)
+    run = make_sharded_pallas_runner(cfg, forcing, shape, mesh, n_inner=4)
+    sharded = run(shard_state(state, mesh), dyn, 0)
+
+    np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded.u), np.asarray(single.u),
+                               atol=1e-6)
