@@ -37,13 +37,26 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
     """Jitted `run(state, dyn, t0) -> state` advancing n_inner steps from
     global step index t0 (t0 feeds per-step hooks like the VK inlet).
 
-    Returns (runner, impl_name).  impl: "auto" | "reference" | "pallas".
-    `pre_step(state, t) -> state` runs before each step inside the scan.
+    Returns (runner, impl_name).  impl: "auto" | "reference" | "pallas" |
+    "pallas-permuted".  `pre_step(state, t) -> state` runs before each step
+    inside the scan.
+
+    Dispatch order for "auto" on TPU: canonical pallas; else the z<->y
+    axis-permuted pallas tier (wide-flat urban grids whose (Y, X) plane
+    exceeds VMEM but whose (Z, X) plane fits — ops/permute.py); else the jnp
+    reference tier.  Permuted state stays permuted across the whole scan
+    chunk, so the transpose cost is amortized over n_inner steps.
     """
     import jax.numpy as jnp
 
     use_pallas = impl == "pallas" or (
         impl == "auto" and shape is not None and _pallas_ok(shape, config))
+    use_permuted = False
+    if not use_pallas and shape is not None and pre_step is None:
+        from ..ops.permute import permute_shape
+
+        use_permuted = impl == "pallas-permuted" or (
+            impl == "auto" and _pallas_ok(permute_shape(shape), config))
 
     if use_pallas:
         from ..ops.stream_collide import make_pallas_step, merge_state, split_state
@@ -64,6 +77,28 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
             return merge_state(out)
 
         impl_name = "pallas"
+    elif use_permuted:
+        from ..ops.permute import (
+            make_permuted_pallas_step, permute_dyn, permute_state,
+            unpermute_state,
+        )
+        from ..ops.stream_collide import merge_state, split_state
+
+        step = make_permuted_pallas_step(config, forcing, shape)
+
+        def body(state: LBMState, dyn: DynParams, t0) -> LBMState:
+            s = split_state(permute_state(state))
+            dyn_p = permute_dyn(dyn)
+
+            def inner(carry, _):
+                st, t = carry
+                return (step(st, dyn_p), t + 1), None
+
+            (out, _), _ = jax.lax.scan(inner, (s, jnp.asarray(t0, jnp.int32)),
+                                       None, length=n_inner)
+            return unpermute_state(merge_state(out))
+
+        impl_name = "pallas-permuted"
     else:
         step = make_reference_step(config, forcing)
 

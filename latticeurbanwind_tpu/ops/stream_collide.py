@@ -210,16 +210,26 @@ def _roll2(plane, cy: int, cx: int):
 
 
 def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int, int],
-                     halo_mode: bool = False):
+                     halo_mode: bool = False, *, vertical_comp: int = 2,
+                     sponge_axis: str = "z"):
     """Build `step(split_state, dyn) -> split_state` for a fixed grid shape.
 
     halo_mode=True builds the per-shard variant used under shard_map: the
     z-neighbor reads come from halo-extended arrays supplied per step
     (parallel/halo.py) instead of wrapping modularly within the local slab.
+
+    `vertical_comp`/`sponge_axis` support the axis-permuted orientation
+    (ops/permute.py): under the z<->y transposition the physically-vertical
+    velocity component is index 1 and the top-sponge profile runs along the
+    sublane (y) axis with the permuted north face as its reference plane.
     """
     Z, Y, X = shape
     if not pallas_supported(shape, config):
         raise NotImplementedError(f"pallas tier unsupported for shape {shape}")
+    assert sponge_axis in ("z", "y")
+    if halo_mode:
+        # the sharded runner always operates in canonical orientation
+        assert sponge_axis == "z" and vertical_comp == 2
 
     storage = config.storage
     thermal = config.thermal
@@ -267,7 +277,8 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             us_ref = next(it)     # (1,3,X)
             un_ref = next(it)
             utop_ref = next(it)   # (3,Y,X)
-            ssig_ref = next(it)   # (Z,1) SMEM, full profile
+            ubot_ref = next(it)   # (3,Y,X)
+            ssig_ref = next(it)   # axis z: (Z,1) SMEM profile; axis y: (Y,X) VMEM
         if thermal:
             g0_ref = next(it)     # (5,1,Y,X) @ z
             gp_ref = next(it)     # (1,1,Y,X) @ z-1
@@ -275,7 +286,7 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             gpc_ref = next(it)
             gmc_ref = next(it)
             T_ref = next(it)      # (1,Y,X)
-            Ttop_ref = next(it)   # (Y,X)
+            Ttop_ref = next(it)   # axis z: (Y,X) global top; axis y: (1,X) north row
         # outputs
         f0_out = next(it)
         fp_out = next(it)
@@ -363,20 +374,27 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             u_s = us_ref[0][:, None, :]               # (3,1,X)
             u_n = un_ref[0][:, None, :]
             u_t = utop_ref[:]                          # (3,Y,X)
+            u_b = ubot_ref[:]
             u_tgt = jnp.broadcast_to(u_w, (3, Y, X))
-            for fidv, tgt in ((1, u_e), (2, u_s), (3, u_n), (4, u_t)):
+            for fidv, tgt in ((1, u_e), (2, u_s), (3, u_n), (4, u_t), (5, u_b)):
                 m = (face[None] == fidv).astype(jnp.float32)
                 u_tgt = blend(m, jnp.broadcast_to(tgt, (3, Y, X)), u_tgt)
             sig = nsig_ref[0] * not_e_f
-            Fx = Fx + rhon * sig * (u_tgt[0] - un[0])
-            Fy = Fy + rhon * sig * (u_tgt[1] - un[1])
-            if nudge_vertical:
-                Fz = Fz + rhon * sig * (u_tgt[2] - un[2])
-            ssig = ssig_ref[pl.program_id(0), 0]
+            Fs = [Fx, Fy, Fz]
+            for a in range(3):
+                if a == vertical_comp and not nudge_vertical:
+                    continue
+                Fs[a] = Fs[a] + rhon * sig * (u_tgt[a] - un[a])
+            if sponge_axis == "z":
+                ssig = ssig_ref[pl.program_id(0), 0]
+                sp_tgt = u_t
+            else:
+                ssig = ssig_ref[:]                     # (Y,X)
+                sp_tgt = u_n                           # (3,1,X) broadcasts
             sig_sp = ssig * not_e_f
-            Fx = Fx + rhon * sig_sp * (u_t[0] - un[0])
-            Fy = Fy + rhon * sig_sp * (u_t[1] - un[1])
-            Fz = Fz + rhon * sig_sp * (u_t[2] - un[2])
+            for a in range(3):
+                Fs[a] = Fs[a] + rhon * sig_sp * (sp_tgt[a] - un[a])
+            Fx, Fy, Fz = Fs
 
         if thermal:
             tfix_f = ((flags_c & TYPE_T) != 0).astype(jnp.float32)
@@ -403,7 +421,8 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             Tn = blend(tfix_f, T_pre, T_m)
             if has_forcing:
                 sig_t = ssig * not_e_f * (1.0 - tfix_f)
-                Tn = Tn + sig_t * (Ttop_ref[:] - Tn)
+                t_tgt = Ttop_ref[:] if sponge_axis == "z" else Ttop_ref[0][None, :]
+                Tn = Tn + sig_t * (t_tgt - Tn)
             # unrolled D3Q7 equilibrium + collision, opposite pairs share cu
             Tm1_q = 0.125 * (Tn - 1.0)
             geq = [0.25 * (Tn - 1.0)]
@@ -556,9 +575,15 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             v((1, 3, Y), lambda i: (i, 0, 0)),
             v((1, 3, X), lambda i: (i, 0, 0)),
             v((1, 3, X), lambda i: (i, 0, 0)),
-            v((3, Y, X), lambda i: (0, 0, 0)),
-            sm((Z, 1), lambda i: (0, 0)),   # full sponge profile; indexed by program_id
+            v((3, Y, X), lambda i: (0, 0, 0)),   # top plane target
+            v((3, Y, X), lambda i: (0, 0, 0)),   # bottom plane target
         ]
+        if sponge_axis == "z":
+            # full profile, scalar-indexed by program_id
+            in_specs += [sm((Z, 1), lambda i: (0, 0))]
+        else:
+            # profile along the sublane axis, same (Y,X) plane every step
+            in_specs += [v((Y, X), lambda i: (0, 0))]
     if thermal:
         gp_map = (lambda i: (0, i, 0, 0)) if halo_mode else (
             lambda i: (0, (i - 1) % Z, 0, 0))
@@ -571,7 +596,8 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             v((1, 1, Y, X), lambda i: (0, i, 0, 0)),
             v((1, 1, Y, X), lambda i: (0, i, 0, 0)),
             v((1, Y, X), lambda i: (i, 0, 0)),
-            v((Y, X), lambda i: (0, 0)),
+            (v((Y, X), lambda i: (0, 0)) if sponge_axis == "z"
+             else v((1, X), lambda i: (i, 0))),
         ]
 
     sdt = {"f32": jnp.float32, "f16": jnp.float16, "bf16": jnp.bfloat16}[storage]
@@ -617,10 +643,17 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         interpret=bool(os.environ.get("LUW_PALLAS_INTERPRET")),
     )
 
-    sponge_z = (
-        np.asarray(forcing.sponge_sigma_z, dtype=np.float32).reshape(Z, 1)
-        if has_sponge else np.zeros((Z, 1), dtype=np.float32)
-    )
+    if sponge_axis == "z":
+        sponge_z = (
+            np.asarray(forcing.sponge_sigma_z, dtype=np.float32).reshape(Z, 1)
+            if has_sponge else np.zeros((Z, 1), dtype=np.float32)
+        )
+    else:
+        # permuted orientation: profile runs along the sublane (y) axis
+        prof = (np.asarray(forcing.sponge_sigma_z, dtype=np.float32)
+                if has_sponge else np.zeros(Y, dtype=np.float32))
+        assert prof.shape == (Y,), (prof.shape, Y)
+        sponge_z = np.broadcast_to(prof[:, None], (Y, X))
     nudge_sigma = (
         forcing.nudge_sigma if has_nudge else jnp.zeros((Z, Y, X), jnp.float32)
     )
@@ -661,6 +694,7 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 s.u[:, :, :, 0].swapaxes(0, 1), s.u[:, :, :, -1].swapaxes(0, 1),
                 s.u[:, :, 0, :].swapaxes(0, 1), s.u[:, :, -1, :].swapaxes(0, 1),
                 fl.get("top_u", s.u[:, -1, :, :]),    # top (3,Y,X)
+                s.u[:, 0, :, :],                      # bottom (3,Y,X)
                 fl.get("sponge_z", sponge_z),
             ]
         if thermal:
@@ -669,8 +703,9 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 gm_in = jnp.concatenate([s.gm, gm_halo], axis=1)
             else:
                 gp_in, gm_in = s.gp, s.gm
+            t_last = (s.T[-1] if sponge_axis == "z" else s.T[:, -1, :])
             args += [s.g0, gp_in, gm_in, s.gp, s.gm, s.T,
-                     (forcing_loc or {}).get("top_T", s.T[-1])]
+                     (forcing_loc or {}).get("top_T", t_last)]
         out = call(*args)
         if thermal:
             f0, fp, fm, rho, u, g0, gp, gm, T = out

@@ -1,0 +1,71 @@
+"""visdem / shptester tools + pure-python shapefile reader."""
+
+import struct
+
+import numpy as np
+import pytest
+
+from latticeurbanwind_tpu.cli.dem_shp_tools import shptester_main, visdem_main
+from latticeurbanwind_tpu.pre.shp_reader import polygon_defects, read_shp, ring_area
+
+
+def _write_polygon_shp(path, polygons):
+    """Minimal polygon shapefile: list of rings, each [(x, y), ...]."""
+    records = b""
+    for i, ring in enumerate(polygons):
+        xs = [p[0] for p in ring] or [0.0]
+        ys = [p[1] for p in ring] or [0.0]
+        content = struct.pack("<i4d", 5, min(xs), min(ys), max(xs), max(ys))
+        content += struct.pack("<ii", 1, len(ring))
+        content += struct.pack("<i", 0)
+        for x, y in ring:
+            content += struct.pack("<2d", x, y)
+        records += struct.pack(">ii", i + 1, len(content) // 2) + content
+    xs = [p[0] for ring in polygons for p in ring] or [0.0]
+    ys = [p[1] for ring in polygons for p in ring] or [0.0]
+    header = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+    header += struct.pack(">i", (100 + len(records)) // 2)
+    header += struct.pack("<ii", 1000, 5)
+    header += struct.pack("<4d", min(xs), min(ys), max(xs), max(ys))
+    header += struct.pack("<4d", 0, 0, 0, 0)
+    path.write_bytes(header + records)
+
+
+SQUARE = [(0.0, 0.0), (0.0, 10.0), (10.0, 10.0), (10.0, 0.0), (0.0, 0.0)]
+OPEN_RING = [(0.0, 0.0), (0.0, 5.0), (5.0, 5.0), (5.0, 0.0)]   # not closed
+DEGENERATE = [(1.0, 1.0), (2.0, 2.0), (3.0, 3.0), (1.0, 1.0)]  # zero area
+
+
+def test_shp_reader_round_trip(tmp_path):
+    shp = tmp_path / "b.shp"
+    _write_polygon_shp(shp, [SQUARE, OPEN_RING, DEGENERATE])
+    f = read_shp(shp)
+    assert f.shape_name == "Polygon" and len(f.records) == 3
+    assert f.records[0].parts[0] == SQUARE
+    assert abs(ring_area(SQUARE)) == 100.0
+    assert polygon_defects(f.records[0]) == []
+    assert any("ring_not_closed" in d for d in polygon_defects(f.records[1]))
+    assert any("zero_area" in d for d in polygon_defects(f.records[2]))
+
+
+def test_shptester_cli(tmp_path, capsys):
+    shp = tmp_path / "b.shp"
+    _write_polygon_shp(shp, [SQUARE, DEGENERATE])
+    rc = shptester_main([str(shp)])
+    out = capsys.readouterr().out
+    assert rc == 1           # defects present
+    assert "ok" in out and "zero_area" in out
+    _write_polygon_shp(shp, [SQUARE])
+    assert shptester_main([str(shp)]) == 0
+
+
+def test_visdem_from_csv(tmp_path, capsys):
+    xs, ys = np.meshgrid(np.arange(20.0), np.arange(15.0))
+    z = 5.0 + 2.0 * np.sin(xs / 3.0) + ys * 0.1
+    rows = np.column_stack([xs.ravel(), ys.ravel(), z.ravel()])
+    csv = tmp_path / "interpolated_dem.csv"
+    np.savetxt(csv, rows, delimiter=",", header="x,y,z", comments="")
+    out = tmp_path / "dem.png"
+    rc = visdem_main([str(csv), str(out)])
+    assert rc == 0 and out.exists() and out.stat().st_size > 5000
+    assert "z range" in capsys.readouterr().out

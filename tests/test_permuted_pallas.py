@@ -1,0 +1,96 @@
+"""Axis-permuted Pallas tier (ops/permute.py): z<->y transposition.
+
+Wide-flat urban grids whose (Y, X) plane exceeds the VMEM budget run the
+kernel along the y axis instead.  The lattice is isotropic, so the permuted
+run must match the canonical jnp reference tier bit-close — including nudge
+(face-id remap), top sponge (sublane-axis profile), thermal sponge, Coriolis
+(pseudovector sign flip), and global forces.
+"""
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture(autouse=True)
+def _interpret_mode(monkeypatch):
+    monkeypatch.setenv("LUW_PALLAS_INTERPRET", "1")
+
+
+def test_direction_permutation_tables():
+    from latticeurbanwind_tpu.lbm.lattice import C19, C7
+    from latticeurbanwind_tpu.ops.permute import FACE_PERM, SIGMA19, SIGMA7
+
+    for k in range(19):
+        cx, cy, cz = C19[k]
+        assert tuple(C19[SIGMA19[k]]) == (cx, cz, cy)
+    for k in range(7):
+        cx, cy, cz = C7[k]
+        assert tuple(C7[SIGMA7[k]]) == (cx, cz, cy)
+    assert np.array_equal(FACE_PERM[FACE_PERM], np.arange(6))  # involution
+
+
+def test_permute_state_round_trip():
+    from latticeurbanwind_tpu.lbm import StepConfig, make_initial_state, omega_from_nu
+    from latticeurbanwind_tpu.ops.permute import permute_state, unpermute_state
+
+    shape = (6, 10, 16)
+    rng = np.random.default_rng(0)
+    cfg = StepConfig(omega=omega_from_nu(0.02), thermal=True, storage="f32")
+    u = 0.02 * rng.standard_normal((3, *shape)).astype(np.float32)
+    T = (1.0 + 0.01 * rng.standard_normal(shape)).astype(np.float32)
+    st = make_initial_state(shape, config=cfg, u=u, T=T)
+    back = unpermute_state(permute_state(st))
+    np.testing.assert_array_equal(np.asarray(back.fi), np.asarray(st.fi))
+    np.testing.assert_array_equal(np.asarray(back.u), np.asarray(st.u))
+    np.testing.assert_array_equal(np.asarray(back.gi), np.asarray(st.gi))
+
+
+@pytest.mark.parametrize("thermal", [False, True])
+def test_permuted_matches_reference(thermal):
+    import jax
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.lbm import (
+        DynParams, NudgeSpec, SpongeSpec, StepConfig, TYPE_E, TYPE_S, TYPE_T,
+        build_forcing, make_initial_state, omega_from_nu,
+    )
+    from latticeurbanwind_tpu.lbm.reference import make_step as ref_step_f
+    from latticeurbanwind_tpu.lbm.stepper import make_runner
+
+    shape = (10, 48, 64)   # permuted: (48, 10, 64)
+    rng = np.random.default_rng(2)
+    cfg = StepConfig(omega=omega_from_nu(0.03), subgrid=True, thermal=thermal,
+                     omega_t=1.1, beta=0.002, storage="f32")
+    u = 0.02 * rng.standard_normal((3, *shape)).astype(np.float32)
+    rho = (1.0 + 0.001 * rng.standard_normal(shape)).astype(np.float32)
+    flags = np.zeros(shape, np.uint8)
+    flags[0] = TYPE_S
+    flags[-1] = TYPE_E
+    flags[2:5, 20:30, 30:40] = TYPE_S
+    if thermal:
+        flags[:, :, 0] |= TYPE_T
+    T = (1.0 + 0.01 * rng.standard_normal(shape)).astype(np.float32) if thermal else None
+    state = make_initial_state(shape, config=cfg, rho=rho, u=u, flags=flags, T=T)
+    forcing = build_forcing(
+        shape,
+        nudge=NudgeSpec(n_cells=3, inv_tau=0.02, downstream_face=1),
+        sponge=SpongeSpec(n_cells=3, inv_tau=0.05),
+    )
+    dyn = DynParams(force=jnp.array([1e-5, 0.0, -2e-5]),
+                    omega_coriolis=jnp.array([1e-5, 2e-5, 3e-5]))
+
+    ref_step = jax.jit(ref_step_f(cfg, forcing))
+    r = state
+    for _ in range(5):
+        r = ref_step(r, dyn)
+
+    run, impl = make_runner(cfg, forcing, shape=shape, n_inner=5,
+                            impl="pallas-permuted", donate=False)
+    assert impl == "pallas-permuted"
+    p = run(state, dyn, 0)
+
+    np.testing.assert_allclose(np.asarray(p.fi), np.asarray(r.fi), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(p.rho), np.asarray(r.rho), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(p.u), np.asarray(r.u), atol=3e-6)
+    if thermal:
+        np.testing.assert_allclose(np.asarray(p.T), np.asarray(r.T), atol=3e-6)
