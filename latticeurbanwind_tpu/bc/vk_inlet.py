@@ -261,57 +261,71 @@ def build_vk_runtime(cfg: VkConfig, flags: np.ndarray,
 
 
 def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime):
-    """jit-traceable pre-step: perturb the inlet velocities at step t."""
+    """jit-traceable pre-step: perturb the inlet velocities at step t.
+
+    The returned callable also carries a `.permuted` attribute: the same
+    perturbation expressed in the z<->y transposed orientation used by the
+    axis-permuted pallas tier (ops/permute.py) — scatter indices swap z/y and
+    the perturbation's velocity components swap accordingly.  The spatial
+    phase k.x is a physical scalar, so mode tables are shared.
+    """
     import jax.numpy as jnp
 
     stride = max(1, cfg.update_stride)
     interp = cfg.stride_interpolation and stride > 1
-    idx_z = jnp.asarray(rt.idx[0])
-    idx_y = jnp.asarray(rt.idx[1])
-    idx_x = jnp.asarray(rt.idx[2])
     pts = jnp.asarray(rt.points)            # (P, 3)
-    base = jnp.asarray(rt.base_u)           # (3, P)
     sigma = jnp.asarray(rt.sigma)           # (P,)
     face_of = jnp.asarray(rt.face_of)
     kk = jnp.asarray(rt.modes_k)            # (5, M, 3)
     om = jnp.asarray(rt.modes_omega)        # (5, M)
-    AA = jnp.asarray(rt.modes_A)            # (5, M, 3)
-    ph = jnp.asarray(rt.modes_phi)          # (5, M, 3)
     same = cfg.same_realization_all_faces
     active_faces = sorted(set(int(f) for f in np.asarray(rt.face_of)))
 
-    def perturb_at(t_float):
-        def face_term(fid):
-            # spatial phase (P, M) + temporal phase; contraction over modes
-            theta = pts @ kk[fid].T + om[fid][None, :] * t_float
-            out = []
-            for c in range(3):
-                out.append(jnp.cos(theta + ph[fid, :, c][None, :]) @ AA[fid, :, c])
-            return jnp.stack(out)            # (3, P)
+    def build(idx_order, comp_order):
+        idx_z = jnp.asarray(rt.idx[idx_order[0]])
+        idx_y = jnp.asarray(rt.idx[idx_order[1]])
+        idx_x = jnp.asarray(rt.idx[idx_order[2]])
+        cp = np.asarray(comp_order)
+        base = jnp.asarray(np.asarray(rt.base_u)[cp])            # (3, P)
+        AA = jnp.asarray(np.asarray(rt.modes_A)[:, :, cp])       # (5, M, 3)
+        ph = jnp.asarray(np.asarray(rt.modes_phi)[:, :, cp])
 
-        if same:
-            fid0 = active_faces[0]
-            return face_term(fid0)
-        acc = jnp.zeros((3, pts.shape[0]), jnp.float32)
-        for fid in active_faces:
-            m = (face_of == fid).astype(jnp.float32)[None]
-            acc = acc + m * face_term(fid)
-        return acc
+        def perturb_at(t_float):
+            def face_term(fid):
+                # spatial phase (P, M) + temporal phase; contraction over modes
+                theta = pts @ kk[fid].T + om[fid][None, :] * t_float
+                out = []
+                for c in range(3):
+                    out.append(jnp.cos(theta + ph[fid, :, c][None, :]) @ AA[fid, :, c])
+                return jnp.stack(out)        # (3, P)
 
-    def pre_step(state: LBMState, t) -> LBMState:
-        tf = jnp.asarray(t, jnp.float32)
-        anchor = jnp.floor(tf / stride) * stride
-        if interp:
-            a = (tf - anchor) / stride
-            q = perturb_at(anchor)
-            q1 = perturb_at(anchor + stride)
-            q = q + a * (q1 - q)
-        else:
-            q = perturb_at(anchor if stride > 1 else tf)
-        u_pts = base + sigma[None] * q
-        u_new = state.u.at[:, idx_z, idx_y, idx_x].set(u_pts)
-        return state._replace(u=u_new)
+            if same:
+                fid0 = active_faces[0]
+                return face_term(fid0)
+            acc = jnp.zeros((3, pts.shape[0]), jnp.float32)
+            for fid in active_faces:
+                m = (face_of == fid).astype(jnp.float32)[None]
+                acc = acc + m * face_term(fid)
+            return acc
 
+        def pre_step(state: LBMState, t) -> LBMState:
+            tf = jnp.asarray(t, jnp.float32)
+            anchor = jnp.floor(tf / stride) * stride
+            if interp:
+                a = (tf - anchor) / stride
+                q = perturb_at(anchor)
+                q1 = perturb_at(anchor + stride)
+                q = q + a * (q1 - q)
+            else:
+                q = perturb_at(anchor if stride > 1 else tf)
+            u_pts = base + sigma[None] * q
+            u_new = state.u.at[:, idx_z, idx_y, idx_x].set(u_pts)
+            return state._replace(u=u_new)
+
+        return pre_step
+
+    pre_step = build((0, 1, 2), (0, 1, 2))
+    pre_step.permuted = build((1, 0, 2), (0, 2, 1))
     return pre_step
 
 

@@ -52,7 +52,9 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
     use_pallas = impl == "pallas" or (
         impl == "auto" and shape is not None and _pallas_ok(shape, config))
     use_permuted = False
-    if not use_pallas and shape is not None and pre_step is None:
+    pre_step_p = getattr(pre_step, "permuted", None)
+    if not use_pallas and shape is not None and (
+            pre_step is None or pre_step_p is not None):
         from ..ops.permute import permute_shape
 
         use_permuted = impl == "pallas-permuted" or (
@@ -92,6 +94,8 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
 
             def inner(carry, _):
                 st, t = carry
+                if pre_step_p is not None:
+                    st = pre_step_p(st, t)
                 return (step(st, dyn_p), t + 1), None
 
             (out, _), _ = jax.lax.scan(inner, (s, jnp.asarray(t0, jnp.int32)),

@@ -45,6 +45,55 @@ def test_permute_state_round_trip():
     np.testing.assert_array_equal(np.asarray(back.gi), np.asarray(st.gi))
 
 
+def test_permuted_with_vk_pre_step_matches_reference():
+    """The VK inlet pre_step exposes a `.permuted` variant; the permuted
+    tier must reproduce the canonical run including the per-step inlet
+    perturbations (scatter indices and velocity components transposed)."""
+    import jax
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.bc.vk_inlet import (
+        VkConfig, build_vk_runtime, make_vk_pre_step,
+    )
+    from latticeurbanwind_tpu.lbm import (
+        DynParams, Forcing, StepConfig, TYPE_E, TYPE_S, make_initial_state,
+        omega_from_nu,
+    )
+    from latticeurbanwind_tpu.lbm.reference import make_step as ref_step_f
+    from latticeurbanwind_tpu.lbm.stepper import make_runner
+
+    shape = (10, 48, 64)
+    cfg = StepConfig(omega=omega_from_nu(0.03), subgrid=True, storage="f32")
+    flags = np.zeros(shape, np.uint8)
+    flags[0] = TYPE_S
+    for sl in (np.s_[:, :, 0], np.s_[:, :, -1], np.s_[:, 0, :], np.s_[:, -1, :],
+               np.s_[-1, :, :]):
+        flags[sl] = np.where(flags[sl] == 0, TYPE_E, flags[sl])
+    u = np.zeros((3, *shape), np.float32)
+    u[0] = 0.03
+    u[:, (flags & TYPE_S) != 0] = 0.0
+    state = make_initial_state(shape, config=cfg, u=u, flags=flags)
+    vk_cfg = VkConfig(ti=0.08, L_lbm=10.0, nmodes=16, seed=7)
+    rt = build_vk_runtime(vk_cfg, flags, u)
+    assert rt is not None
+    pre_step = make_vk_pre_step(vk_cfg, rt)
+    dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3))
+
+    ref_step = jax.jit(ref_step_f(cfg, Forcing()))
+    r = state
+    for t in range(4):
+        r = pre_step(r, t)
+        r = ref_step(r, dyn)
+
+    run, impl = make_runner(cfg, shape=shape, n_inner=4,
+                            impl="pallas-permuted", donate=False,
+                            pre_step=pre_step)
+    assert impl == "pallas-permuted"
+    p = run(state, dyn, 0)
+    np.testing.assert_allclose(np.asarray(p.fi), np.asarray(r.fi), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(p.u), np.asarray(r.u), atol=3e-6)
+
+
 @pytest.mark.parametrize("thermal", [False, True])
 def test_permuted_matches_reference(thermal):
     import jax
