@@ -69,3 +69,34 @@ def test_visdem_from_csv(tmp_path, capsys):
     rc = visdem_main([str(csv), str(out)])
     assert rc == 0 and out.exists() and out.stat().st_size > 5000
     assert "z range" in capsys.readouterr().out
+
+
+def test_luwtkeviz(tmp_path, capsys):
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+    from latticeurbanwind_tpu.post.tke_viz import main as tkeviz_main
+
+    Z, Y, X = 12, 24, 32
+    rng = np.random.default_rng(0)
+    u = rng.normal(3.0, 0.5, (3, Z, Y, X)).astype(np.float32)
+    tke = np.abs(rng.normal(0.2, 0.05, (Z, Y, X))).astype(np.float32)
+    vtk = tmp_path / "case_avg-000000100.vtk"
+    write_structured_points(vtk, {"u_avg": u, "tke": tke}, spacing=10.0)
+    rc = tkeviz_main([str(vtk), "--out", str(tmp_path / "viz"),
+                      "--base-height", "0", "--layer-step", "10",
+                      "--heights", "15", "35", "55", "75", "95"])
+    out = capsys.readouterr().out
+    assert rc == 0
+    pngs = sorted((tmp_path / "viz").glob("*.png"))
+    assert len(pngs) == 2 and all(p.stat().st_size > 10000 for p in pngs)
+    assert "wind_layers" in out and "tke_layers" in out
+
+    # batch (--deck) mode over RESULTS/vtk
+    case = tmp_path / "case"
+    (case / "RESULTS" / "vtk").mkdir(parents=True)
+    write_structured_points(case / "RESULTS" / "vtk" / "x_avg-000000050.vtk",
+                            {"u_avg": u, "tke": tke}, spacing=10.0)
+    (case / "conf.luw").write_text("casename = x\n")
+    rc = tkeviz_main(["--deck", str(case / "conf.luw"),
+                      "--base-height", "0"])
+    assert rc == 0
+    assert list((case / "RESULTS" / "tke_viz").glob("*.png"))
