@@ -75,6 +75,7 @@ class SolverCase:
     origin_shift: Tuple[float, float, float] = (0.0, 0.0, 0.0)
     impl: str = "auto"
     pre_step: Optional[object] = None  # callable (state, t) -> state (VK inlet)
+    ngpu: Tuple[int, int, int] = (1, 1, 1)  # deck n_gpu -> device-mesh split
 
 
 @dataclass
@@ -109,17 +110,58 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
     progress = ProgressEmitter("solve")
     files: List[Path] = []
 
+    # --- device mesh (deck n_gpu = [Dx, Dy, Dz]) ---------------------------
+    # Multi-device runs shard the lattice over a GSPMD mesh (the reference's
+    # domain-split + PCIe halo pipeline, lbm.cpp:1067-1958, collapses into
+    # sharded-array semantics).  A pure z split with no per-step inlet hook
+    # upgrades to the explicit shard_map pallas runner (parallel/halo.py).
+    mesh = None
+    eff_impl = case.impl
+    ndev = int(np.prod(case.ngpu))
+    use_sharded_pallas = False
+    if ndev > 1:
+        import jax
+
+        from ..lbm.stepper import _pallas_ok
+
+        if len(jax.devices()) >= ndev:
+            from ..parallel import domain_mesh
+
+            mesh = domain_mesh(tuple(case.ngpu))
+            dx, dy, dz = case.ngpu
+            use_sharded_pallas = (
+                dx == 1 and dy == 1 and case.pre_step is None
+                and shape[0] % dz == 0
+                and _pallas_ok((shape[0] // dz,) + tuple(shape[1:]), case.config)
+                and case.impl in ("auto", "pallas"))
+            if not use_sharded_pallas and eff_impl == "auto":
+                eff_impl = "reference"   # GSPMD tier; pallas_call is local-only
+            if not quiet:
+                print(f"| Device mesh     | n_gpu={list(case.ngpu)} -> "
+                      f"{ndev}-device mesh "
+                      f"({'shard_map pallas' if use_sharded_pallas else 'GSPMD'})")
+        elif not quiet:
+            print(f"| Device mesh     | n_gpu={list(case.ngpu)} requested, "
+                  f"{len(jax.devices())} device(s) visible — single-device run")
+
     runners = {}
 
     def runner(n: int):
         if n not in runners:
-            runners[n] = make_runner(case.config, case.forcing, shape=shape,
-                                     n_inner=n, impl=case.impl, donate=True,
-                                     pre_step=case.pre_step)[0]
+            if use_sharded_pallas:
+                from ..parallel.halo import make_sharded_pallas_runner
+
+                runners[n] = make_sharded_pallas_runner(
+                    case.config, case.forcing, shape, mesh, n_inner=n)
+            else:
+                runners[n] = make_runner(case.config, case.forcing, shape=shape,
+                                         n_inner=n, impl=eff_impl, donate=True,
+                                         pre_step=case.pre_step)[0]
         return runners[n]
 
-    impl_name = make_runner(case.config, case.forcing, shape=shape, n_inner=1,
-                            impl=case.impl, donate=False)[1]
+    impl_name = ("pallas-sharded" if use_sharded_pallas else
+                 make_runner(case.config, case.forcing, shape=shape, n_inner=1,
+                             impl=eff_impl, donate=False)[1])
 
     # event times where we must stop stepping
     events = set()
@@ -154,6 +196,11 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
             except (ValueError, KeyError, OSError) as e:
                 print(f"| Checkpoint      | ignoring unreadable checkpoint: {e}")
                 resume_t = 0
+
+    if mesh is not None:
+        from ..parallel import shard_state
+
+        state = shard_state(state, mesh)
 
     u_factor = case.units.si_u(1.0)
     rho_factor = case.units.si_rho(1.0)

@@ -260,7 +260,7 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
             config=config, forcing=forcing, state=state, dyn=dyn, units=units,
             cell_m=plan.cell_m, parent=parent, datetime=datetime_tag,
             vtk_prefix=prefix, nz_out=plan.nz_core if plan.sponge_extended else 0,
-            settings=settings, impl=impl, pre_step=pre_step,
+            settings=settings, impl=impl, ngpu=tuple(int(v) for v in (list(ngpu) + [1, 1, 1])[:3]), pre_step=pre_step,
         )
         if not quiet:
             print(f"| Profile case    | {idx + 1}/{len(angles)} angle={angle} deg "
@@ -345,7 +345,7 @@ def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
             case = SolverCase(
                 config=config, forcing=forcing, state=state, dyn=dyn, units=units,
                 cell_m=plan.cell_m, parent=parent, datetime=datetime_tag,
-                vtk_prefix=prefix, settings=settings, impl=impl,
+                vtk_prefix=prefix, settings=settings, impl=impl, ngpu=tuple(int(v) for v in (list(ngpu) + [1, 1, 1])[:3]),
             )
             if not quiet:
                 print(f"| DG case         | inflow={inflow} angle={angle} "

@@ -255,6 +255,7 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
         vtk_prefix="", nz_out=plan.nz_core if plan.sponge_extended else 0,
         settings=run_settings_from_deck(deck), impl=impl,
         thermal_output=use_temperature, pre_step=pre_step, probes=probes,
+        ngpu=tuple(int(v) for v in (list(ngpu) + [1, 1, 1])[:3]),
     )
     if not quiet:
         bc_kind = "patch-2d" if samples.has_patch else ("high-order" if high_order else "nearest")

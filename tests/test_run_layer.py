@@ -157,3 +157,35 @@ def test_profile_mode_end_to_end(tmp_path):
     fluid = fields["fluid"] > 0.5
     assert u[1][fluid].mean() < -1.0   # angle 0 -> -y flow in SI m/s
     assert np.isfinite(u).all()
+
+
+def test_profile_mode_multichip_matches_single(tmp_path):
+    """n_gpu=[1,1,2] shards the case over a 2-device GSPMD mesh; results
+    must match the single-device run (driver.py device-mesh wiring)."""
+    import shutil
+
+    from latticeurbanwind_tpu.deck import load_deck
+    from latticeurbanwind_tpu.io import read_structured_points
+    from latticeurbanwind_tpu.run import run_deck
+
+    src = Path("/root/reference/examples/example_ProfileResearch_noDEM")
+    outs = {}
+    for tag, ngpu in (("single", [1, 1, 1]), ("sharded", [1, 1, 2])):
+        case = tmp_path / tag
+        shutil.copytree(src, case)
+        deck = load_deck(case / "conf.luwpf")
+        deck.set_text("mesh_control", "cell_size", quoted=True)
+        deck.set_float("cell_size", 60.0)
+        deck.set_int("run_nstep", 24)
+        deck.set_int("purge_avg", 8)
+        deck.set_int("purge_avg_stride", 4)
+        deck.set_list("angle", [0.0])
+        deck.set_list("n_gpu", ngpu)
+        deck.save()
+        r = run_deck(case / "conf.luwpf", quiet=True)[0]
+        avg = [f for f in r.files if "_avg-" in f.name][0]
+        outs[tag] = read_structured_points(avg)[1]
+
+    for name in ("u_avg", "rho_avg", "tke"):
+        np.testing.assert_allclose(outs["sharded"][name], outs["single"][name],
+                                   atol=2e-5, err_msg=name)
