@@ -118,11 +118,13 @@ def main(argv=None) -> int:
     dt = deck.get_text("datetime") or "20990101120000"
 
     proj_temp = home / "proj_temp"
+    # resolution order: reference prerunValidate.py:163-167 tries _DEM then
+    # plain; the mode-specific _DG/_PF names (dgPrepare outputs) come after
     stl_path = proj_temp / f"{casename}_DEM.stl"
-    if not stl_path.exists():
-        stl_path = proj_temp / f"{casename}.stl"
-    if not stl_path.exists():
-        stl_path = proj_temp / f"{casename}_DG.stl"
+    for suffix in ("", "_DG", "_PF"):
+        if stl_path.exists():
+            break
+        stl_path = proj_temp / f"{casename}{suffix}.stl"
     csv_path = proj_temp / f"SurfData_{dt}.csv"
     if not csv_path.exists():
         alt = proj_temp / "SurfData_Latest.csv"
@@ -132,7 +134,19 @@ def main(argv=None) -> int:
 
     try:
         stl = stl_ranges(stl_path)
-        csv = csv_ranges(csv_path)
+        if csv_path.exists():
+            csv = csv_ranges(csv_path)
+        else:
+            # profile/datagen cases have no SurfData CSV; check the STL
+            # against the deck's si_*_cfd extents instead
+            csv = {}
+            for ax in ("x", "y"):
+                rng = deck.get_float_list(f"si_{ax}_cfd")
+                if not rng or len(rng) != 2:
+                    raise ValueError(
+                        f"no {csv_path.name} and no si_{ax}_cfd range in deck")
+                csv[ax] = (rng[0], rng[1], rng[1] - rng[0])
+            print("No SurfData CSV — validating against deck si_*_cfd ranges")
     except (FileNotFoundError, ValueError) as e:
         print(f"ERROR: {e}")
         write_validation(deck, conf_path, False)

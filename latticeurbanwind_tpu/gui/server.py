@@ -1,0 +1,351 @@
+"""LUW Studio server: deck editor + pipeline runner + results viewer.
+
+Feature map to the reference Qt application (gui/src/):
+  * project tree + schema-driven deck editor synced to canonical raw text
+    (reference ConfigDocument.cpp / ConfigSchema.cpp — both read the same
+    deck schema this framework defines in deck/schema.py)
+  * pipeline orchestration with console forwarding and `[[LUW_PROGRESS]]`
+    protocol parsing (reference CommandRunner.cpp:1-342)
+  * result viewing: VTK slice renders + produced figures (reference
+    VtkViewWidget.cpp; the streamcenter volume viewer maps to the
+    layer-render endpoint here)
+  * startup diagnostics (reference StartupDiagnostics.cpp) via /api/env
+
+Implementation is stdlib-only (ThreadingHTTPServer); binds 127.0.0.1.
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import subprocess
+import sys
+import threading
+import time
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from pathlib import Path
+from typing import Dict, List, Optional
+from urllib.parse import parse_qs, urlparse
+
+APP_HTML = Path(__file__).with_name("app.html")
+PROGRESS_TAG = "[[LUW_PROGRESS]]"
+
+# commands the Run panel may launch (mirrors cli/dispatch.py COMMANDS)
+ALLOWED_COMMANDS = (
+    "makeluw", "runluw", "luwbc", "luwcut", "luwvox", "luwval", "cdfinspect",
+    "shpinspect", "cleanluw", "visluw", "vtk2nc", "luwcutvis", "luwspectra",
+    "luwseason", "dgprepare", "buildingscale", "luwutmnc", "luwenv",
+    "luwtkeviz", "visdem", "shptester",
+)
+
+
+class Job:
+    _next_id = 1
+    _lock = threading.Lock()
+
+    def __init__(self, argv: List[str], cwd: Path):
+        with Job._lock:
+            self.id = Job._next_id
+            Job._next_id += 1
+        self.argv = argv
+        self.lines: List[str] = []
+        self.progress: Optional[dict] = None
+        self.rc: Optional[int] = None
+        self.started = time.time()
+        import os
+
+        env = dict(os.environ, LUW_PROGRESS_MODE="gui",
+                   PYTHONUNBUFFERED="1")
+        self.proc = subprocess.Popen(
+            argv, cwd=str(cwd), env=env, stdout=subprocess.PIPE,
+            stderr=subprocess.STDOUT, text=True, errors="replace")
+        threading.Thread(target=self._pump, daemon=True).start()
+
+    def _pump(self):
+        assert self.proc.stdout is not None
+        for line in self.proc.stdout:
+            line = line.rstrip("\n")
+            if PROGRESS_TAG in line:
+                try:
+                    self.progress = json.loads(
+                        line.split(PROGRESS_TAG, 1)[1].strip())
+                except json.JSONDecodeError:
+                    pass
+                continue
+            self.lines.append(line)
+        self.rc = self.proc.wait()
+
+    def state(self, start: int = 0) -> dict:
+        return {
+            "id": self.id, "argv": self.argv, "from": start,
+            "lines": self.lines[start:], "n_lines": len(self.lines),
+            "progress": self.progress, "done": self.rc is not None,
+            "rc": self.rc, "elapsed": round(time.time() - self.started, 1),
+        }
+
+
+class Studio:
+    def __init__(self, root: Path):
+        self.root = root.resolve()
+        self.jobs: Dict[int, Job] = {}
+
+    # ---------------- path safety ----------------
+    def resolve(self, raw: str) -> Path:
+        p = (self.root / raw).resolve() if not raw.startswith("/") else Path(raw).resolve()
+        if p != self.root and self.root not in p.parents:
+            raise PermissionError(f"path escapes studio root: {raw}")
+        return p
+
+    # ---------------- API handlers ----------------
+    def api_tree(self, q) -> dict:
+        sub = self.resolve(q.get("path", [""])[0])
+        items = []
+        if sub.is_dir():
+            for child in sorted(sub.iterdir(),
+                                key=lambda c: (c.is_file(), c.name.lower())):
+                if child.name.startswith("."):
+                    continue
+                items.append({
+                    "name": child.name,
+                    "path": str(child.relative_to(self.root)),
+                    "dir": child.is_dir(),
+                    "size": child.stat().st_size if child.is_file() else 0,
+                })
+        return {"root": str(self.root), "path": str(sub.relative_to(self.root))
+                if sub != self.root else "", "items": items}
+
+    def api_schema(self, q) -> dict:
+        from ..deck.schema import FIELDS, MODE_BITS, SECTIONS
+
+        mode = q.get("mode", ["luw"])[0]
+        bit = MODE_BITS.get(mode, 1)
+        sections = []
+        for s in SECTIONS:
+            fields = [{
+                "key": f.key, "kind": f.kind, "label": f.label or f.key,
+                "help": f.help, "enum": list(f.enum_values),
+            } for f in FIELDS if f.section == s.id and (f.modes & bit)]
+            if fields:
+                sections.append({"id": s.id, "title": s.title,
+                                 "help": s.description, "fields": fields})
+        return {"mode": mode, "sections": sections}
+
+    def api_deck_get(self, q) -> dict:
+        from ..deck import load_deck
+
+        path = self.resolve(q["path"][0])
+        deck = load_deck(path)
+        return {
+            "path": q["path"][0],
+            "mode": path.suffix.lstrip("."),
+            "raw": path.read_text(),
+            "values": {k: str(e.value) for k, e in deck.entries.items()},
+        }
+
+    def api_deck_post(self, body: dict) -> dict:
+        from ..deck import load_deck
+
+        path = self.resolve(body["path"])
+        if "raw" in body:
+            path.write_text(body["raw"])
+        deck = load_deck(path)
+        for key, value in (body.get("values") or {}).items():
+            deck.set_text(key, str(value))
+        deck.save()
+        return self.api_deck_get({"path": [body["path"]]})
+
+    def api_run(self, body: dict) -> dict:
+        cmd = body.get("cmd", "")
+        if cmd not in ALLOWED_COMMANDS:
+            raise ValueError(f"unknown command {cmd!r}")
+        args = [str(a) for a in (body.get("args") or [])]
+        cwd = self.resolve(body.get("cwd", ""))
+        argv = [sys.executable, "-m", "latticeurbanwind_tpu.cli.dispatch",
+                cmd, *args]
+        job = Job(argv, cwd if cwd.is_dir() else cwd.parent)
+        self.jobs[job.id] = job
+        return job.state()
+
+    def api_job(self, q) -> dict:
+        job = self.jobs[int(q["id"][0])]
+        return job.state(int(q.get("from", ["0"])[0]))
+
+    def api_results(self, q) -> dict:
+        base = self.resolve(q.get("path", [""])[0])
+        out = {"vtks": [], "images": [], "csvs": []}
+        for sub in ("RESULTS/vtk", "RESULTS", "proj_temp/snapshots",
+                    "RESULTS/tke_viz", ""):
+            d = base / sub if sub else base
+            if not d.is_dir():
+                continue
+            for f in sorted(d.iterdir()):
+                rel = str(f.relative_to(self.root))
+                if f.suffix == ".vtk":
+                    out["vtks"].append(rel)
+                elif f.suffix in (".png", ".jpg"):
+                    out["images"].append(rel)
+                elif f.suffix == ".csv":
+                    out["csvs"].append(rel)
+        for k in out:
+            out[k] = sorted(set(out[k]))
+        return out
+
+    def api_render(self, q) -> bytes:
+        """VTK layer render -> PNG (the VtkViewWidget/streamcenter analog)."""
+        from ..io.vtk import read_structured_points
+
+        path = self.resolve(q["path"][0])
+        meta, fields = read_structured_points(path)
+        name = q.get("field", [None])[0]
+        if name is None or name not in fields:
+            name = next(iter(fields))
+        arr = fields[name]
+        z = int(q.get("z", ["0"])[0])
+
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        fig, ax = plt.subplots(figsize=(7.2, 6))
+        if arr.ndim == 4:       # vector: speed + quiver
+            z = min(max(z, 0), arr.shape[1] - 1)
+            sp = (arr[:, z] ** 2).sum(axis=0) ** 0.5
+            im = ax.imshow(sp, origin="lower", cmap="turbo")
+            st = max(1, max(sp.shape) // 24)
+            ys, xs = [g[::st] for g in
+                      (range(arr.shape[2]), range(arr.shape[3]))]
+            ax.quiver(list(xs), list(ys), arr[0, z, ::st, ::st],
+                      arr[1, z, ::st, ::st], color="white", width=0.003)
+            label = f"|{name}|"
+        else:
+            z = min(max(z, 0), arr.shape[0] - 1)
+            im = ax.imshow(arr[z], origin="lower", cmap="viridis")
+            label = name
+        fig.colorbar(im, ax=ax, label=label)
+        ax.set_title(f"{path.name} — {name} @ z={z}")
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return buf.getvalue()
+
+    def api_vtk_info(self, q) -> dict:
+        from ..io.vtk import read_structured_points
+
+        path = self.resolve(q["path"][0])
+        meta, fields = read_structured_points(path)
+        return {
+            "fields": {k: list(v.shape) for k, v in fields.items()},
+            "spacing": meta.get("spacing"), "origin": meta.get("origin"),
+        }
+
+    def api_env(self, q) -> dict:
+        """Startup diagnostics (reference StartupDiagnostics.cpp)."""
+        info = {"python": sys.version.split()[0], "root": str(self.root)}
+        try:
+            import jax
+
+            info["jax"] = jax.__version__
+            info["backend"] = jax.default_backend()
+            info["devices"] = [str(d) for d in jax.devices()]
+        except Exception as e:   # noqa: BLE001 — diagnostics must not crash
+            info["jax_error"] = str(e)
+        for mod in ("numpy", "scipy", "matplotlib", "pandas"):
+            try:
+                info[mod] = __import__(mod).__version__
+            except ImportError:
+                info[mod] = None
+        from ..ops.stream_collide import pallas_supported  # noqa: F401
+        info["pallas_tier"] = True
+        return info
+
+
+def make_handler(studio: Studio):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):   # quiet
+            pass
+
+        def _send(self, code: int, body: bytes, ctype: str):
+            self.send_response(code)
+            self.send_header("Content-Type", ctype)
+            self.send_header("Content-Length", str(len(body)))
+            self.end_headers()
+            self.wfile.write(body)
+
+        def _json(self, obj, code=200):
+            self._send(code, json.dumps(obj).encode(), "application/json")
+
+        def do_GET(self):
+            u = urlparse(self.path)
+            q = parse_qs(u.query)
+            try:
+                if u.path in ("/", "/index.html"):
+                    self._send(200, APP_HTML.read_bytes(), "text/html")
+                elif u.path == "/api/tree":
+                    self._json(studio.api_tree(q))
+                elif u.path == "/api/schema":
+                    self._json(studio.api_schema(q))
+                elif u.path == "/api/deck":
+                    self._json(studio.api_deck_get(q))
+                elif u.path == "/api/job":
+                    self._json(studio.api_job(q))
+                elif u.path == "/api/results":
+                    self._json(studio.api_results(q))
+                elif u.path == "/api/vtkinfo":
+                    self._json(studio.api_vtk_info(q))
+                elif u.path == "/api/render":
+                    self._send(200, studio.api_render(q), "image/png")
+                elif u.path == "/api/env":
+                    self._json(studio.api_env(q))
+                elif u.path == "/api/file":
+                    p = studio.resolve(q["path"][0])
+                    ctype = {"png": "image/png", "csv": "text/plain",
+                             "log": "text/plain"}.get(
+                        p.suffix.lstrip("."), "application/octet-stream")
+                    self._send(200, p.read_bytes(), ctype)
+                else:
+                    self._json({"error": "not found"}, 404)
+            except Exception as e:   # noqa: BLE001 — report to the UI
+                self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+
+        def do_POST(self):
+            u = urlparse(self.path)
+            n = int(self.headers.get("Content-Length", "0"))
+            try:
+                body = json.loads(self.rfile.read(n) or b"{}")
+                if u.path == "/api/deck":
+                    self._json(studio.api_deck_post(body))
+                elif u.path == "/api/run":
+                    self._json(studio.api_run(body))
+                else:
+                    self._json({"error": "not found"}, 404)
+            except Exception as e:   # noqa: BLE001
+                self._json({"error": f"{type(e).__name__}: {e}"}, 500)
+
+    return Handler
+
+
+def serve(root: Path, port: int = 8750, host: str = "127.0.0.1"):
+    studio = Studio(root)
+    httpd = ThreadingHTTPServer((host, port), make_handler(studio))
+    return httpd
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    p = argparse.ArgumentParser(prog="luwstudio",
+                                description="LUW Studio (local web UI)")
+    p.add_argument("root", nargs="?", default=".",
+                   help="project root (case directory or workspace)")
+    p.add_argument("--port", type=int, default=8750)
+    p.add_argument("--host", default="127.0.0.1")
+    args = p.parse_args(list(sys.argv[1:] if argv is None else argv))
+    root = Path(args.root).resolve()
+    httpd = serve(root, args.port, args.host)
+    print(f"LUW Studio: http://{args.host}:{httpd.server_address[1]}/  "
+          f"(root: {root})")
+    try:
+        httpd.serve_forever()
+    except KeyboardInterrupt:
+        pass
+    return 0

@@ -1,0 +1,104 @@
+"""LUW Studio server: deck edit round-trip, job runner, results, render."""
+
+import json
+import shutil
+import threading
+import time
+import urllib.request
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+
+@pytest.fixture()
+def studio(tmp_path):
+    from latticeurbanwind_tpu.gui.server import serve
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+
+    case = tmp_path / "case"
+    (case / "proj_temp").mkdir(parents=True)
+    (case / "RESULTS" / "vtk").mkdir(parents=True)
+    (case / "conf.luw").write_text(
+        "// LUW deck\n\n// Project\ncasename = demo\n\n"
+        "// CFD Controls\ngpu_memory = 1000\n")
+    u = np.full((3, 6, 10, 12), 2.0, np.float32)
+    write_structured_points(case / "RESULTS" / "vtk" / "demo_avg-000000010.vtk",
+                            {"u_avg": u}, spacing=5.0)
+    httpd = serve(case, port=0)
+    thread = threading.Thread(target=httpd.serve_forever, daemon=True)
+    thread.start()
+    base = f"http://127.0.0.1:{httpd.server_address[1]}"
+    yield base, case
+    httpd.shutdown()
+
+
+def _get(url):
+    with urllib.request.urlopen(url, timeout=30) as r:
+        body = r.read()
+        return r.headers.get_content_type(), body
+
+
+def _json(url, post=None):
+    if post is not None:
+        req = urllib.request.Request(url, data=json.dumps(post).encode(),
+                                     method="POST")
+    else:
+        req = url
+    try:
+        with urllib.request.urlopen(req, timeout=60) as r:
+            return json.loads(r.read())
+    except urllib.error.HTTPError as e:   # error responses carry JSON bodies
+        return json.loads(e.read())
+
+
+def test_studio_endpoints(studio):
+    base, case = studio
+
+    ctype, html = _get(base + "/")
+    assert ctype == "text/html" and b"LUW" in html
+
+    tree = _json(base + "/api/tree")
+    names = {i["name"] for i in tree["items"]}
+    assert "conf.luw" in names and "RESULTS" in names
+
+    schema = _json(base + "/api/schema?mode=luw")
+    keys = {f["key"] for s in schema["sections"] for f in s["fields"]}
+    assert {"casename", "gpu_memory", "lbm_storage"} <= keys
+
+    deck = _json(base + "/api/deck?path=conf.luw")
+    assert deck["values"]["casename"] == "demo"
+
+    saved = _json(base + "/api/deck",
+                  post={"path": "conf.luw", "values": {"gpu_memory": "512"}})
+    assert saved["values"]["gpu_memory"] == "512"
+    assert "gpu_memory = 512" in (case / "conf.luw").read_text()
+
+    # path traversal must be rejected
+    bad = _json(base + "/api/deck?path=../../etc/passwd")
+    assert "error" in bad
+
+    res = _json(base + "/api/results?path=")
+    assert res["vtks"] == ["RESULTS/vtk/demo_avg-000000010.vtk"]
+
+    info = _json(base + "/api/vtkinfo?path=RESULTS/vtk/demo_avg-000000010.vtk")
+    assert info["fields"]["u_avg"] == [3, 6, 10, 12]
+
+    ctype, png = _get(base + "/api/render?path=RESULTS/vtk/demo_avg-000000010.vtk&z=2")
+    assert ctype == "image/png" and png[:4] == b"\x89PNG" and len(png) > 5000
+
+
+def test_studio_job_runner(studio):
+    base, case = studio
+    job = _json(base + "/api/run",
+                post={"cmd": "cleanluw", "args": ["--dry-run"], "cwd": ""})
+    assert "id" in job
+    for _ in range(100):
+        st = _json(base + f"/api/job?id={job['id']}")
+        if st["done"]:
+            break
+        time.sleep(0.2)
+    assert st["done"]
+
+    bad = _json(base + "/api/run", post={"cmd": "rm", "args": ["-rf", "/"]})
+    assert "error" in bad
