@@ -106,11 +106,9 @@ def merge_state(s: SplitState) -> LBMState:
 
 
 def pallas_supported(shape: Tuple[int, int, int], config: StepConfig) -> bool:
-    import os
-
     Z, Y, X = shape
-    if config.storage == "f16" and not os.environ.get("LUW_PALLAS_INTERPRET"):
-        return False  # Mosaic has no IEEE f16; use bf16/f32 (or the jnp tier)
+    # f16 storage runs through the software FP16S codec (uint16 bit patterns
+    # + RN encode in dec/enc below) — all storages ride the pallas tier.
     # Full-plane blocks (C, 1, Y, X) legalize for ANY Y, X: Mosaic allows
     # unaligned block dims when they equal the whole array dims (verified on
     # v5e at 45x44 and 333x250, diff vs jnp tier ~7e-8).  The plane working
@@ -242,14 +240,37 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         if storage == "f32":
             return x
         if storage == "f16":
-            return x.astype(jnp.float32) * FP16_INV_SCALE
+            # software IEEE-f16 decode from uint16 bits (Mosaic has no f16):
+            # the FP16S range shift (x * 2^-15) rides on the exponent rebase.
+            # Subnormal halves decode to zero — below 2^-29 after unscale.
+            b = x.astype(jnp.int32)
+            s = (b >> 15) & 1
+            e = (b >> 10) & 0x1F
+            m = b & 0x3FF
+            bits = (s << 31) | ((e + 112 - 15) << 23) | (m << 13)
+            f = jax.lax.bitcast_convert_type(bits, jnp.float32)
+            return f * (1.0 - (e == 0).astype(jnp.float32))
         return x.astype(jnp.float32)
 
     def enc(x):
         if storage == "f32":
             return x
         if storage == "f16":
-            return (x * FP16_SCALE).astype(jnp.float16)
+            # software round-to-nearest-even f16 encode (bit-exact vs IEEE
+            # for normals, verified on v5e); FP16S scale folded into the
+            # exponent rebase (+15).  Overflow saturates, underflow flushes.
+            b = jax.lax.bitcast_convert_type(x, jnp.int32)
+            s = (b >> 16) & 0x8000
+            e = ((b >> 23) & 0xFF) + 15
+            m = b & 0x7FFFFF
+            he = e - 112
+            m13 = m >> 13
+            rest = m & 0x1FFF
+            rnd = (rest + 0x0FFF + (m13 & 1)) >> 13
+            h = (s | (he << 10) | m13) + rnd
+            h = jnp.where(he <= 0, s, h)
+            h = jnp.where(he >= 31, s | 0x7BFF, h)
+            return h.astype(jnp.uint16)
         return x.astype(jnp.bfloat16)
 
     # ---------------- kernel ----------------
@@ -600,7 +621,9 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
              else v((1, X), lambda i: (i, 0))),
         ]
 
-    sdt = {"f32": jnp.float32, "f16": jnp.float16, "bf16": jnp.bfloat16}[storage]
+    # f16 DDFs travel through the kernel as uint16 bit patterns (software
+    # codec in dec/enc above); step() bitcasts at the boundary.
+    sdt = {"f32": jnp.float32, "f16": jnp.uint16, "bf16": jnp.bfloat16}[storage]
     out_shapes = [
         jax.ShapeDtypeStruct((9, Z, Y, X), sdt),
         jax.ShapeDtypeStruct((5, Z, Y, X), sdt),
@@ -683,7 +706,16 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             fla_in = jnp.concatenate([s.flags[1:], fla_halo], axis=0)
         else:
             fp_in, fm_in, flb_in, fla_in = s.fp, s.fm, s.flags, s.flags
-        args = [s.f0, fp_in, fm_in, s.fp, s.fm, s.flags, flb_in, fla_in,
+        if storage == "f16":
+            # Mosaic has no IEEE f16: DDFs cross the kernel boundary as
+            # uint16 bit patterns (free XLA bitcasts outside the kernel)
+            def bits(a):
+                return jax.lax.bitcast_convert_type(a, jnp.uint16)
+        else:
+            def bits(a):
+                return a
+        args = [bits(s.f0), bits(fp_in), bits(fm_in), bits(s.fp), bits(s.fm),
+                s.flags, flb_in, fla_in,
                 s.rho, s.u, dyn_arr, _tab19, _tab7]
         if has_forcing:
             fl = forcing_loc or {}
@@ -704,14 +736,23 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             else:
                 gp_in, gm_in = s.gp, s.gm
             t_last = (s.T[-1] if sponge_axis == "z" else s.T[:, -1, :])
-            args += [s.g0, gp_in, gm_in, s.gp, s.gm, s.T,
+            args += [bits(s.g0), bits(gp_in), bits(gm_in), bits(s.gp),
+                     bits(s.gm), s.T,
                      (forcing_loc or {}).get("top_T", t_last)]
         out = call(*args)
+        if storage == "f16":
+            def unbits(a):
+                return jax.lax.bitcast_convert_type(a, jnp.float16)
+        else:
+            def unbits(a):
+                return a
         if thermal:
             f0, fp, fm, rho, u, g0, gp, gm, T = out
-            return SplitState(f0=f0, fp=fp, fm=fm, rho=rho, u=u, flags=s.flags,
-                              g0=g0, gp=gp, gm=gm, T=T)
+            return SplitState(f0=unbits(f0), fp=unbits(fp), fm=unbits(fm),
+                              rho=rho, u=u, flags=s.flags,
+                              g0=unbits(g0), gp=unbits(gp), gm=unbits(gm), T=T)
         f0, fp, fm, rho, u = out
-        return SplitState(f0=f0, fp=fp, fm=fm, rho=rho, u=u, flags=s.flags)
+        return SplitState(f0=unbits(f0), fp=unbits(fp), fm=unbits(fm),
+                          rho=rho, u=u, flags=s.flags)
 
     return step

@@ -14,7 +14,7 @@ def _interpret_mode(monkeypatch):
     monkeypatch.setenv("LUW_PALLAS_INTERPRET", "1")
 
 
-def _mk_case(thermal, shape=(8, 32, 128)):
+def _mk_case(thermal, shape=(8, 32, 128), storage="f32"):
     import jax.numpy as jnp
 
     from latticeurbanwind_tpu.lbm import (
@@ -25,7 +25,7 @@ def _mk_case(thermal, shape=(8, 32, 128)):
     Z, Y, X = shape
     rng = np.random.default_rng(0)
     cfg = StepConfig(omega=omega_from_nu(0.03), subgrid=True, thermal=thermal,
-                     omega_t=1.1, beta=0.002, storage="f32")
+                     omega_t=1.1, beta=0.002, storage=storage)
     u = 0.02 * rng.standard_normal((3, Z, Y, X)).astype(np.float32)
     rho = (1.0 + 0.001 * rng.standard_normal(shape)).astype(np.float32)
     flags = np.zeros(shape, np.uint8)
@@ -48,14 +48,28 @@ def _mk_case(thermal, shape=(8, 32, 128)):
 @pytest.mark.parametrize("thermal", [False, True])
 @pytest.mark.parametrize("shape", [(8, 32, 128), (7, 21, 45)])
 def test_pallas_matches_reference(thermal, shape):
+    _check_pallas_matches_reference(thermal, shape, "f32", atol=3e-6)
+
+
+def test_pallas_f16_software_codec_matches_reference():
+    """f16 DDFs ride the pallas tier via the in-kernel software FP16S codec
+    (uint16 bit patterns, RN encode).  Must match the jnp tier's IEEE-f16
+    codec to a few ULPs of the stored half — the two tiers' fp32 evaluation
+    orders differ by ~1e-7, which can land on opposite sides of an RN
+    rounding boundary (subnormal halves additionally flush below 2^-29)."""
+    _check_pallas_matches_reference(False, (8, 32, 128), "f16", atol=2e-5)
+
+
+def _check_pallas_matches_reference(thermal, shape, storage, atol):
     import jax
 
     from latticeurbanwind_tpu.lbm.reference import make_step as ref_step_f
+    from latticeurbanwind_tpu.lbm.state import decode_ddf
     from latticeurbanwind_tpu.ops.stream_collide import (
         make_pallas_step, merge_state, split_state,
     )
 
-    cfg, state, forcing, dyn = _mk_case(thermal, shape=shape)
+    cfg, state, forcing, dyn = _mk_case(thermal, shape=shape, storage=storage)
     ref_step = jax.jit(ref_step_f(cfg, forcing))
     pstep = make_pallas_step(cfg, forcing, state.rho.shape)
     pal = jax.jit(lambda st, d: merge_state(pstep(split_state(st), d)))
@@ -63,11 +77,13 @@ def test_pallas_matches_reference(thermal, shape):
     for _ in range(5):
         r = ref_step(r, dyn)
         p = pal(p, dyn)
-    np.testing.assert_allclose(np.asarray(p.fi), np.asarray(r.fi), atol=3e-6)
-    np.testing.assert_allclose(np.asarray(p.rho), np.asarray(r.rho), atol=3e-6)
-    np.testing.assert_allclose(np.asarray(p.u), np.asarray(r.u), atol=3e-6)
+    np.testing.assert_allclose(np.asarray(decode_ddf(p.fi, storage)),
+                               np.asarray(decode_ddf(r.fi, storage)),
+                               atol=atol)
+    np.testing.assert_allclose(np.asarray(p.rho), np.asarray(r.rho), atol=atol)
+    np.testing.assert_allclose(np.asarray(p.u), np.asarray(r.u), atol=atol)
     if thermal:
-        np.testing.assert_allclose(np.asarray(p.T), np.asarray(r.T), atol=3e-6)
+        np.testing.assert_allclose(np.asarray(p.T), np.asarray(r.T), atol=atol)
 
 
 def test_split_merge_round_trip():
