@@ -22,9 +22,10 @@ TPU-native replacement for the reference's OpenCL hot loop
     source of truth for the math, verified equivalent by
     tests/test_pallas_kernel.py.
 
-Constraints: X % 128 == 0, Y % 32 == 0, Z >= 4 (falls back to the
-reference tier otherwise).  Single-chip; the multi-chip path wraps the
-reference tier via GSPMD until the shard_map'd pallas variant lands.
+Constraints: Z >= 3, Y/X >= 8, plane Y*X <= 256Ki cells (VMEM budget;
+wide-flat grids run via the axis-permuted variant, ops/permute.py).
+Multi-chip: shard_map halo runner in parallel/halo.py, or GSPMD over the
+reference tier.
 """
 
 from __future__ import annotations
