@@ -26,6 +26,7 @@ COMMANDS = {
     "luwbc": _lazy("latticeurbanwind_tpu.pre.buildbc", "main"),
     "luwcut": _lazy("latticeurbanwind_tpu.pre.shpcutter", "main"),
     "luwvox": _lazy("latticeurbanwind_tpu.pre.voxelization", "main"),
+    "luwdem": _lazy("latticeurbanwind_tpu.pre.dem_ingest", "main"),
     "luwval": _lazy(".validate"),
     "cdfinspect": _lazy(".inspect_tools", "cdfinspect_main"),
     "shpinspect": _lazy(".inspect_tools", "shpinspect_main"),

@@ -100,3 +100,31 @@ def test_luwtkeviz(tmp_path, capsys):
                       "--base-height", "0"])
     assert rc == 0
     assert list((case / "RESULTS" / "tke_viz").glob("*.png"))
+
+
+def test_dem_ingest_csv(tmp_path, capsys):
+    from latticeurbanwind_tpu.pre.dem_ingest import ingest_dem
+
+    case = tmp_path / "case"
+    (case / "database").mkdir(parents=True)
+    (case / "conf.luw").write_text(
+        "casename = d\nmanual_lon = [139.0, 139.02]\nmanual_lat = [37.9, 37.92]\n")
+    # geographic DEM points: some inside the 120% bbox, some far away
+    rng = np.random.default_rng(1)
+    lon = np.concatenate([rng.uniform(138.99, 139.03, 400),
+                          rng.uniform(150.0, 151.0, 100)])
+    lat = np.concatenate([rng.uniform(37.89, 37.93, 400),
+                          rng.uniform(20.0, 21.0, 100)])
+    elev = rng.uniform(0, 80, 500)
+    np.savetxt(case / "database" / "site_dem.csv",
+               np.column_stack([lon, lat, elev]), delimiter=",",
+               header="lon,lat,elev", comments="")
+    out = ingest_dem(case / "conf.luw")
+    assert out is not None and out.name == "dem_points.csv"
+    pts = np.loadtxt(out, delimiter=",", skiprows=1)
+    # 120% bbox covers 0.6 of the sampled lon span and 0.6 of lat ->
+    # ~0.36 * 400 = 144 kept; all far-away (lon 150+) points clipped
+    assert 100 <= len(pts) <= 200
+    # local UTM metres, anchored at the SW corner; ~0.04 deg lon ~ 3.5 km
+    assert pts[:, 0].min() == 0.0 and 1000 < pts[:, 0].max() < 6000
+    assert np.all((pts[:, 2] >= 0) & (pts[:, 2] <= 80))
