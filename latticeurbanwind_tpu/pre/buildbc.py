@@ -138,19 +138,24 @@ def main(argv=None) -> int:
                            raw[:, 3], raw[:, 4], raw[:, 5], T)
         return 0
 
-    try:
-        import xarray  # noqa: F401
-    except ImportError:
-        print("[luwbc] ERROR: xarray is unavailable and no "
-              "proj_temp/wind_samples.csv fallback exists.\n"
-              "  Provide the GIS stack (xarray/netCDF4) for WRF ingestion, or "
-              "pre-extract samples to wind_samples.csv "
-              "(lon,lat,z_agl,u,v,w[,T]).")
-        return 1
-
+    # WRF/NetCDF path: xarray when installed, scipy NetCDF-3 fallback
     from .wrf_ingest import build_from_wrf
 
-    return build_from_wrf(deck_path)
+    try:
+        return build_from_wrf(deck_path)
+    except FileNotFoundError as e:
+        print(f"[luwbc] ERROR: {e}\n"
+              "  Provide wind_bc/<case>_<datetime>.nc (NetCDF-3 classic works "
+              "without the GIS stack; NetCDF-4 needs xarray), or pre-extract "
+              "samples to proj_temp/wind_samples.csv (lon,lat,z_agl,u,v,w[,T]).")
+        return 1
+    except Exception as e:   # noqa: BLE001 — scipy raises bare errors on NC4
+        if "is not a valid NetCDF 3 file" in str(e):
+            print("[luwbc] ERROR: the NetCDF file is NetCDF-4/HDF5 and xarray "
+                  "is not installed.  Convert with `nccopy -k classic` or "
+                  "install xarray/netCDF4.")
+            return 1
+        raise
 
 
 if __name__ == "__main__":
