@@ -34,6 +34,94 @@ def _height_column(gdf, explicit: str):
     return None
 
 
+def _main_pure(deck, home: Path) -> int:
+    """GIS-less path: pure-python shapefile reader (pre/shp_reader.py).
+
+    Reads the polygon .shp/.dbf directly, auto-detects the height column,
+    crops to the deck's cut lon/lat bbox, drops degenerate rings, converts
+    lon/lat footprints to the case's local rotated frame via TransformModel
+    (post/transform.py — requires luwbc to have run first), and writes the
+    buildings.csv contract luwvox consumes.
+    """
+    if (home / "proj_temp" / "buildings.csv").exists():
+        print("[luwcut] geopandas unavailable; using existing "
+              "proj_temp/buildings.csv")
+        return 0
+    from .shp_reader import polygon_defects, read_shp
+
+    try:
+        shp = resolve_shp_path(home, deck)
+    except FileNotFoundError as e:
+        print(f"[luwcut] ERROR: {e} (and no proj_temp/buildings.csv fallback)")
+        return 1
+    f = read_shp(shp)
+    print(f"[luwcut] pure-python reader: {shp.name} ({f.shape_name}, "
+          f"{len(f.records)} records)")
+
+    # height column auto-detection on the dbf attributes
+    explicit = (deck.get_text("terr_voxel_height_field") or "auto").strip()
+    hcol = None
+    if f.fields:
+        cands = ([explicit] if explicit.lower() not in ("auto", "inferred", "")
+                 else []) + ["height", "HEIGHT", "Height", "height_m",
+                             "HEIGHT_M", "h", "bldg_h", "BLDG_H"]
+        hcol = next((c for c in cands if c in f.fields), None)
+    ignore_under = deck.get_float("terr_voxel_ignore_under", 0.0) or 0.0
+
+    lon_pair = deck.get_pair("cut_lon_manual")
+    lat_pair = deck.get_pair("cut_lat_manual")
+    geographic = abs(f.bbox[0]) <= 360 and abs(f.bbox[3]) <= 360
+    tm = None
+    if geographic:
+        try:
+            from ..post.transform import TransformModel
+
+            sx = deck.get_pair("si_x_cfd") or (0.0, 0.0)
+            sy = deck.get_pair("si_y_cfd") or (0.0, 0.0)
+            tm = TransformModel.from_deck(deck, (sx[1], sy[1]))
+        except (ValueError, TypeError):
+            print("[luwcut] ERROR: lon/lat shapefile needs the deck's "
+                  "cut_lon/lat + generated fields (run luwbc first)")
+            return 1
+
+    rows = ["id,x,y,height"]
+    kept = dropped = 0
+    for rec in f.records:
+        if polygon_defects(rec):
+            dropped += 1
+            continue
+        h = 10.0
+        if hcol is not None and rec.number - 1 < len(f.attributes):
+            try:
+                h = float(f.attributes[rec.number - 1].get(hcol) or 10.0)
+            except (TypeError, ValueError):
+                h = 10.0
+        if h <= ignore_under:
+            dropped += 1
+            continue
+        ring = np.asarray(rec.parts[0])           # exterior ring
+        if lon_pair and lat_pair and geographic:
+            inside = ((ring[:, 0] >= lon_pair[0]) & (ring[:, 0] <= lon_pair[1])
+                      & (ring[:, 1] >= lat_pair[0]) & (ring[:, 1] <= lat_pair[1]))
+            if not inside.any():
+                dropped += 1
+                continue
+        if tm is not None:
+            x, y = tm.lonlat_to_local(ring[:, 0], ring[:, 1])
+        else:
+            x, y = ring[:, 0], ring[:, 1]
+        for xi, yi in zip(x, y):
+            rows.append(f"{kept},{xi:.4f},{yi:.4f},{h:.2f}")
+        kept += 1
+
+    out = home / "proj_temp" / "buildings.csv"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    out.write_text("\n".join(rows) + "\n")
+    print(f"[luwcut] wrote buildings.csv: {kept} footprints "
+          f"({dropped} dropped: degenerate/outside/under-height)")
+    return 0
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) != 1:
@@ -48,15 +136,7 @@ def main(argv=None) -> int:
         from shapely.geometry import box
         from shapely.validation import make_valid
     except ImportError:
-        # geometry-only environments can still proceed if buildings.csv exists
-        if (home / "proj_temp" / "buildings.csv").exists():
-            print("[luwcut] geopandas unavailable; using existing "
-                  "proj_temp/buildings.csv")
-            return 0
-        print("[luwcut] ERROR: geopandas/shapely unavailable and no "
-              "proj_temp/buildings.csv fallback; provide the GIS stack or "
-              "pre-extract footprints.")
-        return 1
+        return _main_pure(deck, home)
 
     try:
         shp = resolve_shp_path(home, deck)

@@ -128,3 +128,55 @@ def test_dem_ingest_csv(tmp_path, capsys):
     # local UTM metres, anchored at the SW corner; ~0.04 deg lon ~ 3.5 km
     assert pts[:, 0].min() == 0.0 and 1000 < pts[:, 0].max() < 6000
     assert np.all((pts[:, 2] >= 0) & (pts[:, 2] <= 80))
+
+
+def _write_dbf(path, field, values, flen=10):
+    """Minimal dBase III with one numeric column."""
+    n = len(values)
+    hdr_size = 32 + 32 + 1
+    rec_size = 1 + flen
+    hdr = bytearray(32)
+    hdr[0] = 3
+    hdr[1:4] = bytes([96, 1, 1])
+    hdr[4:8] = struct.pack("<i", n)
+    hdr[8:10] = struct.pack("<h", hdr_size)
+    hdr[10:12] = struct.pack("<h", rec_size)
+    fd = bytearray(32)
+    fd[:11] = field.encode().ljust(11, b"\x00")
+    fd[11] = ord("N")
+    fd[16] = flen
+    body = b""
+    for v in values:
+        body += b" " + (f"{v:.2f}".rjust(flen)).encode()
+    path.write_bytes(bytes(hdr) + bytes(fd) + b"\x0d" + body + b"\x1a")
+
+
+def test_luwcut_pure_python_shapefile(tmp_path, capsys):
+    from latticeurbanwind_tpu.pre.shpcutter import main as luwcut_main
+
+    case = tmp_path / "case"
+    (case / "building_db").mkdir(parents=True)
+    (case / "conf.luw").write_text(
+        "casename = c\ncut_lon_manual = [139.0, 139.02]\n"
+        "cut_lat_manual = [37.9, 37.92]\n"
+        "si_x_cfd = [0.0, 1760.0]\nsi_y_cfd = [0.0, 2220.0]\n"
+        'utm_crs = "EPSG:32654"\nrotate_deg = 0.0\n')
+    # inside bbox / outside bbox / degenerate (zero area)
+    d = 0.0005
+    def sq(cx, cy):
+        return [(cx-d, cy-d), (cx-d, cy+d), (cx+d, cy+d), (cx+d, cy-d), (cx-d, cy-d)]
+    polys = [sq(139.01, 37.91), sq(139.30, 37.60),
+             [(139.011, 37.911)] * 4]
+    _write_polygon_shp(case / "building_db" / "b.shp", polys)
+    _write_dbf(case / "building_db" / "b.dbf", "height", [25.0, 30.0, 40.0])
+
+    rc = luwcut_main([str(case / "conf.luw")])
+    out = capsys.readouterr().out
+    assert rc == 0, out
+    assert "1 footprints" in out and "2 dropped" in out
+    rows = np.loadtxt(case / "proj_temp" / "buildings.csv",
+                      delimiter=",", skiprows=1)
+    assert rows.shape == (5, 4)
+    assert np.all(rows[:, 3] == 25.0)                      # dbf height used
+    assert 0 <= rows[:, 0].min() and rows[:, 0].max() <= 1760   # local frame
+    assert 0 <= rows[:, 1].min() and rows[:, 1].max() <= 2220
