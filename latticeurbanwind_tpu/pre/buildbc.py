@@ -115,6 +115,12 @@ def build_from_samples(deck_path: Path, lon, lat, z_agl, u, v, w, T=None) -> Pat
     deck.set_bool("origin_shift_applied", True)
     deck.set_float("center_lon", float(lon.mean()))
     deck.set_float("center_lat", float(lat.mean()))
+    # default the cut window to the data extent when the user gave none —
+    # probes and the geographic transform (post/transform.py) need it
+    if deck.get_pair("cut_lon_manual") is None:
+        deck.set_pair("cut_lon_manual", (float(lon.min()), float(lon.max())))
+    if deck.get_pair("cut_lat_manual") is None:
+        deck.set_pair("cut_lat_manual", (float(lat.min()), float(lat.max())))
     deck.save()
     print(f"[luwbc] wrote {out.name} ({len(X)} samples), EPSG:{epsg}, "
           f"rotate {rot:.3f} deg, downstream {face}")

@@ -229,17 +229,27 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
                    thermal=case.config.thermal)
     t = resume_t
     t0 = time.perf_counter()
-    info.start(t)
     next_events = [e for e in event_list if e > t]
-    bench_steps = 0 if t else min(16, next_events[0] if next_events else 16,
-                                  total_steps)
+    avail = (next_events[0] if next_events else total_steps) - t
+    bench_steps = 0 if t else min(16, avail // 2, total_steps)
+    info.start(t)
+    calibrated = False
     if bench_steps > 0:
+        # first batch warms up (jit compile) so the calibration batch times
+        # pure stepping — the reference's OpenCL program is likewise compiled
+        # before its 16-step benchmark (setup.cpp:4799-4841).  Both batches
+        # use the same runner length, so no extra compilation happens.
         state = runner(bench_steps)(state, case.dyn, t)
         _sync(state)
-        t = bench_steps
+        t += bench_steps
+        info.start(t)
+        state = runner(bench_steps)(state, case.dyn, t)
+        _sync(state)
+        t += bench_steps
         info.update(t)
+        calibrated = True
     timing = {"normal_steps_per_second": info.steps_per_second()}
-    if not quiet and bench_steps > 0:
+    if not quiet and calibrated:
         print(info.timing_plan(impl_name)
               + f", ETA {info.eta_seconds(t):.1f} s")
     progress.emit("Solving CFD", f"{t}/{total_steps} steps", t, total_steps)
