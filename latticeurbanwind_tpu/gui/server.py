@@ -22,6 +22,8 @@ import subprocess
 import sys
 import threading
 import time
+
+import numpy as np
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 from pathlib import Path
 from typing import Dict, List, Optional
@@ -191,38 +193,70 @@ class Studio:
         return out
 
     def api_render(self, q) -> bytes:
-        """VTK layer render -> PNG (the VtkViewWidget/streamcenter analog)."""
+        """VTK render -> PNG (the VtkViewWidget/streamcenter analog).
+
+        mode=slice (default): one z layer, quiver overlay for vectors.
+        mode=mip: maximum-intensity projection along z/y/x — the lightweight
+        analog of the reference's streamcenter volume viewer.
+        field=Q: virtual Q-criterion field derived from the velocity
+        (run/snapshots.q_criterion, same stencil as the reference renderer).
+        """
         from ..io.vtk import read_structured_points
 
         path = self.resolve(q["path"][0])
         meta, fields = read_structured_points(path)
         name = q.get("field", [None])[0]
-        if name is None or name not in fields:
-            name = next(iter(fields))
-        arr = fields[name]
+        mode = q.get("mode", ["slice"])[0]
+        axis = {"z": 0, "y": 1, "x": 2}.get(q.get("axis", ["z"])[0], 0)
         z = int(q.get("z", ["0"])[0])
+
+        if name == "Q":
+            from ..run.snapshots import q_criterion
+
+            vec = next((v for v in fields.values() if v.ndim == 4), None)
+            if vec is None:
+                raise ValueError("Q-criterion needs a vector field")
+            arr = q_criterion(vec.astype(np.float64)).astype(np.float32)
+            arr = np.clip(arr, 0.0, None)
+        elif name is None or name not in fields:
+            name = next(iter(fields))
+            arr = fields[name]
+        else:
+            arr = fields[name]
 
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
         fig, ax = plt.subplots(figsize=(7.2, 6))
-        if arr.ndim == 4:       # vector: speed + quiver
+        quiver = None
+        if mode == "mip":
+            mag = ((arr ** 2).sum(axis=0) ** 0.5) if arr.ndim == 4 else arr
+            img = mag.max(axis=axis)
+            im = ax.imshow(img, origin="lower",
+                           cmap="inferno" if name == "Q" else "turbo")
+            label = f"max |{name}| along {'zyx'[axis]}"
+            title = f"{path.name} — {name} MIP/{'zyx'[axis]}"
+        elif arr.ndim == 4:       # vector slice: speed + quiver
             z = min(max(z, 0), arr.shape[1] - 1)
             sp = (arr[:, z] ** 2).sum(axis=0) ** 0.5
             im = ax.imshow(sp, origin="lower", cmap="turbo")
             st = max(1, max(sp.shape) // 24)
-            ys, xs = [g[::st] for g in
-                      (range(arr.shape[2]), range(arr.shape[3]))]
-            ax.quiver(list(xs), list(ys), arr[0, z, ::st, ::st],
-                      arr[1, z, ::st, ::st], color="white", width=0.003)
+            quiver = (list(range(0, arr.shape[3], st)),
+                      list(range(0, arr.shape[2], st)),
+                      arr[0, z, ::st, ::st], arr[1, z, ::st, ::st])
             label = f"|{name}|"
+            title = f"{path.name} — {name} @ z={z}"
         else:
             z = min(max(z, 0), arr.shape[0] - 1)
-            im = ax.imshow(arr[z], origin="lower", cmap="viridis")
+            im = ax.imshow(arr[z], origin="lower",
+                           cmap="inferno" if name == "Q" else "viridis")
             label = name
+            title = f"{path.name} — {name} @ z={z}"
+        if quiver is not None:
+            ax.quiver(*quiver, color="white", width=0.003)
         fig.colorbar(im, ax=ax, label=label)
-        ax.set_title(f"{path.name} — {name} @ z={z}")
+        ax.set_title(title)
         buf = io.BytesIO()
         fig.savefig(buf, format="png", dpi=100, bbox_inches="tight")
         plt.close(fig)

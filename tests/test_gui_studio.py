@@ -102,3 +102,11 @@ def test_studio_job_runner(studio):
 
     bad = _json(base + "/api/run", post={"cmd": "rm", "args": ["-rf", "/"]})
     assert "error" in bad
+
+
+def test_studio_mip_and_q_render(studio):
+    base, case = studio
+    for params in ("mode=mip&axis=y&field=u_avg", "field=Q&mode=mip"):
+        ctype, png = _get(
+            base + "/api/render?path=RESULTS/vtk/demo_avg-000000010.vtk&" + params)
+        assert ctype == "image/png" and png[:4] == b"\x89PNG", params
