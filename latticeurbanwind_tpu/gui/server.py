@@ -37,7 +37,7 @@ ALLOWED_COMMANDS = (
     "makeluw", "runluw", "luwbc", "luwcut", "luwvox", "luwval", "cdfinspect",
     "shpinspect", "cleanluw", "visluw", "vtk2nc", "luwcutvis", "luwspectra",
     "luwseason", "dgprepare", "buildingscale", "luwutmnc", "luwenv",
-    "luwtkeviz", "visdem", "shptester",
+    "luwtkeviz", "visdem", "shptester", "luwdem",
 )
 
 
