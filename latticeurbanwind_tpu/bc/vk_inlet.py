@@ -83,6 +83,7 @@ class VkRuntime(NamedTuple):
     modes_omega: np.ndarray   # (5, M)
     modes_A: np.ndarray       # (5, M, 3)
     modes_phi: np.ndarray     # (5, M, 3)
+    grid: Tuple[int, int, int] = (0, 0, 0)   # (Z, Y, X) of the lattice
 
 
 def _opposite_side(face_id: int) -> int:
@@ -257,75 +258,121 @@ def build_vk_runtime(cfg: VkConfig, flags: np.ndarray,
         face_of=np.concatenate(fids),
         modes_k=modes_k, modes_omega=modes_omega,
         modes_A=modes_A, modes_phi=modes_phi,
+        grid=(Z, Y, X),
     )
 
 
 def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime):
     """jit-traceable pre-step: perturb the inlet velocities at step t.
 
+    The perturbation is applied as DENSE per-face slab updates rather than a
+    point scatter: TPU scatters serialize (~64 ms for 280k points on v5e vs
+    ~7 ms for whole-face slab writes), and inlet points always live on the
+    five domain faces.  Per face we hold dense mask / base / sigma / position
+    grids built once on the host from the runtime's point lists.
+
     The returned callable also carries a `.permuted` attribute: the same
     perturbation expressed in the z<->y transposed orientation used by the
-    axis-permuted pallas tier (ops/permute.py) — scatter indices swap z/y and
-    the perturbation's velocity components swap accordingly.  The spatial
-    phase k.x is a physical scalar, so mode tables are shared.
+    axis-permuted pallas tier (ops/permute.py) — face axes remap (canonical
+    south/north become marching-axis slabs, top becomes the north slab) and
+    velocity components swap.  The spatial phase k.x is a physical scalar,
+    so mode tables are shared between orientations.
     """
     import jax.numpy as jnp
 
     stride = max(1, cfg.update_stride)
     interp = cfg.stride_interpolation and stride > 1
-    pts = jnp.asarray(rt.points)            # (P, 3)
-    sigma = jnp.asarray(rt.sigma)           # (P,)
-    face_of = jnp.asarray(rt.face_of)
     kk = jnp.asarray(rt.modes_k)            # (5, M, 3)
     om = jnp.asarray(rt.modes_omega)        # (5, M)
     same = cfg.same_realization_all_faces
-    active_faces = sorted(set(int(f) for f in np.asarray(rt.face_of)))
+    face_of_np = np.asarray(rt.face_of)
+    active_faces = sorted(set(int(f) for f in face_of_np))
 
-    def build(idx_order, comp_order):
-        idx_z = jnp.asarray(rt.idx[idx_order[0]])
-        idx_y = jnp.asarray(rt.idx[idx_order[1]])
-        idx_x = jnp.asarray(rt.idx[idx_order[2]])
+    Z, Y, X = (int(v) for v in rt.grid)
+    idx = tuple(np.asarray(a) for a in rt.idx)
+    coord = {"z": idx[0], "y": idx[1], "x": idx[2]}
+    size = {"z": Z, "y": Y, "x": X}
+    # fid -> (u axis, slab index, row coord, col coord)
+    FACE_DEF = {
+        WEST: (3, 0, "z", "y"), EAST: (3, -1, "z", "y"),
+        SOUTH: (2, 0, "z", "x"), NORTH: (2, -1, "z", "x"),
+        TOP: (1, -1, "y", "x"),
+    }
+
+    def build(comp_order, permuted):
         cp = np.asarray(comp_order)
-        base = jnp.asarray(np.asarray(rt.base_u)[cp])            # (3, P)
-        AA = jnp.asarray(np.asarray(rt.modes_A)[:, :, cp])       # (5, M, 3)
-        ph = jnp.asarray(np.asarray(rt.modes_phi)[:, :, cp])
+        A_np = np.asarray(rt.modes_A)[:, :, cp]                  # (5, M, 3)
+        ph_np = np.asarray(rt.modes_phi)[:, :, cp]
+        # cos(theta + phi_c) = cos(theta) cos(phi_c) - sin(theta) sin(phi_c):
+        # one cos/sin pair per point covers all three components
+        A_cos = jnp.asarray(A_np * np.cos(ph_np))                # (5, M, 3)
+        A_sin = jnp.asarray(A_np * np.sin(ph_np))
+        faces = []
+        for fid in active_faces:
+            axis, index, rs, cs = FACE_DEF[fid]
+            sel = face_of_np == fid
+            R, C = size[rs], size[cs]
+            rows, cols = coord[rs][sel], coord[cs][sel]
+            mask = np.zeros((R, C), np.float32)
+            mask[rows, cols] = 1.0
+            base = np.zeros((3, R, C), np.float32)
+            base[:, rows, cols] = np.asarray(rt.base_u)[cp][:, sel]
+            sig = np.zeros((R, C), np.float32)
+            sig[rows, cols] = np.asarray(rt.sigma)[sel]
+            pts = np.zeros((R, C, 3), np.float32)
+            pts[rows, cols] = np.asarray(rt.points)[sel]
+            if permuted:
+                if fid in (WEST, EAST):    # face dims (z,y) -> (z',y')=(y,z)
+                    mask, sig = mask.T, sig.T
+                    base = base.transpose(0, 2, 1)
+                    pts = pts.transpose(1, 0, 2)
+                axis = {1: 2, 2: 1, 3: 3}[axis]
+            faces.append((fid, axis, index, jnp.asarray(mask),
+                          jnp.asarray(base), jnp.asarray(sig),
+                          jnp.asarray(pts.reshape(-1, 3))))
 
-        def perturb_at(t_float):
-            def face_term(fid):
-                # spatial phase (P, M) + temporal phase; contraction over modes
-                theta = pts @ kk[fid].T + om[fid][None, :] * t_float
-                out = []
-                for c in range(3):
-                    out.append(jnp.cos(theta + ph[fid, :, c][None, :]) @ AA[fid, :, c])
-                return jnp.stack(out)        # (3, P)
-
-            if same:
-                fid0 = active_faces[0]
-                return face_term(fid0)
-            acc = jnp.zeros((3, pts.shape[0]), jnp.float32)
-            for fid in active_faces:
-                m = (face_of == fid).astype(jnp.float32)[None]
-                acc = acc + m * face_term(fid)
-            return acc
+        def face_q(fid, pts_flat, shape2, t_float):
+            mid = active_faces[0] if same else fid
+            theta = pts_flat @ kk[mid].T + om[mid][None, :] * t_float
+            ct, st = jnp.cos(theta), jnp.sin(theta)
+            q = ct @ A_cos[mid] - st @ A_sin[mid]        # (N, 3)
+            return q.T.reshape(3, *shape2)               # (3, R, C)
 
         def pre_step(state: LBMState, t) -> LBMState:
             tf = jnp.asarray(t, jnp.float32)
             anchor = jnp.floor(tf / stride) * stride
-            if interp:
-                a = (tf - anchor) / stride
-                q = perturb_at(anchor)
-                q1 = perturb_at(anchor + stride)
-                q = q + a * (q1 - q)
-            else:
-                q = perturb_at(anchor if stride > 1 else tf)
-            u_pts = base + sigma[None] * q
-            u_new = state.u.at[:, idx_z, idx_y, idx_x].set(u_pts)
-            return state._replace(u=u_new)
+            u = state.u
+            for fid, axis, index, mask, base, sig, pts_flat in faces:
+                shape2 = mask.shape
+
+                def q_at(tv):
+                    return face_q(fid, pts_flat, shape2, tv)
+
+                if interp:
+                    a = (tf - anchor) / stride
+                    q = q_at(anchor)
+                    q = q + a * (q_at(anchor + stride) - q)
+                else:
+                    q = q_at(anchor if stride > 1 else tf)
+                newf = base + sig[None] * q
+                if axis == 1:
+                    cur = u[:, index]
+                    u = u.at[:, index].set(mask[None] * newf
+                                           + (1.0 - mask[None]) * cur)
+                elif axis == 2:
+                    cur = u[:, :, index]
+                    u = u.at[:, :, index].set(mask[None] * newf
+                                              + (1.0 - mask[None]) * cur)
+                else:
+                    cur = u[:, :, :, index]
+                    u = u.at[:, :, :, index].set(mask[None] * newf
+                                                 + (1.0 - mask[None]) * cur)
+            return state._replace(u=u)
 
         return pre_step
 
-    pre_step = build((0, 1, 2), (0, 1, 2))
-    pre_step.permuted = build((1, 0, 2), (0, 2, 1))
+    pre_step = build((0, 1, 2), permuted=False)
+    pre_step.permuted = build((0, 2, 1), permuted=True)
     return pre_step
 
 
