@@ -37,17 +37,32 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
     """Jitted `run(state, dyn, t0) -> state` advancing n_inner steps from
     global step index t0 (t0 feeds per-step hooks like the VK inlet).
 
-    Returns (runner, impl_name).  impl: "auto" | "reference" | "pallas" |
-    "pallas-permuted".  `pre_step(state, t) -> state` runs before each step
-    inside the scan.
+    Returns (runner, impl_name) with runner(state, dyn, t0[, n_steps]).
+    impl: "auto" | "reference" | "pallas" | "pallas-permuted".
+    `pre_step(state, t) -> state` runs before each step inside the loop.
+
+    The step loop is a `lax.fori_loop` with a TRACED trip count: one
+    compilation serves every chunk length (the run driver stops at output/
+    averaging events at irregular strides — with a static scan length each
+    distinct chunk size would recompile the kernel, minutes per variant on
+    large grids).
 
     Dispatch order for "auto" on TPU: canonical pallas; else the z<->y
     axis-permuted pallas tier (wide-flat urban grids whose (Y, X) plane
     exceeds VMEM but whose (Z, X) plane fits — ops/permute.py); else the jnp
-    reference tier.  Permuted state stays permuted across the whole scan
-    chunk, so the transpose cost is amortized over n_inner steps.
+    reference tier.  Permuted state stays permuted across the whole chunk,
+    so the transpose cost is amortized over n_steps.
     """
     import jax.numpy as jnp
+
+    def loop(step_fn, state0, dyn, t0, n_steps, hook=pre_step):
+        def body(i, st):
+            t = t0 + i
+            if hook is not None:
+                st = hook(st, t)
+            return step_fn(st, dyn)
+
+        return jax.lax.fori_loop(0, n_steps, body, state0)
 
     use_pallas = impl == "pallas" or (
         impl == "auto" and shape is not None and _pallas_ok(shape, config))
@@ -65,17 +80,9 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
 
         step = make_pallas_step(config, forcing, shape)
 
-        def body(state: LBMState, dyn: DynParams, t0) -> LBMState:
+        def body(state: LBMState, dyn: DynParams, t0, n_steps) -> LBMState:
             s = split_state(state)
-
-            def inner(carry, _):
-                st, t = carry
-                if pre_step is not None:
-                    st = pre_step(st, t)
-                return (step(st, dyn), t + 1), None
-
-            (out, _), _ = jax.lax.scan(inner, (s, jnp.asarray(t0, jnp.int32)),
-                                       None, length=n_inner)
+            out = loop(step, s, dyn, jnp.asarray(t0, jnp.int32), n_steps)
             return merge_state(out)
 
         impl_name = "pallas"
@@ -88,39 +95,30 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
 
         step = make_permuted_pallas_step(config, forcing, shape)
 
-        def body(state: LBMState, dyn: DynParams, t0) -> LBMState:
+        def body(state: LBMState, dyn: DynParams, t0, n_steps) -> LBMState:
             s = split_state(permute_state(state))
-            dyn_p = permute_dyn(dyn)
-
-            def inner(carry, _):
-                st, t = carry
-                if pre_step_p is not None:
-                    st = pre_step_p(st, t)
-                return (step(st, dyn_p), t + 1), None
-
-            (out, _), _ = jax.lax.scan(inner, (s, jnp.asarray(t0, jnp.int32)),
-                                       None, length=n_inner)
+            out = loop(step, s, permute_dyn(dyn), jnp.asarray(t0, jnp.int32),
+                       n_steps, hook=pre_step_p)
             return unpermute_state(merge_state(out))
 
         impl_name = "pallas-permuted"
     else:
         step = make_reference_step(config, forcing)
 
-        def body(state: LBMState, dyn: DynParams, t0) -> LBMState:
-            def inner(carry, _):
-                st, t = carry
-                if pre_step is not None:
-                    st = pre_step(st, t)
-                return (step(st, dyn), t + 1), None
-
-            (out, _), _ = jax.lax.scan(inner, (state, jnp.asarray(t0, jnp.int32)),
-                                       None, length=n_inner)
-            return out
+        def body(state: LBMState, dyn: DynParams, t0, n_steps) -> LBMState:
+            return loop(step, state, dyn, jnp.asarray(t0, jnp.int32), n_steps)
 
         impl_name = "reference"
 
     jitted = jax.jit(body, donate_argnums=(0,) if donate else ())
-    return jitted, impl_name
+
+    def run(state, dyn, t0, n_steps=None):
+        # traced trip count: every chunk length reuses the one compilation
+        return jitted(state, dyn, t0,
+                      jnp.asarray(n_inner if n_steps is None else n_steps,
+                                  jnp.int32))
+
+    return run, impl_name
 
 
 def make_bench_runner(config: StepConfig, *, shape, n_inner: int, impl: str = "auto"):

@@ -103,18 +103,17 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
             halos["forcing_loc"] = fl
         return step_local(s, dyn, **halos)
 
-    def body(state: LBMState, dyn: DynParams, t0,
+    def body(state: LBMState, dyn: DynParams, t0, n_steps,
              nsig, nface, spz) -> LBMState:
         s = split_state(state)
+        t0 = jnp.asarray(t0, jnp.int32)
 
-        def inner(carry, _):
-            st, t = carry
+        def inner(i, st):
             if pre_step is not None:
-                st = pre_step(st, t)
-            return (sharded_step(st, dyn, nsig, nface, spz), t + 1), None
+                st = pre_step(st, t0 + i)
+            return sharded_step(st, dyn, nsig, nface, spz)
 
-        (out, _), _ = jax.lax.scan(inner, (s, jnp.asarray(t0, jnp.int32)),
-                                   None, length=n_inner)
+        out = jax.lax.fori_loop(0, n_steps, inner, s)
         return merge_state(out)
 
     spec_v = P(None, "z", None, None)
@@ -126,13 +125,15 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
         gi=spec_v if thermal else None, T=spec_s if thermal else None)
     smapped = shard_map(
         body, mesh=mesh,
-        in_specs=(in_state_specs, P(), P(), spec_s, spec_s, P("z", None)),
+        in_specs=(in_state_specs, P(), P(), P(), spec_s, spec_s, P("z", None)),
         out_specs=in_state_specs,
         check_rep=False,
     )
     jitted = jax.jit(smapped, donate_argnums=(0,))
 
-    def run(state: LBMState, dyn: DynParams, t0) -> LBMState:
-        return jitted(state, dyn, t0, nsig_g, nface_g, spz_g)
+    def run(state: LBMState, dyn: DynParams, t0, n_steps=None) -> LBMState:
+        n = jnp.asarray(n_inner if n_steps is None else n_steps, jnp.int32)
+        return jitted(state, dyn, jnp.asarray(t0, jnp.int32), n,
+                      nsig_g, nface_g, spz_g)
 
     return run

@@ -144,24 +144,23 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
             print(f"| Device mesh     | n_gpu={list(case.ngpu)} requested, "
                   f"{len(jax.devices())} device(s) visible — single-device run")
 
-    runners = {}
+    # ONE runner with a traced trip count serves every chunk length — the
+    # event schedule produces irregular chunk sizes, and a static-length
+    # loop would recompile the kernel per distinct size (minutes per
+    # variant on production grids).
+    if use_sharded_pallas:
+        from ..parallel.halo import make_sharded_pallas_runner
+
+        advance = make_sharded_pallas_runner(
+            case.config, case.forcing, shape, mesh, n_inner=1)
+        impl_name = "pallas-sharded"
+    else:
+        advance, impl_name = make_runner(
+            case.config, case.forcing, shape=shape, n_inner=1,
+            impl=eff_impl, donate=True, pre_step=case.pre_step)
 
     def runner(n: int):
-        if n not in runners:
-            if use_sharded_pallas:
-                from ..parallel.halo import make_sharded_pallas_runner
-
-                runners[n] = make_sharded_pallas_runner(
-                    case.config, case.forcing, shape, mesh, n_inner=n)
-            else:
-                runners[n] = make_runner(case.config, case.forcing, shape=shape,
-                                         n_inner=n, impl=eff_impl, donate=True,
-                                         pre_step=case.pre_step)[0]
-        return runners[n]
-
-    impl_name = ("pallas-sharded" if use_sharded_pallas else
-                 make_runner(case.config, case.forcing, shape=shape, n_inner=1,
-                             impl=eff_impl, donate=False)[1])
+        return lambda st, dyn, t: advance(st, dyn, t, n)
 
     # event times where we must stop stepping
     events = set()
