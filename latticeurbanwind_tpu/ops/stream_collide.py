@@ -662,8 +662,8 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         out_specs=out_specs,
         out_shape=out_shapes,
         # large (Y, X) planes need more than the 16 MiB default scoped VMEM;
-        # v5e has 128 MiB
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        # v5e has 128 MiB (a 512x512 plane's working set measures ~102 MiB)
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=bool(os.environ.get("LUW_PALLAS_INTERPRET")),
     )
 
