@@ -390,7 +390,12 @@ def vk_config_from_deck(deck, *, units, downstream_bc: str) -> VkConfig:
     try:
         seed = int(float(seed_text))
     except ValueError:
-        seed = abs(hash(seed_text)) % (1 << 63)
+        # deterministic digest — Python's salted hash() would give a
+        # different turbulence realization on every process run
+        import hashlib
+
+        seed = int.from_bytes(
+            hashlib.sha256(seed_text.encode()).digest()[:8], "little") >> 1
     nmodes = deck.get_int("vk_inlet_nmodes", 256) or 256
     if nmodes > NMODES_MAX:
         nmodes = NMODES_MAX

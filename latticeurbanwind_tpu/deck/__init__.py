@@ -13,7 +13,6 @@ from .schema import (
 )
 from .document import (
     DeckDocument,
-    DeckEntry,
     DeckParseError,
     deck_mode_from_path,
     load_deck,
@@ -23,6 +22,6 @@ from .document import (
 __all__ = [
     "FIELD_MAP", "FIELD_ORDER", "FIELDS", "MODE_BITS", "SECTION_ORDER", "SECTIONS",
     "export_schema_json", "normalize_key", "parse_bool_token", "sanitize_key", "strip_quotes",
-    "DeckDocument", "DeckEntry", "DeckParseError", "deck_mode_from_path",
+    "DeckDocument", "DeckParseError", "deck_mode_from_path",
     "load_deck", "parse_deck_text",
 ]

@@ -1,22 +1,31 @@
 """Deck document: order-insensitive parse + canonicalizing render of `.luw*` decks.
 
-Behavioral contract (parity with /root/reference/core/deck_io.py):
+Behavioral contract (parity with the reference deck layer, observed from
+`/root/reference/core/deck_io.py` behavior and the example decks — this
+implementation is an independent design):
   * `key = value` lines; `//` starts a comment (respecting quotes); a comment
     line whose text matches a section title/alias switches the current section.
   * keys are normalized (dashes/spaces -> underscores, aliases -> canonical).
   * unknown keys are preserved and rendered in the `custom` (or current) section.
-  * duplicate keys keep the last value and are tracked.
+  * duplicate keys keep the last value; earlier values stay queryable.
   * getters are tolerant: quotes stripped, fuzzy bools, NaN floats rejected.
   * `render()` rebuilds the deck in canonical section order, rewrites fuzzy
     bools to true/false and re-brackets list values.
 The deck is a mutable case database: pipeline stages write derived values back.
+
+Internal design: the parser is a small lexer that classifies each physical
+line into a tagged record (section switch / key-value / free text / blank);
+the document then stores values in flat parallel maps keyed by canonical key
+(no per-entry objects) plus per-section sequences for unknown keys and
+free-text lines.  Rendering is a single pass over the schema's section order
+that re-canonicalizes each value through one formatting function.
 """
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field as dc_field
+import math
 from pathlib import Path
-from typing import Dict, Iterable, List, Optional, Tuple
+from typing import Dict, Iterable, Iterator, List, Optional, Tuple
 
 from .schema import (
     FIELD_MAP,
@@ -31,60 +40,110 @@ from .schema import (
     strip_quotes,
 )
 
+_CUSTOM = "custom"
+_DEFAULT_HEADER = "// LUW deck"   # format magic for decks created from scratch
+
 
 class DeckParseError(ValueError):
-    """Raised for fatal deck syntax problems (e.g. strict duplicate keys)."""
+    """Fatal deck syntax problem (strict mode)."""
 
 
-def _find_comment_start(line: str) -> int:
-    """Index of `//` outside quotes, or -1."""
-    in_s = in_d = False
-    for i in range(len(line) - 1):
-        c = line[i]
-        if c == "'" and not in_d:
-            in_s = not in_s
-        elif c == '"' and not in_s:
-            in_d = not in_d
-        elif c == "/" and line[i + 1] == "/" and not in_s and not in_d:
-            return i
-    return -1
+# ---------------------------------------------------------------------------
+# Lexer: physical lines -> tagged records
+# ---------------------------------------------------------------------------
+
+# record tags
+_SECTION, _PAIR, _TEXT, _BLANK = "section", "pair", "text", "blank"
 
 
-def _section_label(text: str) -> str:
-    s = text.strip().lower()
-    if s.startswith("[") and "]" in s:
-        s = s[1 : s.index("]")]
-    return " ".join(s.split())
+def _canon_title(text: str) -> str:
+    """Lower-cased, whitespace-collapsed section label; tolerates [brackets]."""
+    t = text.strip().lower()
+    if t[:1] == "[":
+        close = t.find("]")
+        if close >= 0:
+            t = t[1:close]
+    return " ".join(t.split())
 
 
-_SECTION_LOOKUP: Dict[str, str] = {}
-for _sid in SECTION_ORDER:
-    _SECTION_LOOKUP[_section_label(_sid)] = _sid
-    _SECTION_LOOKUP[_section_label(SECTION_TITLES[_sid])] = _sid
-    for _alias in SECTION_ALIASES[_sid]:
-        _SECTION_LOOKUP[_section_label(_alias)] = _sid
+def _build_section_table() -> Dict[str, str]:
+    table: Dict[str, str] = {}
+    for sid in SECTION_ORDER:
+        names = [sid, SECTION_TITLES[sid], *SECTION_ALIASES[sid]]
+        for name in names:
+            table[_canon_title(name)] = sid
+    return table
 
 
-def _match_section_header(stripped: str) -> Optional[str]:
-    if stripped.startswith("//"):
-        label = stripped[2:]
-    elif stripped.startswith("#"):
-        label = stripped[1:]
-    else:
-        return None
-    return _SECTION_LOOKUP.get(_section_label(label))
+_SECTION_TABLE = _build_section_table()
 
 
-def _split_list(raw: str) -> List[str]:
-    text = raw.strip()
-    if text.startswith("[") and text.endswith("]"):
-        text = text[1:-1]
-    return [p.strip() for p in text.split(",") if p.strip()]
+def _comment_split(line: str) -> Tuple[str, str]:
+    """Split a line at the first `//` that sits outside quotes.
+
+    Returns (content, comment) where comment includes the slashes ('' if none).
+    """
+    quote = ""          # active quote char, or empty
+    i, n = 0, len(line)
+    while i < n - 1:
+        ch = line[i]
+        if quote:
+            if ch == quote:
+                quote = ""
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "/" and line[i + 1] == "/":
+            return line[:i], line[i:].strip()
+        i += 1
+    return line, ""
 
 
-def _scalar_text(value: object) -> str:
-    if isinstance(value, bool):
-        return "true" if value else "false"
+def _lex(text: str) -> Iterator[tuple]:
+    """Yield (tag, *payload) records, one per physical line.
+
+    _SECTION: (tag, section_id)
+    _PAIR:    (tag, canonical_key, raw_value, trailing_comment)
+    _TEXT:    (tag, original_line)
+    _BLANK:   (tag,)
+    """
+    for raw in text.splitlines():
+        line = raw.rstrip()
+        body = line.strip()
+        if not body:
+            yield (_BLANK,)
+            continue
+        # section switch?  a pure comment line whose label is a known title
+        for marker in ("//", "#"):
+            if body.startswith(marker):
+                sid = _SECTION_TABLE.get(_canon_title(body[len(marker):]))
+                if sid is not None:
+                    yield (_SECTION, sid)
+                else:
+                    yield (_TEXT, line)
+                break
+        else:
+            content, note = _comment_split(line)
+            eq = content.find("=")
+            key = normalize_key(content[:eq]) if eq > 0 else ""
+            if key:
+                yield (_PAIR, key, content[eq + 1:].strip(), note)
+            else:
+                yield (_TEXT, line)
+
+
+def _split_items(raw: str) -> List[str]:
+    """Bracketed-or-bare comma list -> stripped item strings."""
+    body = raw.strip()
+    if body[:1] == "[" and body[-1:] == "]":
+        body = body[1:-1]
+    return [item.strip() for item in body.split(",") if item.strip()]
+
+
+def _format_scalar(value: object) -> str:
+    if value is True:
+        return "true"
+    if value is False:
+        return "false"
     if isinstance(value, float):
         return f"{value:.6f}"
     if isinstance(value, int):
@@ -92,23 +151,40 @@ def _scalar_text(value: object) -> str:
     return str(value).strip()
 
 
-@dataclass
-class DeckEntry:
-    key: str
-    value: str
-    section: str
-    comment: str = ""
-    known: bool = True
+def _canonical_value(key: str, raw: str) -> str:
+    """Rewrite a raw value into canonical deck form for rendering."""
+    value = raw.strip()
+    spec = FIELD_MAP.get(key)
+    if spec is None or not value:
+        return value
+    if spec.kind == "boolean":
+        flag = parse_bool_token(value)
+        if flag is not None:
+            return "true" if flag else "false"
+    elif spec.kind in LIST_KINDS:
+        return "[" + ", ".join(_split_items(value)) + "]"
+    elif spec.quoted:
+        return f'"{strip_quotes(value)}"'
+    return value
 
 
-@dataclass
+# ---------------------------------------------------------------------------
+# Document
+# ---------------------------------------------------------------------------
+
+
 class DeckDocument:
-    path: Optional[Path] = None
-    preamble: List[str] = dc_field(default_factory=list)
-    entries: Dict[str, DeckEntry] = dc_field(default_factory=dict)
-    loose_lines: Dict[str, List[str]] = dc_field(default_factory=dict)
-    unknown_order: Dict[str, List[str]] = dc_field(default_factory=dict)
-    duplicates: Dict[str, List[str]] = dc_field(default_factory=dict)
+    """Parsed deck held as flat key->value maps plus layout metadata."""
+
+    def __init__(self, path: Optional[Path] = None):
+        self.path = path
+        self._vals: Dict[str, str] = {}          # canonical key -> raw value
+        self._notes: Dict[str, str] = {}         # trailing // comments
+        self._homes: Dict[str, str] = {}         # section id per key
+        self._extras: Dict[str, List[str]] = {}  # section -> unknown-key order
+        self._prose: Dict[str, List[str]] = {}   # section -> free-text lines
+        self._head: List[str] = []               # lines before any content
+        self._earlier: Dict[str, List[str]] = {} # shadowed duplicate values
 
     # -- construction ------------------------------------------------------
 
@@ -116,52 +192,30 @@ class DeckDocument:
     def from_text(cls, text: str, *, path: Optional[Path] = None,
                   strict_duplicates: bool = False) -> "DeckDocument":
         doc = cls(path=path)
-        section: Optional[str] = None
-        seen_content = False
+        at: Optional[str] = None     # current section, None until first switch
+        virgin = True                # still inside the leading preamble
 
-        for raw_line in text.replace("\r\n", "\n").replace("\r", "\n").split("\n"):
-            line = raw_line.rstrip()
-            stripped = line.strip()
+        for rec in _lex(text.replace("\r\n", "\n").replace("\r", "\n")):
+            tag = rec[0]
+            if tag == _SECTION:
+                at = rec[1]
+                virgin = False
+            elif tag == _PAIR:
+                _, key, value, note = rec
+                doc._absorb(key, value, note, at)
+                virgin = False
+            elif tag == _TEXT:
+                if virgin and at is None:
+                    doc._head.append(rec[1])
+                else:
+                    doc._prose.setdefault(at or _CUSTOM, []).append(rec[1])
+            else:  # blank
+                if virgin and at is None:
+                    doc._head.append("")
 
-            header = _match_section_header(stripped)
-            if header is not None:
-                section = header
-                seen_content = True
-                continue
-
-            ci = _find_comment_start(line)
-            content = line if ci < 0 else line[:ci]
-            comment = "" if ci < 0 else line[ci:].strip()
-
-            kv = content.strip()
-            if kv and "=" in kv:
-                raw_key, raw_value = kv.split("=", 1)
-                key = normalize_key(raw_key)
-                if key:
-                    known = key in FIELD_SECTION
-                    sec = FIELD_SECTION.get(key, section or "custom")
-                    if key in doc.entries:
-                        doc.duplicates.setdefault(key, [doc.entries[key].value]).append(raw_value.strip())
-                    doc.entries[key] = DeckEntry(key, raw_value.strip(), sec, comment, known)
-                    if not known:
-                        order = doc.unknown_order.setdefault(sec, [])
-                        if key not in order:
-                            order.append(key)
-                    seen_content = True
-                    continue
-
-            if not stripped:
-                if not seen_content and section is None:
-                    doc.preamble.append("")
-                continue
-            if not seen_content and section is None:
-                doc.preamble.append(line)
-            else:
-                doc.loose_lines.setdefault(section or "custom", []).append(line)
-
-        if strict_duplicates and doc.duplicates:
-            raise DeckParseError(
-                "Duplicate deck keys are not allowed: " + ", ".join(sorted(doc.duplicates)))
+        if strict_duplicates and doc._earlier:
+            names = ", ".join(sorted(doc._earlier))
+            raise DeckParseError(f"deck defines the same key more than once: {names}")
         return doc
 
     @classmethod
@@ -170,97 +224,102 @@ class DeckDocument:
         return cls.from_text(p.read_text(encoding="utf-8", errors="ignore"),
                              path=p, strict_duplicates=strict_duplicates)
 
+    def _absorb(self, key: str, value: str, note: str, at: Optional[str]) -> None:
+        """Record one parsed key=value occurrence."""
+        if key in self._vals:
+            self._earlier.setdefault(key, []).append(self._vals[key])
+        home = FIELD_SECTION.get(key)
+        if home is None:
+            home = at or _CUSTOM
+            seq = self._extras.setdefault(home, [])
+            if key not in seq:
+                seq.append(key)
+        self._vals[key] = value
+        self._homes[key] = home
+        if note:
+            self._notes[key] = note
+
     # -- getters -----------------------------------------------------------
 
     def has(self, key: str) -> bool:
-        return normalize_key(key) in self.entries
+        return normalize_key(key) in self._vals
 
     def get_raw(self, key: str, default: Optional[str] = None) -> Optional[str]:
-        entry = self.entries.get(normalize_key(key))
-        return entry.value if entry is not None else default
+        return self._vals.get(normalize_key(key), default)
 
     def get_text(self, key: str, default: Optional[str] = None) -> Optional[str]:
-        raw = self.get_raw(key)
-        if raw is None:
-            return default
-        return strip_quotes(raw)
+        raw = self._vals.get(normalize_key(key))
+        return default if raw is None else strip_quotes(raw)
 
     def get_int(self, key: str, default: Optional[int] = None) -> Optional[int]:
         text = self.get_text(key)
-        if text in (None, ""):
+        if not text:
             return default
         try:
             return int(text)
-        except (TypeError, ValueError):
+        except ValueError:
             return default
 
     def get_float(self, key: str, default: Optional[float] = None) -> Optional[float]:
         text = self.get_text(key)
-        if text in (None, ""):
+        if not text:
             return default
         try:
             value = float(text)
-        except (TypeError, ValueError):
+        except ValueError:
             return default
-        return default if value != value else value  # reject NaN
+        return default if math.isnan(value) else value
 
     def get_bool(self, key: str, default: Optional[bool] = None) -> Optional[bool]:
         text = self.get_text(key)
         if text is None:
             return default
-        parsed = parse_bool_token(text)
-        return default if parsed is None else parsed
+        flag = parse_bool_token(text)
+        return default if flag is None else flag
 
     def get_list(self, key: str) -> List[str]:
         raw = self.get_raw(key)
-        return [] if raw is None else _split_list(raw)
+        return _split_items(raw) if raw is not None else []
 
     def get_float_list(self, key: str) -> List[float]:
-        out: List[float] = []
-        for item in self.get_list(key):
-            try:
-                out.append(float(item))
-            except (TypeError, ValueError):
-                return []
-        return out
+        try:
+            return [float(item) for item in self.get_list(key)]
+        except ValueError:
+            return []
+
+    def get_int_list(self, key: str) -> List[int]:
+        try:
+            return [int(float(item)) for item in self.get_list(key)]
+        except ValueError:
+            return []
 
     def get_pair(self, key: str) -> Optional[Tuple[float, float]]:
         values = self.get_float_list(key)
         if len(values) != 2:
             return None
-        lo, hi = sorted(values)
-        return lo, hi
-
-    def get_int_list(self, key: str) -> List[int]:
-        out: List[int] = []
-        for item in self.get_list(key):
-            try:
-                out.append(int(float(item)))
-            except (TypeError, ValueError):
-                return []
-        return out
+        return min(values), max(values)
 
     # -- setters -----------------------------------------------------------
 
     def set_raw(self, key: str, value: str, *, section: Optional[str] = None,
                 comment: Optional[str] = None) -> None:
         k = normalize_key(key)
-        existing = self.entries.get(k)
-        sec = section or FIELD_SECTION.get(k) or (existing.section if existing else "custom")
-        if comment is None and existing is not None:
-            comment = existing.comment
-        entry = DeckEntry(k, value.strip(), sec, (comment or "").strip(), k in FIELD_SECTION)
-        self.entries[k] = entry
-        self.duplicates.pop(k, None)
-        if not entry.known:
-            order = self.unknown_order.setdefault(sec, [])
-            if k not in order:
-                order.append(k)
+        home = section or FIELD_SECTION.get(k) or self._homes.get(k) or _CUSTOM
+        if k not in FIELD_SECTION:
+            seq = self._extras.setdefault(home, [])
+            if k not in seq:
+                seq.append(k)
+        self._vals[k] = value.strip()
+        self._homes[k] = home
+        self._earlier.pop(k, None)
+        if comment is not None:
+            self._notes[k] = comment.strip()
 
     def set_text(self, key: str, value: str, *, quoted: bool = False,
                  section: Optional[str] = None, comment: Optional[str] = None) -> None:
-        text = value.strip()
-        self.set_raw(key, f'"{text}"' if quoted else text, section=section, comment=comment)
+        body = value.strip()
+        self.set_raw(key, f'"{body}"' if quoted else body,
+                     section=section, comment=comment)
 
     def set_int(self, key: str, value: int, **kw) -> None:
         self.set_raw(key, str(int(value)), **kw)
@@ -272,47 +331,61 @@ class DeckDocument:
         self.set_raw(key, "true" if value else "false", **kw)
 
     def set_list(self, key: str, values: Iterable[object], **kw) -> None:
-        self.set_raw(key, "[" + ", ".join(_scalar_text(v) for v in values) + "]", **kw)
+        self.set_raw(key, "[" + ", ".join(map(_format_scalar, values)) + "]", **kw)
 
     def set_pair(self, key: str, pair: Iterable[float], *, precision: int = 6, **kw) -> None:
-        values = list(pair)
-        if len(values) != 2:
-            raise ValueError(f"{key} expects exactly 2 values, got {len(values)}")
-        self.set_raw(key, "[" + ", ".join(f"{float(v):.{precision}f}" for v in values) + "]", **kw)
+        a_b = [f"{float(v):.{precision}f}" for v in pair]
+        if len(a_b) != 2:
+            raise ValueError(f"{key} expects exactly 2 values, got {len(a_b)}")
+        self.set_raw(key, f"[{a_b[0]}, {a_b[1]}]", **kw)
 
     def remove(self, key: str) -> None:
         k = normalize_key(key)
-        self.entries.pop(k, None)
-        self.duplicates.pop(k, None)
+        self._vals.pop(k, None)
+        self._notes.pop(k, None)
+        self._earlier.pop(k, None)
+        home = self._homes.pop(k, None)
+        if home in self._extras and k in self._extras[home]:
+            self._extras[home].remove(k)
 
     def duplicate_keys(self) -> List[str]:
-        return sorted(self.duplicates)
+        return sorted(self._earlier)
 
     def to_dict(self) -> Dict[str, str]:
-        return {k: e.value for k, e in self.entries.items()}
+        return dict(self._vals)
 
     # -- rendering ---------------------------------------------------------
 
+    def _emit_line(self, key: str) -> str:
+        parts = [f"{key} ="]
+        value = _canonical_value(key, self._vals[key])
+        if value:
+            parts.append(value)
+        note = self._notes.get(key)
+        if note:
+            parts.append(note)
+        return " ".join(parts)
+
+    def _section_keys(self, sid: str) -> List[str]:
+        ordered = [k for k in FIELD_ORDER.get(sid, ()) if self._homes.get(k) == sid]
+        ordered += [k for k in self._extras.get(sid, ()) if self._homes.get(k) == sid]
+        return [k for k in ordered if k in self._vals]
+
     def render(self) -> str:
-        lines: List[str] = []
-        if any(ln.strip() for ln in self.preamble):
-            lines.extend(self.preamble)
-            while lines and lines[-1] == "":
-                lines.pop()
-            if lines:
-                lines.append("")
-        else:
-            lines.extend(["// LUW deck", ""])
-
+        head = list(self._head)
+        while head and not head[-1].strip():
+            head.pop()
+        out: List[str] = head if head else [_DEFAULT_HEADER]
         for sid in SECTION_ORDER:
-            block = self._render_section(sid)
-            if block:
-                lines.extend(block)
-                lines.append("")
-
-        while lines and lines[-1] == "":
-            lines.pop()
-        return "\n".join(lines) + "\n"
+            keys = self._section_keys(sid)
+            prose = [ln for ln in self._prose.get(sid, ()) if ln.strip()]
+            if not keys and not prose:
+                continue
+            out.append("")
+            out.append(f"// {SECTION_TITLES.get(sid, sid.title())}")
+            out.extend(prose)
+            out.extend(self._emit_line(k) for k in keys)
+        return "\n".join(out) + "\n"
 
     def save(self, path: Optional[Path | str] = None) -> Path:
         target = Path(path).expanduser().resolve() if path is not None else self.path
@@ -321,38 +394,6 @@ class DeckDocument:
         target.write_text(self.render(), encoding="utf-8")
         self.path = target
         return target
-
-    def _render_section(self, sid: str) -> List[str]:
-        known = [k for k in FIELD_ORDER.get(sid, ())
-                 if k in self.entries and self.entries[k].section == sid]
-        unknown = [k for k in self.unknown_order.get(sid, ())
-                   if k in self.entries and self.entries[k].section == sid]
-        loose = [ln for ln in self.loose_lines.get(sid, ()) if ln.strip()]
-        if not (known or unknown or loose):
-            return []
-        lines = [f"// {SECTION_TITLES.get(sid, sid.title())}"]
-        lines.extend(loose)
-        for k in known + unknown:
-            lines.append(self._render_entry(self.entries[k]))
-        return lines
-
-    @staticmethod
-    def _render_entry(entry: DeckEntry) -> str:
-        value = entry.value.strip()
-        spec = FIELD_MAP.get(entry.key) if entry.known else None
-        if spec is not None and value:
-            if spec.kind == "boolean":
-                parsed = parse_bool_token(value)
-                if parsed is not None:
-                    value = "true" if parsed else "false"
-            elif spec.kind in LIST_KINDS:
-                value = "[" + ", ".join(_split_list(value)) + "]"
-            elif spec.quoted:
-                value = f'"{strip_quotes(value)}"'
-        line = f"{entry.key} =" + (f" {value}" if value else "")
-        if entry.comment:
-            line += f" {entry.comment}"
-        return line.rstrip()
 
 
 def load_deck(path: Path | str, *, strict_duplicates: bool = False) -> DeckDocument:

@@ -141,7 +141,7 @@ class Studio:
             "path": q["path"][0],
             "mode": path.suffix.lstrip("."),
             "raw": path.read_text(),
-            "values": {k: str(e.value) for k, e in deck.entries.items()},
+            "values": {k: str(v) for k, v in deck.to_dict().items()},
         }
 
     def api_deck_post(self, body: dict) -> dict:

@@ -106,15 +106,17 @@ def sponge_spec_from_deck(deck: DeckDocument, *, cell_m: float, si_ref_u: float,
 def storage_from_deck(deck: DeckDocument) -> str:
     """DDF storage codec for solver runs.
 
-    The reference always stores DDFs as FP16S halves (defines.hpp:30,
-    lbm.cpp:707).  On TPU the Mosaic kernel path has no IEEE f16, so the
-    default here is bf16 — same 2-byte footprint and HBM traffic, runs on
-    the Pallas performance tier.  Decks can pin `lbm_storage = f16` (exact
-    FP16S analog, jnp tier) or `f32` (exact arithmetic, double footprint).
+    The reference stores DDFs as FP16C (1-4-11 custom float, defines.hpp:14)
+    by default, with FP16S/FP32 options.  On TPU the default here is bf16 —
+    same 2-byte footprint and HBM traffic, native VPU converts.  All four
+    codecs ride the Pallas performance tier: `f16` (FP16S analog) and
+    `fp16c` (1-4-11, extra mantissa bits for low-velocity accuracy) run
+    through software bit codecs inside the kernel (ops/stream_collide.py);
+    `f32` is exact arithmetic at double footprint.
     """
     raw = (deck.get_text("lbm_storage", "bf16") or "bf16").strip().lower()
-    if raw not in ("bf16", "f16", "f32"):
-        raise ValueError(f"lbm_storage must be bf16|f16|f32, got {raw!r}")
+    if raw not in ("bf16", "f16", "fp16c", "f32"):
+        raise ValueError(f"lbm_storage must be bf16|f16|fp16c|f32, got {raw!r}")
     return raw
 
 

@@ -2,9 +2,12 @@
 (SURVEY.md §5: a killed run restarts from step 0).
 
 Serializes the complete lattice state (DDFs, fields, flags, thermal arrays),
-the Welford accumulator, and the run cursor to a single compressed .npz under
-proj_temp/checkpoints/.  Restore rebuilds the exact LBMState/AvgState, so a
-run continues bit-exactly from the saved step.
+the Welford accumulator, probe time-series buffers, and the run cursor to a
+single compressed .npz under proj_temp/checkpoints/.  Restore rebuilds the
+exact LBMState/AvgState (and refills probe sample buffers), so a run
+continues bit-exactly from the saved step.  Loading validates the saved grid
+shape against the current case and raises a clear ValueError on mismatch
+(the driver falls back to a fresh start).
 """
 
 from __future__ import annotations
@@ -29,6 +32,7 @@ def checkpoint_path(parent: Path, datetime_tag: str, prefix: str = "") -> Path:
 def save_checkpoint(path: Path, state: LBMState, *, step: int,
                     avg: Optional[AvgState] = None,
                     avg_samples: int = 0,
+                    probes: Optional[list] = None,
                     meta: Optional[dict] = None) -> Path:
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
@@ -48,11 +52,21 @@ def save_checkpoint(path: Path, state: LBMState, *, step: int,
         if avg.mean_T is not None:
             payload["avg_mean_T"] = np.asarray(avg.mean_T)
         payload["avg_count"] = np.asarray(int(avg.count))
+    n_probes = 0
+    if probes:
+        for i, p in enumerate(probes):
+            payload[f"probe{i}_times"] = np.asarray(p.times_si, dtype=np.float64)
+            payload[f"probe{i}_series"] = (
+                np.stack(p.series) if p.series
+                else np.zeros((0, len(p.heights_si), 3), dtype=np.float64))
+        n_probes = len(probes)
     header = {
         "version": FORMAT_VERSION,
         "step": int(step),
         "avg_samples": int(avg_samples),
         "thermal": state.gi is not None,
+        "shape": list(state.rho.shape),
+        "n_probes": n_probes,
         "meta": meta or {},
     }
     payload["header"] = np.frombuffer(
@@ -63,14 +77,25 @@ def save_checkpoint(path: Path, state: LBMState, *, step: int,
     return path
 
 
-def load_checkpoint(path: Path) -> Tuple[LBMState, int, Optional[AvgState], int, dict]:
-    """Returns (state, step, avg_or_None, avg_samples, meta)."""
+def load_checkpoint(path: Path, *, expect_shape=None, probes: Optional[list] = None,
+                    ) -> Tuple[LBMState, int, Optional[AvgState], int, dict]:
+    """Returns (state, step, avg_or_None, avg_samples, meta).
+
+    `expect_shape`: current case grid (Z, Y, X) — a saved checkpoint for a
+    different grid raises ValueError instead of a cryptic jit shape error.
+    `probes`: GridProbe list to refill with the saved sample buffers.
+    """
     import jax.numpy as jnp
 
     with np.load(path) as z:
         header = json.loads(bytes(z["header"].tobytes()).decode())
         if header.get("version") != FORMAT_VERSION:
             raise ValueError(f"unsupported checkpoint version: {header.get('version')}")
+        saved_shape = tuple(header.get("shape") or z["rho"].shape)
+        if expect_shape is not None and tuple(expect_shape) != saved_shape:
+            raise ValueError(
+                f"checkpoint grid {saved_shape} does not match case grid "
+                f"{tuple(expect_shape)} — the deck changed since the save")
         thermal = header["thermal"]
         state = LBMState(
             fi=jnp.asarray(z["fi"]),
@@ -89,4 +114,10 @@ def load_checkpoint(path: Path) -> Tuple[LBMState, int, Optional[AvgState], int,
                 mean_rho=jnp.asarray(z["avg_mean_rho"]),
                 mean_T=jnp.asarray(z["avg_mean_T"]) if "avg_mean_T" in z else None,
             )
+        if probes is not None and header.get("n_probes"):
+            n = min(len(probes), int(header["n_probes"]))
+            for i in range(n):
+                p = probes[i]
+                p.times_si = list(np.asarray(z[f"probe{i}_times"]))
+                p.series = [s for s in np.asarray(z[f"probe{i}_series"])]
         return state, header["step"], avg, header["avg_samples"], header["meta"]

@@ -187,7 +187,8 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         ckpt_path = checkpoint_path(case.parent, case.datetime, case.vtk_prefix)
         if s.resume and ckpt_path.exists():
             try:
-                state, resume_t, avg_loaded, avg_samples, _ = load_checkpoint(ckpt_path)
+                state, resume_t, avg_loaded, avg_samples, _ = load_checkpoint(
+                    ckpt_path, expect_shape=shape, probes=case.probes)
                 if avg_loaded is not None:
                     avg = avg_loaded
                 if not quiet:
@@ -301,7 +302,7 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
             from .checkpoint import save_checkpoint
 
             save_checkpoint(ckpt_path, state, step=t, avg=avg,
-                            avg_samples=avg_samples,
+                            avg_samples=avg_samples, probes=case.probes,
                             meta={"total_steps": total_steps})
 
     _sync(state)

@@ -8,6 +8,7 @@ so environments without a toolchain still work.
 from __future__ import annotations
 
 import ctypes
+import hashlib
 import subprocess
 from pathlib import Path
 from typing import Optional
@@ -16,19 +17,25 @@ import numpy as np
 
 _SRC = Path(__file__).resolve().parents[2] / "native" / "luwnative.cpp"
 _LIB = _SRC.with_name("libluwnative.so")
+_STAMP = _SRC.with_name(".luwnative.sha256")
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
 
 
-def _build() -> bool:
+def _src_digest() -> str:
+    return hashlib.sha256(_SRC.read_bytes()).hexdigest()
+
+
+def _build(digest: str) -> bool:
     try:
         subprocess.run(
             ["g++", "-O3", "-fPIC", "-shared", "-std=c++17",
              "-o", str(_LIB), str(_SRC), "-lpthread"],
             check=True, capture_output=True, timeout=240,
         )
+        _STAMP.write_text(digest)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError) as e:
+    except (subprocess.SubprocessError, FileNotFoundError, OSError) as e:
         print(f"[native] build failed, using numpy fallbacks: {e}")
         return False
 
@@ -40,8 +47,13 @@ def load() -> Optional[ctypes.CDLL]:
     _tried = True
     if not _SRC.exists():
         return None
-    if not _LIB.exists() or _LIB.stat().st_mtime < _SRC.stat().st_mtime:
-        if not _build():
+    # Rebuild whenever the .so is absent or the recorded source hash differs —
+    # never trust a pre-existing binary on mtime alone (fresh checkouts give
+    # source and binary identical mtimes).
+    digest = _src_digest()
+    stamp = _STAMP.read_text().strip() if _STAMP.exists() else ""
+    if not _LIB.exists() or stamp != digest:
+        if not _build(digest):
             return None
     try:
         lib = ctypes.CDLL(str(_LIB))
