@@ -15,6 +15,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 from typing import NamedTuple, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -31,11 +32,58 @@ _STORAGE_DTYPES = {
     "f32": jnp.float32,
     "f16": jnp.float16,
     "bf16": jnp.bfloat16,
+    "fp16c": jnp.uint16,   # 1-4-11 custom float carried as raw bit patterns
 }
 
 
 def storage_dtype(name: str):
     return _STORAGE_DTYPES[name]
+
+
+def encode_fp16c(x) -> "jnp.ndarray":
+    """fp32 -> FP16C (1-4-11, exp-15) bit patterns, RNE with denormals.
+
+    The reference's default DDF compression (defines.hpp:14,
+    kernel.cpp:864-875 float_to_half_custom): range +-1.9995, smallest
+    denormal +-2.98e-8; the 11-bit mantissa halves quantization error vs
+    IEEE half for the near-zero DDF-shifted populations.
+    Accepts numpy or jnp arrays (module dispatch keeps one formula).
+    """
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    if xp is jnp:
+        b = jax.lax.bitcast_convert_type(x.astype(jnp.float32), jnp.int32)
+    else:
+        b = np.asarray(x, np.float32).view(np.int32)
+    b = b + 0x00000800                       # round-to-nearest-even
+    e = (b >> 23) & 0xFF
+    m = b & 0x007FFFFF
+    sgn = (b >> 16) & 0x8000
+    norm = (((e - 112) << 11) & 0x7800) | (m >> 12)
+    den = (((0x007FF800 + m) >> xp.clip(124 - e, 0, 31)) + 1) >> 1
+    h = sgn | xp.where(e > 112, norm, xp.where(e > 100, den, 0))
+    return h.astype(xp.uint16)
+
+
+def decode_fp16c(x) -> "jnp.ndarray":
+    """FP16C bit patterns -> fp32 (reference half_to_float_custom)."""
+    xp = jnp if isinstance(x, jnp.ndarray) else np
+    b = x.astype(xp.int32)
+    e = (b >> 11) & 0xF
+    m = (b & 0x7FF) << 12
+    # leading-zero count of the denormal mantissa via the float32 exponent
+    # of float(m) — the reference's "evil log2 bit hack"
+    if xp is jnp:
+        mf = jax.lax.bitcast_convert_type(m.astype(jnp.float32), jnp.int32)
+    else:
+        mf = m.astype(np.float32).view(np.int32)
+    v = (mf >> 23) & 0xFF
+    sgn = (b & 0x8000) << 16
+    norm = ((e + 112) << 23) | m
+    den = ((v - 37) << 23) | ((m << xp.clip(150 - v, 0, 31)) & 0x007FF000)
+    bits = sgn | xp.where(e != 0, norm, xp.where(m != 0, den, 0))
+    if xp is jnp:
+        return jax.lax.bitcast_convert_type(bits, jnp.float32)
+    return bits.view(np.float32)
 
 
 def encode_ddf(x: jnp.ndarray, storage: str) -> jnp.ndarray:
@@ -46,6 +94,8 @@ def encode_ddf(x: jnp.ndarray, storage: str) -> jnp.ndarray:
         return (x * FP16_SCALE).astype(jnp.float16)
     if storage == "bf16":
         return x.astype(jnp.bfloat16)
+    if storage == "fp16c":
+        return encode_fp16c(x)
     raise ValueError(f"unknown storage {storage!r}")
 
 
@@ -57,6 +107,8 @@ def decode_ddf(x: jnp.ndarray, storage: str) -> jnp.ndarray:
         return x.astype(jnp.float32) * FP16_INV_SCALE
     if storage == "bf16":
         return x.astype(jnp.float32)
+    if storage == "fp16c":
+        return decode_fp16c(x)
     raise ValueError(f"unknown storage {storage!r}")
 
 
@@ -110,7 +162,8 @@ class StepConfig:
 
 
 def _np_storage_dtype(storage: str):
-    return {"f32": np.float32, "f16": np.float16, "bf16": None}[storage]
+    return {"f32": np.float32, "f16": np.float16, "bf16": None,
+            "fp16c": np.uint16}[storage]
 
 
 def make_initial_state(
@@ -140,6 +193,8 @@ def make_initial_state(
 
     np_dt = _np_storage_dtype(config.storage) or ml_dtypes.bfloat16
     scale = FP16_SCALE if config.storage == "f16" else 1.0
+    to_storage = (encode_fp16c if config.storage == "fp16c"
+                  else (lambda a: a.astype(np_dt)))
 
     rhom1 = rho_h - 1.0
     c3 = -3.0 * (u_h[0] ** 2 + u_h[1] ** 2 + u_h[2] ** 2)
@@ -152,7 +207,7 @@ def make_initial_state(
         else:
             cu = 3.0 * (cx * u_h[0] + cy * u_h[1] + cz * u_h[2])
             feq = w * (rhom1 + rho_h * (0.5 * (cu * cu + c3) + cu))
-        fi_h[d] = (feq * scale).astype(np_dt)
+        fi_h[d] = to_storage((feq * scale).astype(np.float32))
 
     gi = None
     T_a = None
@@ -167,7 +222,7 @@ def make_initial_state(
             else:
                 cu = cx * u_h[0] + cy * u_h[1] + cz * u_h[2]
                 geq = w * (T_h - 1.0) + 4.0 * w * T_h * cu
-            gi_h[d] = (geq * scale).astype(np_dt)
+            gi_h[d] = to_storage((geq * scale).astype(np.float32))
         gi = jnp.asarray(gi_h)
         T_a = jnp.asarray(T_h)
 

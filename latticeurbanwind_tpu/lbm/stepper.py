@@ -64,12 +64,18 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
 
         return jax.lax.fori_loop(0, n_steps, body, state0)
 
-    use_pallas = impl == "pallas" or (
+    has_forcing = (forcing.nudge_sigma is not None
+                   or forcing.sponge_sigma_z is not None)
+    # the pallas tiers step pure DDFs and need the DDF-writing inlet hook;
+    # a hook without one (reference-tier-only) forces the reference tier
+    pre_step_ddf = getattr(pre_step, "ddf", None)
+    use_pallas = (impl == "pallas" or (
         impl == "auto" and shape is not None and _pallas_ok(shape, config))
+    ) and (pre_step is None or pre_step_ddf is not None)
     use_permuted = False
-    pre_step_p = getattr(pre_step, "permuted", None)
+    pre_step_pddf = getattr(pre_step, "ddf_permuted", None)
     if not use_pallas and shape is not None and (
-            pre_step is None or pre_step_p is not None):
+            pre_step is None or pre_step_pddf is not None):
         from ..ops.permute import permute_shape
 
         use_permuted = impl == "pallas-permuted" or (
@@ -81,8 +87,9 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
         step = make_pallas_step(config, forcing, shape)
 
         def body(state: LBMState, dyn: DynParams, t0, n_steps) -> LBMState:
-            s = split_state(state)
-            out = loop(step, s, dyn, jnp.asarray(t0, jnp.int32), n_steps)
+            s = split_state(state, with_fbc=has_forcing)
+            out = loop(step, s, dyn, jnp.asarray(t0, jnp.int32), n_steps,
+                       hook=pre_step_ddf)
             return merge_state(out)
 
         impl_name = "pallas"
@@ -96,9 +103,10 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
         step = make_permuted_pallas_step(config, forcing, shape)
 
         def body(state: LBMState, dyn: DynParams, t0, n_steps) -> LBMState:
-            s = split_state(permute_state(state))
+            s = split_state(permute_state(state), with_fbc=has_forcing,
+                            sponge_axis="y")
             out = loop(step, s, permute_dyn(dyn), jnp.asarray(t0, jnp.int32),
-                       n_steps, hook=pre_step_p)
+                       n_steps, hook=pre_step_pddf)
             return unpermute_state(merge_state(out))
 
         impl_name = "pallas-permuted"
@@ -118,6 +126,9 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
                       jnp.asarray(n_inner if n_steps is None else n_steps,
                                   jnp.int32))
 
+    # pallas tiers step pure DDFs: rho/u/T in the returned state are stale
+    # until lbm.fields.update_fields refreshes them (driver does, at events)
+    run.fields_stale = impl_name.startswith("pallas")
     return run, impl_name
 
 
