@@ -262,7 +262,7 @@ def build_vk_runtime(cfg: VkConfig, flags: np.ndarray,
     )
 
 
-def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime):
+def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
     """jit-traceable pre-step: perturb the inlet velocities at step t.
 
     The perturbation is applied as DENSE per-face slab updates rather than a
@@ -271,13 +271,19 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime):
     five domain faces.  Per face we hold dense mask / base / sigma / position
     grids built once on the host from the runtime's point lists.
 
-    The returned callable also carries a `.permuted` attribute: the same
-    perturbation expressed in the z<->y transposed orientation used by the
-    axis-permuted pallas tier (ops/permute.py) — face axes remap (canonical
-    south/north become marching-axis slabs, top becomes the north slab) and
-    velocity components swap.  The spatial phase k.x is a physical scalar,
-    so mode tables are shared between orientations.
+    The returned callable (reference-tier hook, updates state.u) carries:
+      * `.permuted` — the same perturbation in the z<->y transposed
+        orientation used by the axis-permuted pallas tier (ops/permute.py):
+        face axes remap and velocity components swap; the spatial phase k.x
+        is a physical scalar, so mode tables are shared.
+      * `.ddf` — the pure-DDF hook for the Pallas tiers: writes the inlet
+        equilibria feq(rho=1, u') directly into the boundary DDF slabs
+        (which the kernel's TYPE_E freeze then maintains) and refreshes the
+        FaceBC nudge targets.  Accepts shard offsets (z0, zl, top_on) for
+        the z-sharded runner (parallel/halo.py).
+      * `.ddf_permuted` — the DDF hook in the transposed orientation.
     """
+    import jax
     import jax.numpy as jnp
 
     stride = max(1, cfg.update_stride)
@@ -338,23 +344,26 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime):
             q = ct @ A_cos[mid] - st @ A_sin[mid]        # (N, 3)
             return q.T.reshape(3, *shape2)               # (3, R, C)
 
-        def pre_step(state: LBMState, t) -> LBMState:
+        def face_velocity(fid, pts_flat, shape2, base, sig, t):
+            """Perturbed face velocity u' = base + sigma * q(t) (3, R, C)."""
             tf = jnp.asarray(t, jnp.float32)
             anchor = jnp.floor(tf / stride) * stride
+
+            def q_at(tv):
+                return face_q(fid, pts_flat, shape2, tv)
+
+            if interp:
+                a = (tf - anchor) / stride
+                q = q_at(anchor)
+                q = q + a * (q_at(anchor + stride) - q)
+            else:
+                q = q_at(anchor if stride > 1 else tf)
+            return base + sig[None] * q
+
+        def pre_step(state: LBMState, t) -> LBMState:
             u = state.u
             for fid, axis, index, mask, base, sig, pts_flat in faces:
-                shape2 = mask.shape
-
-                def q_at(tv):
-                    return face_q(fid, pts_flat, shape2, tv)
-
-                if interp:
-                    a = (tf - anchor) / stride
-                    q = q_at(anchor)
-                    q = q + a * (q_at(anchor + stride) - q)
-                else:
-                    q = q_at(anchor if stride > 1 else tf)
-                newf = base + sig[None] * q
+                newf = face_velocity(fid, pts_flat, mask.shape, base, sig, t)
                 if axis == 1:
                     cur = u[:, index]
                     u = u.at[:, index].set(mask[None] * newf
@@ -369,10 +378,90 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime):
                                                  + (1.0 - mask[None]) * cur)
             return state._replace(u=u)
 
+        def feq19(newf):
+            """DDF-shifted D3Q19 equilibria at rho=1 for the face slab:
+            feq_d = w (cu + (cu^2 - 3 u^2)/2), cu = 3 c.u — split by group."""
+            from ..lbm.lattice import C19 as C, GROUP0, GROUP_M, GROUP_P, W19 as W
+
+            ux, uy, uz = newf
+            c3 = -3.0 * (ux * ux + uy * uy + uz * uz)
+            planes = []
+            for d in range(19):
+                cx, cy, cz = (int(v) for v in C[d])
+                w = float(W[d])
+                if cx == 0 and cy == 0 and cz == 0:
+                    planes.append(w * (0.5 * c3))
+                else:
+                    cu = 3.0 * (cx * ux + cy * uy + cz * uz)
+                    planes.append(w * (0.5 * (cu * cu + c3) + cu))
+            return (jnp.stack(planes[GROUP0]), jnp.stack(planes[GROUP_P]),
+                    jnp.stack(planes[GROUP_M]))
+
+        # (axis, index) -> FaceBC field to refresh with the perturbed values
+        FBC_FIELD = {(3, 0): "uw", (3, -1): "ue", (2, 0): "us", (2, -1): "un",
+                     (1, -1): "ut", (1, 0): "ub"}
+
+        def ddf_pre_step(s, t, *, z0=None, zl=None, top_on=None):
+            """Pure-DDF inlet hook (SplitState in, SplitState out).
+
+            z0/zl/top_on localize the update for the z-sharded runner: faces
+            whose rows run along z are sliced to [z0, z0+zl); the top-face
+            slab applies only on the shard owning the global top plane."""
+            from ..lbm.state import decode_ddf, encode_ddf
+
+            sharded = z0 is not None
+            fbc = s.fbc
+            for fid, axis, index, mask, base, sig, pts_flat in faces:
+                newf = face_velocity(fid, pts_flat, mask.shape, base, sig, t)
+                m = mask
+                if sharded:
+                    # canonical orientation: w/e/s/n faces have z rows (axis 0
+                    # of the face grid); the top face is a full (Y, X) plane
+                    if axis in (2, 3):
+                        m = jax.lax.dynamic_slice_in_dim(m, z0, zl, 0)
+                        newf = jax.lax.dynamic_slice_in_dim(newf, z0, zl, 1)
+                    else:
+                        m = m * top_on
+                q0, qp, qm = feq19(newf)
+                for arr_name, qv in (("f0", q0), ("fp", qp), ("fm", qm)):
+                    arr = getattr(s, arr_name)
+                    if axis == 1:
+                        cur = decode_ddf(arr[:, index], storage)
+                        upd = encode_ddf(m[None] * qv + (1.0 - m[None]) * cur,
+                                         storage)
+                        arr = arr.at[:, index].set(upd)
+                    elif axis == 2:
+                        cur = decode_ddf(arr[:, :, index], storage)
+                        upd = encode_ddf(m[None] * qv + (1.0 - m[None]) * cur,
+                                         storage)
+                        arr = arr.at[:, :, index].set(upd)
+                    else:
+                        cur = decode_ddf(arr[:, :, :, index], storage)
+                        upd = encode_ddf(m[None] * qv + (1.0 - m[None]) * cur,
+                                         storage)
+                        arr = arr.at[:, :, :, index].set(upd)
+                    s = s._replace(**{arr_name: arr})
+                if fbc is not None:
+                    field = FBC_FIELD[(axis, index if index >= 0 else -1)]
+                    cur = getattr(fbc, field)
+                    if axis == 1:       # ut/ub hold (3, R, C) directly
+                        upd = m[None] * newf + (1.0 - m[None]) * cur
+                    else:               # z-leading (R, 3, C) face layout
+                        upd = (m[:, None] * newf.swapaxes(0, 1)
+                               + (1.0 - m[:, None]) * cur)
+                    fbc = fbc._replace(**{field: upd})
+            if fbc is not None:
+                s = s._replace(fbc=fbc)
+            return s
+
+        pre_step.ddf_variant = ddf_pre_step
         return pre_step
 
     pre_step = build((0, 1, 2), permuted=False)
-    pre_step.permuted = build((0, 2, 1), permuted=True)
+    permuted = build((0, 2, 1), permuted=True)
+    pre_step.permuted = permuted
+    pre_step.ddf = pre_step.ddf_variant
+    pre_step.ddf_permuted = permuted.ddf_variant
     return pre_step
 
 

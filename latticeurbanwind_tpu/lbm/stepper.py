@@ -55,12 +55,21 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
     """
     import jax.numpy as jnp
 
-    def loop(step_fn, state0, dyn, t0, n_steps, hook=pre_step):
+    def loop(step_fn, state0, dyn, t0, n_steps, hook=pre_step, post=False):
+        """post=False: hook runs before each step (reference tier — the VK
+        hook presets the u field the kernel reads).  post=True: hook runs
+        after each step (pure-DDF tiers — the inlet equilibria written at the
+        end of step t are what neighbors stream during step t+1, matching
+        the reference timing where stream_collide converts the pre-set u
+        into post-collision feq only at the END of its own step)."""
         def body(i, st):
             t = t0 + i
-            if hook is not None:
+            if hook is not None and not post:
                 st = hook(st, t)
-            return step_fn(st, dyn)
+            st = step_fn(st, dyn)
+            if hook is not None and post:
+                st = hook(st, t)
+            return st
 
         return jax.lax.fori_loop(0, n_steps, body, state0)
 
@@ -89,7 +98,7 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
         def body(state: LBMState, dyn: DynParams, t0, n_steps) -> LBMState:
             s = split_state(state, with_fbc=has_forcing)
             out = loop(step, s, dyn, jnp.asarray(t0, jnp.int32), n_steps,
-                       hook=pre_step_ddf)
+                       hook=pre_step_ddf, post=True)
             return merge_state(out)
 
         impl_name = "pallas"
@@ -106,7 +115,7 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
             s = split_state(permute_state(state), with_fbc=has_forcing,
                             sponge_axis="y")
             out = loop(step, s, permute_dyn(dyn), jnp.asarray(t0, jnp.int32),
-                       n_steps, hook=pre_step_pddf)
+                       n_steps, hook=pre_step_pddf, post=True)
             return unpermute_state(merge_state(out))
 
         impl_name = "pallas-permuted"

@@ -1,139 +1,283 @@
-"""Sharded Pallas stepping: shard_map over z-slabs with explicit halo exchange.
+"""Sharded Pallas stepping: shard_map over any (Dx, Dy, Dz) split.
 
 The GSPMD path (parallel/mesh.py) lets XLA infer halo collectives for the
-jnp reference tier.  This module runs the *Pallas* kernel under shard_map:
-the lattice is split into z-slabs, each step ppermutes the single boundary
-plane of the cz=+1/-1 DDF groups (and flags) to the neighbor shards — the
-TPU analog of the reference's pack/PCIe/unpack halo pipeline
-(reference: lbm.cpp:1864-1958), except it is 3 collective_permutes on ICI.
+jnp reference tier.  This module runs the *Pallas* kernel under shard_map —
+the TPU analog of the reference's pack/PCIe/unpack halo pipeline
+(reference: lbm.cpp:1864-1958), as explicit `lax.ppermute`s on ICI:
 
-Exchange contract per step (pull streaming):
-  * shard s needs fp[z_last of s-1]  (cz=+1 pulls from z-1)
-  * shard s needs fm[z_first of s+1] (cz=-1 pulls from z+1)
-  * shard s needs flags[z_last of s-1] and flags[z_first of s+1]
-The halo planes are passed to a kernel variant whose z-neighbor index maps
-read from halo-extended arrays instead of wrapping modularly.
+  * z split: each step ppermutes the single boundary plane of the cz=+1/-1
+    DDF groups to the neighbor shards; the kernel's halo_mode consumes them
+    through halo-extended arrays (no ghost layers needed — the kernel
+    marches planes).
+  * y / x splits: local arrays carry one GHOST row/lane layer on the split
+    axes.  Each step ppermutes the boundary interior rows/lanes into the
+    neighbors' ghosts (x first, then y including the x-ghost lanes, so
+    corner values propagate — the reference serializes directions the same
+    way, lbm.cpp:1910).  The kernel is ghost-oblivious: ghost outputs are
+    garbage that the next exchange overwrites before anything reads them.
+  * flags ghosts/halos are static — exchanged once per runner build.
+
+Periodic wrap at the global box edge matches the reference's modular domain
+indexing (lbm.cpp:1912).  The Von Karman inlet pre-step runs per shard with
+its z offset and top-face ownership passed in (bc/vk_inlet.py ddf variant);
+face nudge/sponge targets are static FaceBC slices, so no per-step gathers.
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 
 from ..lbm.state import DynParams, Forcing, LBMState, StepConfig
-from ..ops.stream_collide import SplitState, make_pallas_step, merge_state, split_state
+from ..ops.stream_collide import (
+    FaceBC, SplitState, build_face_bc, make_pallas_step, merge_state, split_state,
+)
 
 
-def _shift_up(x, axis_name):
-    """Receive the neighbor-below's slab (z - 1 direction); wraps at the ends
-    (periodic, matching the reference's modular domain indexing)."""
+def _fwd(x, axis_name):
+    """Receive the previous shard's data (wraps periodically)."""
     n = jax.lax.psum(1, axis_name)
     perm = [(i, (i + 1) % n) for i in range(n)]
     return jax.lax.ppermute(x, axis_name, perm)
 
 
-def _shift_down(x, axis_name):
+def _bwd(x, axis_name):
     n = jax.lax.psum(1, axis_name)
     perm = [(i, (i - 1) % n) for i in range(n)]
     return jax.lax.ppermute(x, axis_name, perm)
 
 
+def _pad_ghosts(a, gy: int, gx: int, axes=(-2, -1)):
+    """Zero-pad ghost layers on the trailing (y, x) axes."""
+    if not (gy or gx):
+        return a
+    pad = [(0, 0)] * a.ndim
+    if gy:
+        pad[a.ndim + axes[0]] = (1, 1)
+    if gx:
+        pad[a.ndim + axes[1]] = (1, 1)
+    return jnp.pad(a, pad)
+
+
+def _strip_ghosts(a, gy: int, gx: int):
+    if gy:
+        a = a[..., 1:-1, :]
+    if gx:
+        a = a[..., :, 1:-1]
+    return a
+
+
+def _exchange_ghosts(a, gy: int, gx: int):
+    """Refresh ghost rows/lanes from the neighbors' boundary interiors.
+    x first, then y over the full (x-ghost-extended) width -> corners ok."""
+    if gx:
+        from_left = _fwd(a[..., -2:-1], "x")
+        from_right = _bwd(a[..., 1:2], "x")
+        a = jnp.concatenate([from_left, a[..., 1:-1], from_right], axis=-1)
+    if gy:
+        from_south = _fwd(a[..., -2:-1, :], "y")
+        from_north = _bwd(a[..., 1:2, :], "y")
+        a = jnp.concatenate([from_south, a[..., 1:-1, :], from_north], axis=-2)
+    return a
+
+
 def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
                                shape: Tuple[int, int, int], mesh: Mesh,
-                               *, n_inner: int = 1, pre_step=None):
-    """Jitted sharded `run(state, dyn, t0) -> state` using the Pallas kernel
-    per z-slab.  `mesh` must have a 'z' axis; Z must divide evenly."""
+                               *, n_inner: int = 1, pre_step=None,
+                               init_u=None, init_T=None):
+    """Jitted sharded `run(state, dyn, t0[, n]) -> state` using the Pallas
+    kernel per subdomain.  `mesh` must have ('z','y','x') axes; each global
+    dim must divide by its split.  `init_u`/`init_T` supply the static face-
+    target values (defaults: taken from the state passed to the first call
+    is NOT possible under jit — pass the initialized fields here).
+
+    `pre_step(s, t, z0=..., zl=..., top_on=...)` is the shard-aware DDF
+    inlet hook (bc/vk_inlet.py `.ddf` variant); requires dx == dy == 1.
+    """
     Z, Y, X = shape
-    nz_shards = mesh.shape["z"]
-    if Z % nz_shards:
-        raise ValueError(f"Z={Z} not divisible by z shards {nz_shards}")
-    zs = Z // nz_shards
-    local_shape = (zs, Y, X)
+    nz, ny, nx = mesh.shape["z"], mesh.shape["y"], mesh.shape["x"]
+    if Z % nz or Y % ny or X % nx:
+        raise ValueError(f"grid {shape} not divisible by mesh ({nz},{ny},{nx})")
+    if pre_step is not None and (ny > 1 or nx > 1):
+        raise ValueError("the VK inlet pre-step supports z-only sharding")
+    zl, yl, xl = Z // nz, Y // ny, X // nx
+    gy, gx = int(ny > 1), int(nx > 1)
+    local_shape = (zl, yl + 2 * gy, xl + 2 * gx)
+    _, Yg, Xg = local_shape
+    thermal = config.thermal
     has_nudge = forcing.nudge_sigma is not None
     has_sponge = forcing.sponge_sigma_z is not None
     has_forcing = has_nudge or has_sponge
-    thermal = config.thermal
-    # The kernel closure only keys presence off the Forcing arg; actual values
-    # are fed per shard through `forcing_loc`.  Hand it local-shape zeros.
+
+    # kernel closure keys presence off the Forcing arg; values are fed per
+    # shard through forcing_loc.  Hand it local-shape placeholders.
     placeholder = Forcing(
         nudge_sigma=jnp.zeros(local_shape, jnp.float32) if has_nudge else None,
         nudge_face=jnp.zeros(local_shape, jnp.int8) if has_nudge else None,
         nudge_vertical=forcing.nudge_vertical,
-        sponge_sigma_z=(jnp.zeros(zs, jnp.float32) if has_sponge else None),
+        sponge_sigma_z=(jnp.zeros(zl, jnp.float32) if has_sponge else None),
     )
     step_local = make_pallas_step(config, placeholder, local_shape,
                                   halo_mode=True)
 
-    # global forcing arrays, passed through shard_map with z-sharded specs
+    # global forcing arrays, sharded into the body (ghosts padded inside)
     nsig_g = (jnp.asarray(forcing.nudge_sigma, jnp.float32) if has_nudge
-              else jnp.zeros((Z, 1, 1), jnp.float32))
+              else jnp.zeros((Z, Y, X), jnp.float32))
     nface_g = (jnp.asarray(forcing.nudge_face).astype(jnp.uint8) if has_nudge
-               else jnp.zeros((Z, 1, 1), jnp.uint8))
+               else jnp.zeros((Z, Y, X), jnp.uint8))
     spz_g = (jnp.asarray(forcing.sponge_sigma_z, jnp.float32).reshape(Z, 1)
              if has_sponge else jnp.zeros((Z, 1), jnp.float32))
 
-    def sharded_step(s: SplitState, dyn: DynParams,
-                     nsig, nface, spz) -> SplitState:
-        # halo planes: fp needs z-1 (from shard below), fm needs z+1 (above)
-        fp_halo = _shift_up(s.fp[:, -1:], "z")       # (5, 1, Y, X)
-        fm_halo = _shift_down(s.fm[:, :1], "z")
-        flb_halo = _shift_up(s.flags[-1:], "z")      # (1, Y, X)
-        fla_halo = _shift_down(s.flags[:1], "z")
-        halos = dict(fp_halo=fp_halo, fm_halo=fm_halo,
-                     flb_halo=flb_halo, fla_halo=fla_halo)
+    def exchange_state(s: SplitState) -> SplitState:
+        if not (gy or gx):
+            return s
+        rep = {k: _exchange_ghosts(getattr(s, k), gy, gx)
+               for k in ("f0", "fp", "fm")}
+        if s.g0 is not None:
+            rep.update({k: _exchange_ghosts(getattr(s, k), gy, gx)
+                        for k in ("g0", "gp", "gm")})
+        return s._replace(**rep)
+
+    def z_halos(s: SplitState) -> dict:
+        halos = dict(
+            fp_halo=_fwd(s.fp[:, -1:], "z"),      # cz=+1 pulls from z-1
+            fm_halo=_bwd(s.fm[:, :1], "z"),       # cz=-1 pulls from z+1
+        )
         if s.gp is not None:
-            halos["gp_halo"] = _shift_up(s.gp[:, -1:], "z")
-            halos["gm_halo"] = _shift_down(s.gm[:, :1], "z")
-        if has_forcing:
-            # nudge/sponge reference targets live on the GLOBAL top plane;
-            # gather local tops along z and take the topmost shard's
-            fl = dict(sponge_z=spz)
-            if has_nudge:
-                fl["nudge_sigma"] = jnp.broadcast_to(nsig, local_shape)
-                fl["nudge_face"] = jnp.broadcast_to(nface, local_shape)
-            tops = jax.lax.all_gather(s.u[:, -1, :, :], "z")  # (nz, 3, Y, X)
-            fl["top_u"] = tops[-1]
-            if thermal and has_sponge:
-                fl["top_T"] = jax.lax.all_gather(s.T[-1], "z")[-1]
-            halos["forcing_loc"] = fl
-        return step_local(s, dyn, **halos)
+            halos["gp_halo"] = _fwd(s.gp[:, -1:], "z")
+            halos["gm_halo"] = _bwd(s.gm[:, :1], "z")
+        return halos
 
     def body(state: LBMState, dyn: DynParams, t0, n_steps,
-             nsig, nface, spz) -> LBMState:
+             nsig, nface, spz, fbc: Optional[FaceBC]) -> LBMState:
         s = split_state(state)
-        t0 = jnp.asarray(t0, jnp.int32)
+        # ghost-extend the local DDF/flag arrays (loop-carried)
+        s = s._replace(
+            f0=_pad_ghosts(s.f0, gy, gx), fp=_pad_ghosts(s.fp, gy, gx),
+            fm=_pad_ghosts(s.fm, gy, gx),
+            flags=_pad_ghosts(s.flags, gy, gx),
+            g0=None if s.g0 is None else _pad_ghosts(s.g0, gy, gx),
+            gp=None if s.gp is None else _pad_ghosts(s.gp, gy, gx),
+            gm=None if s.gm is None else _pad_ghosts(s.gm, gy, gx),
+            T=None if s.T is None else _pad_ghosts(s.T, gy, gx),
+            fbc=fbc,
+        )
+        # flags ghosts/halos are static: exchange once
+        flags_g = _exchange_ghosts(s.flags, gy, gx)
+        s = s._replace(flags=flags_g)
+        flb = _fwd(flags_g[-1:], "z")
+        fla = _bwd(flags_g[:1], "z")
+
+        fl_loc = {}
+        if has_forcing:
+            fl_loc["sponge_z"] = spz
+            if has_nudge:
+                fl_loc["nudge_sigma"] = _pad_ghosts(nsig, gy, gx)
+                fl_loc["nudge_face"] = _pad_ghosts(nface, gy, gx)
+
+        zi = jax.lax.axis_index("z")
+        z0 = zi * zl
+        top_on = (zi == nz - 1).astype(jnp.float32)
+        t0_ = jnp.asarray(t0, jnp.int32)
 
         def inner(i, st):
+            st = exchange_state(st)
+            halos = z_halos(st)
+            st = step_local(st, dyn, flb_halo=flb, fla_halo=fla,
+                            forcing_loc=fl_loc, **halos)
             if pre_step is not None:
-                st = pre_step(st, t0 + i)
-            return sharded_step(st, dyn, nsig, nface, spz)
+                # post-step: the equilibria written now are what neighbors
+                # stream during step i+1 (matches the reference timing —
+                # see lbm/stepper.py loop docstring)
+                st = pre_step(st, t0_ + i, z0=z0, zl=zl, top_on=top_on)
+            return st
 
         out = jax.lax.fori_loop(0, n_steps, inner, s)
+        out = out._replace(
+            f0=_strip_ghosts(out.f0, gy, gx), fp=_strip_ghosts(out.fp, gy, gx),
+            fm=_strip_ghosts(out.fm, gy, gx), flags=state.flags, fbc=None,
+            T=state.T,
+            g0=None if out.g0 is None else _strip_ghosts(out.g0, gy, gx),
+            gp=None if out.gp is None else _strip_ghosts(out.gp, gy, gx),
+            gm=None if out.gm is None else _strip_ghosts(out.gm, gy, gx),
+        )
         return merge_state(out)
 
-    spec_v = P(None, "z", None, None)
-    spec_s = P("z", None, None)
+    spec_v = P(None, "z", "y", "x")
+    spec_s = P("z", "y", "x")
     from jax.experimental.shard_map import shard_map
 
     in_state_specs = LBMState(
         fi=spec_v, rho=spec_s, u=spec_v, flags=spec_s,
         gi=spec_v if thermal else None, T=spec_s if thermal else None)
+    # face targets: ut/ub/tt replicated over z (they are global top/bottom
+    # planes every shard needs); z-extended faces shard over z and their row
+    # axis; ghost columns/rows on sharded axes are padded inside the body...
+    # targets at ghost cells are never used (nudge sigma is zero there), so
+    # edge-padding via the kernel-side slices is unnecessary — instead the
+    # fbc arrays are ghost-padded here with edge values.
+    fbc_specs = FaceBC(
+        uw=P("z", None, "y"), ue=P("z", None, "y"),
+        us=P("z", None, "x"), un=P("z", None, "x"),
+        ut=P(None, "y", "x"), ub=P(None, "y", "x"),
+        tt=P("y", "x") if thermal else None,
+    )
     smapped = shard_map(
         body, mesh=mesh,
-        in_specs=(in_state_specs, P(), P(), P(), spec_s, spec_s, P("z", None)),
+        in_specs=(in_state_specs, P(), P(), P(), spec_s, spec_s,
+                  P("z", None), fbc_specs),
         out_specs=in_state_specs,
         check_rep=False,
     )
-    jitted = jax.jit(smapped, donate_argnums=(0,))
 
+    def body_padded(state, dyn, t0, n_steps, nsig, nface, spz, fbc):
+        return smapped(state, dyn, t0, n_steps, nsig, nface, spz, fbc)
+
+    jitted = jax.jit(body_padded, donate_argnums=(0,))
+
+    # static face targets from the initialized boundary fields, ghost-padded
+    # on sharded axes so local slices line up with the kernel's plane dims
+    if init_u is None:
+        raise ValueError("make_sharded_pallas_runner requires init_u (the "
+                         "initialized velocity field) for the face targets")
+    u0 = jnp.asarray(init_u)
+    T0 = jnp.asarray(init_T) if (thermal and init_T is not None) else None
+    fbc0 = build_face_bc(u0, T0)
+
+    def pad_axis(a, axis, n_split):
+        if n_split <= 1:
+            return a
+        idx_lo = [slice(None)] * a.ndim
+        idx_lo[axis] = slice(0, 1)
+        # replicate the shard-edge values into ghosts: pad each SHARD slice.
+        # Implemented by reshaping to (n_split, local) and edge-padding.
+        moved = jnp.moveaxis(a, axis, 0)
+        n = moved.shape[0]
+        loc = n // n_split
+        parts = moved.reshape(n_split, loc, *moved.shape[1:])
+        parts = jnp.pad(parts, [(0, 0), (1, 1)] + [(0, 0)] * (parts.ndim - 2),
+                        mode="edge")
+        out = parts.reshape(n_split * (loc + 2), *moved.shape[1:])
+        return jnp.moveaxis(out, 0, axis)
+
+    fbc0 = FaceBC(
+        uw=pad_axis(fbc0.uw, 2, ny), ue=pad_axis(fbc0.ue, 2, ny),
+        us=pad_axis(fbc0.us, 2, nx), un=pad_axis(fbc0.un, 2, nx),
+        ut=pad_axis(pad_axis(fbc0.ut, 1, ny), 2, nx),
+        ub=pad_axis(pad_axis(fbc0.ub, 1, ny), 2, nx),
+        tt=None if fbc0.tt is None else pad_axis(pad_axis(fbc0.tt, 0, ny), 1, nx),
+    )
+    # adjust the fbc specs for the pre-padded row axes: the padded arrays
+    # are (n_split*(loc+2)) long on those axes and shard evenly
     def run(state: LBMState, dyn: DynParams, t0, n_steps=None) -> LBMState:
         n = jnp.asarray(n_inner if n_steps is None else n_steps, jnp.int32)
         return jitted(state, dyn, jnp.asarray(t0, jnp.int32), n,
-                      nsig_g, nface_g, spz_g)
+                      nsig_g, nface_g, spz_g, fbc0)
 
+    run.fields_stale = True
     return run

@@ -111,10 +111,12 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
     files: List[Path] = []
 
     # --- device mesh (deck n_gpu = [Dx, Dy, Dz]) ---------------------------
-    # Multi-device runs shard the lattice over a GSPMD mesh (the reference's
+    # Multi-device runs shard the lattice over a device mesh (the reference's
     # domain-split + PCIe halo pipeline, lbm.cpp:1067-1958, collapses into
-    # sharded-array semantics).  A pure z split with no per-step inlet hook
-    # upgrades to the explicit shard_map pallas runner (parallel/halo.py).
+    # sharded-array semantics).  Any divisible (Dx, Dy, Dz) split upgrades to
+    # the explicit shard_map pallas runner (parallel/halo.py: z via plane
+    # halos, y/x via ghost layers); the VK inlet rides along for z-only
+    # splits.  Everything else falls back to GSPMD over the jnp tier.
     mesh = None
     eff_impl = case.impl
     ndev = int(np.prod(case.ngpu))
@@ -129,10 +131,15 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
 
             mesh = domain_mesh(tuple(case.ngpu))
             dx, dy, dz = case.ngpu
+            local = (shape[0] // dz, shape[1] // dy + 2 * (dy > 1),
+                     shape[2] // dx + 2 * (dx > 1))
+            vk_ok = case.pre_step is None or (
+                dx == 1 and dy == 1
+                and getattr(case.pre_step, "ddf", None) is not None)
             use_sharded_pallas = (
-                dx == 1 and dy == 1 and case.pre_step is None
-                and shape[0] % dz == 0
-                and _pallas_ok((shape[0] // dz,) + tuple(shape[1:]), case.config)
+                shape[0] % dz == 0 and shape[1] % dy == 0 and shape[2] % dx == 0
+                and vk_ok
+                and _pallas_ok(local, case.config)
                 and case.impl in ("auto", "pallas"))
             if not use_sharded_pallas and eff_impl == "auto":
                 eff_impl = "reference"   # GSPMD tier; pallas_call is local-only
@@ -152,12 +159,25 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         from ..parallel.halo import make_sharded_pallas_runner
 
         advance = make_sharded_pallas_runner(
-            case.config, case.forcing, shape, mesh, n_inner=1)
+            case.config, case.forcing, shape, mesh, n_inner=1,
+            pre_step=getattr(case.pre_step, "ddf", None),
+            init_u=case.state.u, init_T=case.state.T)
         impl_name = "pallas-sharded"
     else:
         advance, impl_name = make_runner(
             case.config, case.forcing, shape=shape, n_inner=1,
             impl=eff_impl, donate=True, pre_step=case.pre_step)
+
+    # pallas tiers step pure DDFs: refresh rho/u/T before field-consuming
+    # events (the reference's update_fields split, kernel.cpp:1938)
+    if getattr(advance, "fields_stale", False):
+        from ..lbm.fields import update_fields
+
+        def refresh(st: LBMState) -> LBMState:
+            return update_fields(st, case.config, case.dyn)
+    else:
+        def refresh(st: LBMState) -> LBMState:
+            return st
 
     def runner(n: int):
         return lambda st, dyn, t: advance(st, dyn, t, n)
@@ -273,7 +293,17 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
                     f"{info.steps_per_second():.1f} Steps/s | "
                     f"ETA {info.eta_seconds(t):.0f} s",
                     t, total_steps)
-        # event actions at step t
+        # event actions at step t: materialize fields once if anything
+        # field-consuming fires here (pure-DDF tiers keep rho/u/T stale)
+        wants_fields = (
+            (avg_window and t >= avg_start and (t - avg_start) % avg_stride == 0)
+            or (case.probes and t >= probe_start and (t - probe_start) % avg_stride == 0)
+            or (unsteady and t % unsteady == 0 and t > 0 and t != last_unsteady_t)
+            or (ckpt_path is not None and s.checkpoint_interval > 0
+                and t % s.checkpoint_interval == 0 and t > resume_t)
+            or t == total_steps)
+        if wants_fields:
+            state = refresh(state)
         if avg_window and t >= avg_start and (t - avg_start) % avg_stride == 0:
             if avg_phase_t0 is None:
                 _sync(state)

@@ -219,7 +219,7 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
     vk_cfg = vk_config_from_deck(deck, units=units, downstream_bc=downstream_bc)
     vk_rt = build_vk_runtime(vk_cfg, flags, u)
     if vk_rt is not None:
-        pre_step = make_vk_pre_step(vk_cfg, vk_rt)
+        pre_step = make_vk_pre_step(vk_cfg, vk_rt, storage=storage)
         if not quiet:
             print(f"| VK inlet        | active: {len(vk_rt.sigma)} points, "
                   f"{vk_cfg.nmodes} modes")

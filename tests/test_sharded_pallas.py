@@ -1,7 +1,9 @@
 """Sharded Pallas runner (shard_map + halo collective_permute) equivalence.
 
-Runs the kernel in interpret mode over a 2-way z-sharded CPU mesh and checks
-bit-level agreement with the single-device pallas step and the jnp tier.
+Runs the kernel in interpret mode over 2-8-way sharded CPU meshes — z plane
+halos, y/x ghost layers, and their combinations — and checks agreement with
+the single-device pallas step.  Also covers the VK synthetic-turbulence
+inlet under z-sharding (the pre-step writes boundary equilibria per shard).
 """
 
 import numpy as np
@@ -13,94 +15,119 @@ def _interpret_mode(monkeypatch):
     monkeypatch.setenv("LUW_PALLAS_INTERPRET", "1")
 
 
-def test_sharded_pallas_matches_single():
-    import jax
+def _case(shape=(8, 32, 128), with_forcing=False, seed=0):
     import jax.numpy as jnp
 
     from latticeurbanwind_tpu.lbm import (
-        DynParams, Forcing, StepConfig, TYPE_E, TYPE_S,
-        make_initial_state, omega_from_nu,
-    )
-    from latticeurbanwind_tpu.ops.stream_collide import (
-        make_pallas_step, merge_state, split_state,
-    )
-    from latticeurbanwind_tpu.parallel import domain_mesh, shard_state
-    from latticeurbanwind_tpu.parallel.halo import make_sharded_pallas_runner
-
-    shape = (8, 32, 128)
-    rng = np.random.default_rng(0)
-    cfg = StepConfig(omega=omega_from_nu(0.03), subgrid=True, storage="f32")
-    u = 0.02 * rng.standard_normal((3, *shape)).astype(np.float32)
-    flags = np.zeros(shape, np.uint8)
-    flags[0] = TYPE_S
-    flags[-1] = TYPE_E
-    flags[3, 10:20, 40:60] = TYPE_S     # an obstacle crossing the shard cut
-    flags[4, 10:20, 40:60] = TYPE_S
-    state = make_initial_state(shape, config=cfg, u=u, flags=flags)
-    dyn = DynParams(force=jnp.array([1e-5, 0.0, 0.0]),
-                    omega_coriolis=jnp.array([0.0, 1e-5, 2e-5]))
-
-    # single-device pallas ground truth
-    pstep = make_pallas_step(cfg, Forcing(), shape)
-    single = state
-    step1 = jax.jit(lambda st, d: merge_state(pstep(split_state(st), d)))
-    for _ in range(4):
-        single = step1(single, dyn)
-
-    mesh = domain_mesh((1, 1, 2))   # 2 z-shards
-    run = make_sharded_pallas_runner(cfg, Forcing(), shape, mesh, n_inner=4)
-    sharded = run(shard_state(state, mesh), dyn, 0)
-
-    np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
-                               atol=1e-6)
-    np.testing.assert_allclose(np.asarray(sharded.u), np.asarray(single.u),
-                               atol=1e-6)
-    np.testing.assert_allclose(np.asarray(sharded.rho), np.asarray(single.rho),
-                               atol=1e-6)
-
-
-def test_sharded_pallas_with_forcing_matches_single():
-    """Nudge + sponge forcing under z-sharding: per-shard sigma/face slices
-    and the all-gathered global-top reference plane must reproduce the
-    single-device pallas step."""
-    import jax
-    import jax.numpy as jnp
-
-    from latticeurbanwind_tpu.lbm import (
-        DynParams, NudgeSpec, SpongeSpec, StepConfig, TYPE_E, TYPE_S,
+        DynParams, Forcing, NudgeSpec, SpongeSpec, StepConfig, TYPE_E, TYPE_S,
         build_forcing, make_initial_state, omega_from_nu,
     )
-    from latticeurbanwind_tpu.ops.stream_collide import (
-        make_pallas_step, merge_state, split_state,
-    )
-    from latticeurbanwind_tpu.parallel import domain_mesh, shard_state
-    from latticeurbanwind_tpu.parallel.halo import make_sharded_pallas_runner
 
-    shape = (8, 32, 128)
-    rng = np.random.default_rng(1)
+    rng = np.random.default_rng(seed)
     cfg = StepConfig(omega=omega_from_nu(0.03), subgrid=True, storage="f32")
     u = 0.02 * rng.standard_normal((3, *shape)).astype(np.float32)
     flags = np.zeros(shape, np.uint8)
     flags[0] = TYPE_S
     flags[-1] = TYPE_E
+    flags[:, 0, :] |= TYPE_E
+    flags[:, -1, :] |= TYPE_E
+    flags[:, :, 0] |= TYPE_E
+    flags[:, :, -1] |= TYPE_E
+    flags[0] = TYPE_S
+    flags[3:5, 10:20, 40:60] = TYPE_S     # an obstacle crossing shard cuts
     state = make_initial_state(shape, config=cfg, u=u, flags=flags)
-    forcing = build_forcing(shape,
-                            nudge=NudgeSpec(n_cells=3, inv_tau=0.02,
-                                            downstream_face=1),
-                            sponge=SpongeSpec(n_cells=3, inv_tau=0.05))
-    dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3))
+    if with_forcing:
+        forcing = build_forcing(shape,
+                                nudge=NudgeSpec(n_cells=3, inv_tau=0.02,
+                                                downstream_face=1),
+                                sponge=SpongeSpec(n_cells=3, inv_tau=0.05))
+    else:
+        forcing = Forcing()
+    dyn = DynParams(force=jnp.array([1e-5, 0.0, 0.0]),
+                    omega_coriolis=jnp.array([0.0, 1e-5, 2e-5]))
+    return cfg, state, forcing, dyn
 
-    pstep = make_pallas_step(cfg, forcing, shape)
-    step1 = jax.jit(lambda st, d: merge_state(pstep(split_state(st), d)))
-    single = state
-    for _ in range(4):
-        single = step1(single, dyn)
 
-    mesh = domain_mesh((1, 1, 2))
-    run = make_sharded_pallas_runner(cfg, forcing, shape, mesh, n_inner=4)
-    sharded = run(shard_state(state, mesh), dyn, 0)
+def _single(cfg, state, forcing, dyn, n_steps, pre_step=None):
+    import jax
 
+    from latticeurbanwind_tpu.ops.stream_collide import (
+        make_pallas_step, merge_state, split_state,
+    )
+
+    has_forcing = (forcing.nudge_sigma is not None
+                   or forcing.sponge_sigma_z is not None)
+    pstep = make_pallas_step(cfg, forcing, state.rho.shape)
+
+    def advance(st, d):
+        s = split_state(st, with_fbc=has_forcing)
+        for t in range(n_steps):
+            s = pstep(s, d)
+            if pre_step is not None:   # post-step (see lbm/stepper.py loop)
+                s = pre_step(s, t)
+        return merge_state(s)
+
+    return jax.jit(advance)(state, dyn)
+
+
+def _sharded(cfg, state, forcing, dyn, n_steps, split, pre_step=None):
+    from latticeurbanwind_tpu.parallel import domain_mesh, shard_state
+    from latticeurbanwind_tpu.parallel.halo import make_sharded_pallas_runner
+
+    mesh = domain_mesh(split)
+    run = make_sharded_pallas_runner(cfg, forcing, state.rho.shape, mesh,
+                                     n_inner=n_steps, pre_step=pre_step,
+                                     init_u=state.u, init_T=state.T)
+    return run(shard_state(state, mesh), dyn, 0)
+
+
+@pytest.mark.parametrize("split", [(1, 1, 2), (1, 2, 2), (2, 1, 1), (2, 2, 2)])
+def test_sharded_matches_single(split):
+    cfg, state, forcing, dyn = _case()
+    single = _single(cfg, state, forcing, dyn, 4)
+    sharded = _sharded(cfg, state, forcing, dyn, 4, split)
     np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
                                atol=1e-6)
-    np.testing.assert_allclose(np.asarray(sharded.u), np.asarray(single.u),
+
+
+@pytest.mark.parametrize("split", [(1, 1, 2), (2, 2, 1)])
+def test_sharded_with_forcing_matches_single(split):
+    """Nudge + sponge under sharding: per-shard sigma/face slices and the
+    static FaceBC targets must reproduce the single-device pallas step."""
+    from latticeurbanwind_tpu.lbm.fields import update_fields
+
+    cfg, state, forcing, dyn = _case(with_forcing=True, seed=1)
+    single = _single(cfg, state, forcing, dyn, 4)
+    sharded = _sharded(cfg, state, forcing, dyn, 4, split)
+    np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
+                               atol=1e-6)
+    fs = update_fields(sharded, cfg, dyn)
+    f1 = update_fields(single, cfg, dyn)
+    np.testing.assert_allclose(np.asarray(fs.u), np.asarray(f1.u), atol=1e-6)
+    np.testing.assert_allclose(np.asarray(fs.rho), np.asarray(f1.rho), atol=1e-6)
+
+
+def test_sharded_vk_inlet_matches_single():
+    """The synthetic-turbulence inlet under z-sharding: the DDF pre-step
+    localizes its face slab writes by shard z offset (VERDICT item 3 —
+    production urban runs keep the fast tier with the inlet active)."""
+    from latticeurbanwind_tpu.bc.vk_inlet import (
+        VkConfig, build_vk_runtime, make_vk_pre_step,
+    )
+
+    cfg, state, forcing, dyn = _case(with_forcing=True, seed=2)
+    vk_cfg = VkConfig(enable=True, ti=0.08, L_lbm=6.0, nmodes=24, seed=7,
+                      update_stride=2, stride_interpolation=True)
+    rt = build_vk_runtime(vk_cfg, np.asarray(state.flags), np.asarray(state.u))
+    assert rt is not None and len(rt.sigma) > 0
+    pre = make_vk_pre_step(vk_cfg, rt, storage=cfg.storage)
+
+    single = _single(cfg, state, forcing, dyn, 4, pre_step=pre.ddf)
+
+    def sharded_pre(s, t, **kw):
+        return pre.ddf(s, t, **kw)
+
+    sharded = _sharded(cfg, state, forcing, dyn, 4, (1, 1, 2),
+                       pre_step=sharded_pre)
+    np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
                                atol=1e-6)
