@@ -43,7 +43,7 @@ def main() -> None:
     from latticeurbanwind_tpu.lbm.stepper import make_bench_runner
 
     shape = parse_shape()
-    steps = int(os.environ.get("LUW_BENCH_STEPS", "50"))
+    steps = int(os.environ.get("LUW_BENCH_STEPS", "200"))
     reps = int(os.environ.get("LUW_BENCH_REPS", "3"))
     storage = os.environ.get("LUW_BENCH_STORAGE", "bf16")
     impl = os.environ.get("LUW_BENCH_IMPL", "auto")
@@ -70,9 +70,10 @@ def main() -> None:
     run, impl_used = make_bench_runner(config, shape=shape, n_inner=steps, impl=impl)
 
     def sync(s):
-        # hard device->host readback; block_until_ready is unreliable through
-        # the hosted TPU tunnel
-        return float(jnp.asarray(s.rho[0, 0, 0]))
+        # hard device->host readback of the DDF output (rho/u pass through
+        # the pure-DDF tier untouched, so only fi proves the step ran);
+        # block_until_ready is unreliable through the hosted TPU tunnel
+        return float(jnp.asarray(s.fi[0, 1, 1, 1]).astype(jnp.float32))
 
     # warm-up / compile
     state = run(state, dyn, 0)
@@ -89,7 +90,9 @@ def main() -> None:
         t += steps
 
     mlups = n_cells * steps / best / 1e6
-    umax = float(jnp.max(jnp.abs(state.u)))
+    from latticeurbanwind_tpu.lbm.fields import update_fields
+
+    umax = float(jnp.max(jnp.abs(update_fields(state, config, dyn).u)))
     assert np.isfinite(umax), "benchmark produced non-finite velocities"
 
     result = {
