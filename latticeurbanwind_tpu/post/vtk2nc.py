@@ -74,7 +74,6 @@ def convert_vtk_to_nc(deck_path: Path, vtk_path: Path, *,
     nx, ny, nz = meta["dims"]
     sp = meta["spacing"][0]
     origin = meta["origin"]
-    model = TransformModel.from_deck(deck, (nx * sp, ny * sp))
 
     # local cell-center coordinates spanning [0, N*sp]
     x = (np.arange(nx) + 0.5) * sp
@@ -82,15 +81,27 @@ def convert_vtk_to_nc(deck_path: Path, vtk_path: Path, *,
     z = origin[2] + np.arange(nz) * sp
 
     gx, gy = np.meshgrid(x, y)
-    lon_g, lat_g = model.local_to_lonlat(gx, gy)
+    if deck.get_pair("cut_lon_manual") and deck.get_pair("cut_lat_manual"):
+        model = TransformModel.from_deck(deck, (nx * sp, ny * sp))
+        lon_g, lat_g = model.local_to_lonlat(gx, gy)
+        derotate = model.derotate_winds
+    else:
+        # geography-free decks (profile/dataset-gen modes): export on the
+        # local meter grid with an identity wind transform
+        model = None
+        lon_g, lat_g = gx, gy
+
+        def derotate(u, v):
+            return u, v
     lon_t = np.linspace(lon_g.min(), lon_g.max(), target_points)
     lat_t = np.linspace(lat_g.min(), lat_g.max(), target_points)
 
     out_fields = {}
-    uname = next((k for k in fields if k.lower().startswith("u")), None)
+    uname = next((k for k in fields
+                  if k.lower().startswith("u") or fields[k].ndim == 4), None)
     if uname and fields[uname].ndim == 4:
         u, v, w = fields[uname]
-        ue, vn = model.derotate_winds(u, v)
+        ue, vn = derotate(u, v)
         out_fields["ue"] = _regrid_nearest(lon_g, lat_g, ue, lon_t, lat_t)
         out_fields["vn"] = _regrid_nearest(lon_g, lat_g, vn, lon_t, lat_t)
         out_fields["w"] = _regrid_nearest(lon_g, lat_g, w, lon_t, lat_t)

@@ -140,6 +140,110 @@ def read_dbf(path: Path | str):
     return names, records
 
 
+# ---------------------------------------------------------------------------
+# Minimal writers (polygon / point shapefiles + dBase III attribute tables).
+# Enough for the documented inter-tool contracts: building-footprint inputs
+# (reference 2_shpCutter.py) and the DEM point shapefile drop-folder artifact
+# (reference dem_tif_to_shp.py:207).
+# ---------------------------------------------------------------------------
+
+
+def _shp_header(shape_type: int, bbox, file_len_bytes: int) -> bytes:
+    hdr = struct.pack(">i5i", 9994, 0, 0, 0, 0, 0)
+    hdr += struct.pack(">i", file_len_bytes // 2)
+    hdr += struct.pack("<ii", 1000, shape_type)
+    hdr += struct.pack("<4d", *bbox)
+    hdr += struct.pack("<4d", 0.0, 0.0, 0.0, 0.0)   # z/m ranges
+    return hdr
+
+
+def write_dbf(path: Path | str, fields, records) -> None:
+    """dBase III table.  fields: [(name, 'N'|'C', length, decimals)]."""
+    rec_size = 1 + sum(f[2] for f in fields)
+    hdr_size = 32 + 32 * len(fields) + 1
+    out = bytearray()
+    out += struct.pack("<B3BIHH20x", 0x03, 24, 1, 1, len(records),
+                       hdr_size, rec_size)
+    for name, ftype, flen, fdec in fields:
+        out += struct.pack("<11sc4xBB14x", name.encode("ascii")[:11],
+                           ftype.encode("ascii"), flen, fdec)
+    out += b"\x0D"
+    for rec in records:
+        out += b" "
+        for name, ftype, flen, fdec in fields:
+            v = rec.get(name, "")
+            if ftype == "N":
+                text = (f"{float(v):.{fdec}f}" if fdec else str(int(v)))
+                out += text.rjust(flen)[:flen].encode("ascii")
+            else:
+                out += str(v).ljust(flen)[:flen].encode("latin-1", "replace")
+    out += b"\x1A"
+    Path(path).write_bytes(bytes(out))
+
+
+def _write_shp_pair(path: Path, shape_type: int, contents: List[bytes],
+                    bbox, fields=None, records=None) -> None:
+    body = b""
+    shx = b""
+    off_words = 50
+    for i, content in enumerate(contents):
+        body += struct.pack(">ii", i + 1, len(content) // 2) + content
+        shx += struct.pack(">ii", off_words, len(content) // 2)
+        off_words += 4 + len(content) // 2
+    path = Path(path)
+    path.write_bytes(_shp_header(shape_type, bbox, 100 + len(body)) + body)
+    path.with_suffix(".shx").write_bytes(
+        _shp_header(shape_type, bbox, 100 + len(shx)) + shx)
+    if fields is not None:
+        write_dbf(path.with_suffix(".dbf"), fields, records or [])
+
+
+def write_polygon_shp(path: Path | str, polygons,
+                      heights: Optional[List[float]] = None,
+                      height_field: str = "height") -> None:
+    """Polygon shapefile (+ .shx/.dbf).  polygons: list of closed rings
+    [(x, y), ...]; heights fill a numeric attribute column."""
+    contents = []
+    xs_all, ys_all = [], []
+    for ring in polygons:
+        ring = list(ring)
+        if ring[0] != ring[-1]:
+            ring = ring + [ring[0]]
+        # shapefile outer rings are clockwise (negative shoelace area)
+        if ring_area(ring) > 0:
+            ring = ring[::-1]
+        xs = [p[0] for p in ring]
+        ys = [p[1] for p in ring]
+        xs_all += xs
+        ys_all += ys
+        content = struct.pack("<i4d", 5, min(xs), min(ys), max(xs), max(ys))
+        content += struct.pack("<ii", 1, len(ring))
+        content += struct.pack("<i", 0)
+        for x, y in ring:
+            content += struct.pack("<2d", x, y)
+        contents.append(content)
+    bbox = (min(xs_all), min(ys_all), max(xs_all), max(ys_all))
+    fields = [(height_field, "N", 18, 4), ("id", "N", 9, 0)]
+    records = [{height_field: (heights[i] if heights else 0.0), "id": i}
+               for i in range(len(polygons))]
+    _write_shp_pair(Path(path), 5, contents, bbox, fields, records)
+
+
+def write_point_shp(path: Path | str, points,
+                    values: Optional[List[float]] = None,
+                    value_field: str = "elevation") -> None:
+    """Point shapefile (+ .shx/.dbf) — the DEM drop-folder artifact format
+    (reference dem_tif_to_shp.py:207)."""
+    contents = [struct.pack("<i2d", 1, float(x), float(y)) for x, y in points]
+    xs = [p[0] for p in points]
+    ys = [p[1] for p in points]
+    bbox = (min(xs), min(ys), max(xs), max(ys))
+    fields = [(value_field, "N", 18, 4)]
+    records = [{value_field: (values[i] if values is not None else 0.0)}
+               for i in range(len(points))]
+    _write_shp_pair(Path(path), 1, contents, bbox, fields, records)
+
+
 def ring_area(ring: List[Tuple[float, float]]) -> float:
     """Signed shoelace area (negative = clockwise = shapefile outer ring)."""
     a = 0.0
