@@ -1,53 +1,513 @@
 """luwbc — NWP/WRF NetCDF -> SurfData boundary-sample CSV.
 
-Clean-room equivalent of bridge_core/1_buildBC.py (2481 LoC): normalizes WRF
-dims/coords and destaggers winds, derives AGL heights, crops to the deck's
-lon/lat window, projects to UTM, rotates the domain to a wind-aligned box,
-interpolates onto a uniform meter grid on each boundary face, writes
-proj_temp/SurfData_<datetime>.csv and the Generated deck fields
-(si_*_cfd, utm_crs, rotate_deg, um_vol, um_bc, downstream_bc,
-downstream_bc_yaw, datetime).
+Clean-room equivalent of bridge_core/1_buildBC.py (2481 LoC).  Stages, in
+the reference's order:
 
-The heavy GIS path requires xarray (WRF NetCDF-4).  Without it this stage
-reports clearly and exits nonzero so makeluw stops before the solver.
+  1. bbox-coverage confirmation: when the wind input does not fully cover
+     the deck's cut window, warn and ask with a 5 s auto-continue timeout
+     (reference :449-558; misses under 0.1 % continue silently).
+  2. UTM projection (own transverse-Mercator series, pre/utm.py) and the
+     GRID-CONVERGENCE rotation: the domain rotates so the cut window's
+     bottom edge (lon_min,lat_min)->(lon_max,lat_min) aligns with the X
+     axis, pivoting on the projected bbox centroid (reference :999-1058,
+     :1436-1476 — the config bounds override the data bounds).
+  3. DEM terrain: point shapefile or CSV under terrain_db/ (falling back to
+     the GeoTIFF drop-folder ingest), rotated into the domain frame and
+     IDW-gridded; elevations rebased so min = 0 (reference :559-685).
+  4. horizontal interpolation onto a uniform meter grid with spacing ~
+     midmesh_basesize (default 50 m), vertical resample onto a uniform AGL
+     ladder of the same spacing with nearest fill beyond the data range;
+     pressure-looking vertical coordinates fall back to index-based meters
+     (reference :1560-1700).
+  5. SurfData_<datetime>.csv with the PATCH column: bottom=0 (ground+eps,
+     with w), top=1 (flat cap, w=0), south=2/north=3/west=4/east=5 (ground
+     point + k*dz AGL levels, w=0); values column-interpolated by the
+     inverse-distance-between-bracketing-levels rule with local terrain
+     uplift (reference :2119-2400).
+  6. deck writebacks: si_*_cfd, utm_crs, rotate_deg, origin_shift_applied,
+     um_vol (gridded volume mean), um_bc (CSV row mean), downstream_bc and
+     downstream_bc_yaw (signed angle off the downstream face normal)
+     (reference :1822-1826, :2413-2438).
+
 A dependency-light path accepts proj_temp/wind_samples.csv
-(lon,lat,z_agl,u,v,w[,T]) and performs the same projection/rotation/grid
-steps with the built-in UTM math (pre/utm.py).
+(lon,lat,z_agl,u,v,w[,T]) with the same projection/rotation semantics.
 """
 
 from __future__ import annotations
 
+import math
+import os
 import sys
 from pathlib import Path
+from typing import Optional, Tuple
 
 import numpy as np
 
 from ..deck import load_deck
-from .utm import lonlat_to_utm, utm_epsg_for
+from ..io.progress import ProgressEmitter
+from .utm import lonlat_to_utm, utm_epsg_for, utm_zone_for
+
+PATCH_BOTTOM, PATCH_TOP, PATCH_SOUTH, PATCH_NORTH, PATCH_WEST, PATCH_EAST = range(6)
 
 
-def _rotation_for_wind(mean_u: float, mean_v: float) -> float:
-    """Rotation (deg) aligning the mean wind with a box axis.
-
-    The reference rotates the domain so the dominant flow crosses a face
-    squarely (1_buildBC.py:999-1058); we rotate the box by the wind yaw
-    modulo 90 deg, keeping the rotation small."""
-    yaw = np.degrees(np.arctan2(mean_u, mean_v))   # meteorological-ish
-    rot = ((yaw + 45.0) % 90.0) - 45.0
-    return float(rot)
+# ---------------------------------------------------------------------------
+# bbox coverage confirmation (reference :449-558)
+# ---------------------------------------------------------------------------
 
 
-def _downstream_face(mean_u: float, mean_v: float) -> tuple:
+def _bbox_max_miss_percent(target, inp) -> float:
+    tl0, tl1, tt0, tt1 = target
+    il0, il1, it0, it1 = inp
+    span_lon = max(tl1 - tl0, 1e-12)
+    span_lat = max(tt1 - tt0, 1e-12)
+    misses = [
+        max(0.0, il0 - tl0) / span_lon,
+        max(0.0, tl1 - il1) / span_lon,
+        max(0.0, it0 - tt0) / span_lat,
+        max(0.0, tt1 - it1) / span_lat,
+    ]
+    return 100.0 * max(misses)
+
+
+def confirm_bbox_coverage(kind: str, target, inp, *, timeout_s: float = 5.0) -> None:
+    """Warn + timed Y/N prompt when `inp` does not cover `target`; exits on
+    an explicit N.  Non-interactive runs (no TTY, or LUW_ASSUME_YES set)
+    auto-continue, matching the reference's timeout default."""
+    miss = _bbox_max_miss_percent(target, inp)
+    if miss <= 0.0:
+        return
+    if miss < 0.1:
+        print(f"[luwbc] WARNING: {kind} bounds slightly smaller than target "
+              f"(max miss {miss:.4f}% < 0.1%). Continue without interruption.")
+        return
+    print(f"[luwbc] WARNING: {kind} bounds do not fully cover the target area "
+          f"(max miss {miss:.2f}%).")
+    print(f"[luwbc]   target lon [{target[0]:.6f}, {target[1]:.6f}] "
+          f"lat [{target[2]:.6f}, {target[3]:.6f}]")
+    print(f"[luwbc]   input  lon [{inp[0]:.6f}, {inp[1]:.6f}] "
+          f"lat [{inp[2]:.6f}, {inp[3]:.6f}]")
+    if os.environ.get("LUW_ASSUME_YES") or not sys.stdin.isatty():
+        print("[luwbc] non-interactive run — continuing by default.")
+        return
+    try:
+        import select
+
+        sys.stdout.write(f"Continue anyway? (Y/N) [auto-continue in "
+                         f"{int(timeout_s)}s]: ")
+        sys.stdout.flush()
+        ready, _, _ = select.select([sys.stdin], [], [], timeout_s)
+        ans = sys.stdin.readline().strip().lower() if ready else None
+    except Exception:
+        ans = None
+    if ans is None:
+        print(f"\n[luwbc] no input (timeout {int(timeout_s)}s) — continuing.")
+        return
+    if ans in ("n", "no"):
+        print("[luwbc] user canceled. Exiting.")
+        sys.exit(1)
+    print("[luwbc] continuing despite bounds mismatch.")
+
+
+# ---------------------------------------------------------------------------
+# projection / rotation (reference :999-1058)
+# ---------------------------------------------------------------------------
+
+
+def bbox_rotation(lon_pair, lat_pair, zone: int):
+    """(rotate_deg, pivot_xy): rotation aligning the bbox bottom edge with
+    the X axis (compensates UTM grid convergence), pivot = bbox centroid."""
+    lons = np.array([lon_pair[0], lon_pair[1], lon_pair[1], lon_pair[0]])
+    lats = np.array([lat_pair[0], lat_pair[0], lat_pair[1], lat_pair[1]])
+    xs, ys = lonlat_to_utm(lons, lats, zone=zone)
+    angle = math.atan2(float(ys[1] - ys[0]), float(xs[1] - xs[0]))
+    rotate_deg = -math.degrees(angle)
+    pivot = (float(xs.mean()), float(ys.mean()))
+    corners = np.stack([xs, ys], axis=1)
+    return rotate_deg, pivot, corners
+
+
+def rotate_xy(x, y, deg: float, cx: float, cy: float):
+    th = math.radians(deg)
+    c, s = math.cos(th), math.sin(th)
+    xr = c * (x - cx) - s * (y - cy) + cx
+    yr = s * (x - cx) + c * (y - cy) + cy
+    return xr, yr
+
+
+# ---------------------------------------------------------------------------
+# DEM loading (reference :559-685) + gridding
+# ---------------------------------------------------------------------------
+
+
+def load_dem_lonlat(home: Path, deck) -> Optional[Tuple[np.ndarray, np.ndarray]]:
+    """DEM points from terrain_db/ -> (lonlat (N,2), elevation (N,)).
+    Sources: point shapefile (elevation attribute), or a CSV with a
+    lon,lat,elevation header.  Elevations rebased so min = 0."""
+    folder = home / "terrain_db"
+    if not folder.exists():
+        return None
+    for shp in sorted(folder.glob("*.shp")):
+        try:
+            from .shp_reader import read_shp
+
+            data = read_shp(shp)
+            pts = np.array([r.point for r in data.records if r.point is not None])
+            if not len(pts):
+                continue
+            field = next((f for f in data.fields
+                          if f.lower() in ("elevation", "elev", "height", "z")),
+                         data.fields[0] if data.fields else None)
+            if field is None or not data.attributes:
+                elev = np.zeros(len(pts))
+            else:
+                elev = np.array([float(a.get(field) or 0.0)
+                                 for a in data.attributes[:len(pts)]])
+            elev = elev - np.nanmin(elev)
+            print(f"[luwbc] DEM: {shp.name}, {len(pts)} points, "
+                  f"relief {float(np.nanmax(elev)):.1f} m")
+            return pts, elev
+        except Exception as e:
+            print(f"[luwbc] WARNING: failed to read DEM {shp.name}: {e}")
+    for csv in sorted(folder.glob("*.csv")):
+        try:
+            raw = np.loadtxt(csv, delimiter=",", skiprows=1, ndmin=2)
+            if raw.shape[1] < 3:
+                continue
+            elev = raw[:, 2] - np.nanmin(raw[:, 2])
+            print(f"[luwbc] DEM: {csv.name}, {len(raw)} points")
+            return raw[:, :2], elev
+        except Exception:
+            continue
+    return None
+
+
+def _idw_grid(points_xy, values, x_grid, y_grid, *, neighbors: int = 8) -> np.ndarray:
+    """Scattered points -> (ny, nx) grid by inverse-distance weighting."""
+    from scipy.spatial import cKDTree
+
+    gx, gy = np.meshgrid(x_grid, y_grid)
+    q = np.stack([gx.ravel(), gy.ravel()], axis=1)
+    tree = cKDTree(points_xy)
+    k = min(neighbors, len(points_xy))
+    dist, idx = tree.query(q, k=k)
+    dist = np.atleast_2d(dist.T).T
+    idx = np.atleast_2d(idx.T).T
+    w = 1.0 / np.maximum(dist, 1e-6) ** 2
+    out = (w * values[idx]).sum(axis=1) / w.sum(axis=1)
+    return out.reshape(len(y_grid), len(x_grid))
+
+
+def _interp_to_grid(vals3, src_x, src_y, x_grid, y_grid) -> np.ndarray:
+    """(nz, ny_src, nx_src) on scattered/curvilinear (src_x, src_y) ->
+    (nz, ny, nx) on the uniform grid (linear with nearest fill)."""
+    from scipy.interpolate import griddata
+
+    pts = np.stack([np.asarray(src_x).ravel(), np.asarray(src_y).ravel()], axis=1)
+    gx, gy = np.meshgrid(x_grid, y_grid)
+    out = np.empty((vals3.shape[0], len(y_grid), len(x_grid)), np.float32)
+    for k in range(vals3.shape[0]):
+        v = vals3[k].ravel()
+        lin = griddata(pts, v, (gx, gy), method="linear")
+        if np.isnan(lin).any():
+            near = griddata(pts, v, (gx, gy), method="nearest")
+            lin = np.where(np.isnan(lin), near, lin)
+        out[k] = lin
+    return out
+
+
+def _idw_interp_1d(col, z_query: float, z_src) -> float:
+    """Inverse-distance between the two bracketing levels (the reference's
+    exact column rule, :1899-1928 — NOT linear interpolation)."""
+    if z_query <= z_src[0]:
+        return float(col[0])
+    if z_query >= z_src[-1]:
+        return float(col[-1])
+    k_up = int(np.searchsorted(z_src, z_query))
+    k_lo = k_up - 1
+    d_lo = abs(z_query - float(z_src[k_lo]))
+    d_up = abs(z_query - float(z_src[k_up]))
+    if d_lo < 1e-6:
+        return float(col[k_lo])
+    if d_up < 1e-6:
+        return float(col[k_up])
+    w_lo, w_up = 1.0 / d_lo, 1.0 / d_up
+    return float((w_lo * float(col[k_lo]) + w_up * float(col[k_up])) / (w_lo + w_up))
+
+
+# ---------------------------------------------------------------------------
+# main structured path
+# ---------------------------------------------------------------------------
+
+
+def build_structured(deck_path: Path, lon, lat, z_levels, u, v, w, T=None,
+                     *, vert_units: str = "", vert_name: str = "") -> Path:
+    """Gridded NWP fields (nz, ny, nx) + lon/lat (2-D or 1-D) -> SurfData CSV
+    with the patch column, plus all deck writebacks."""
+    deck = load_deck(deck_path)
+    home = deck_path.parent
+    progress = ProgressEmitter("luwbc")
+    dt = deck.get_text("datetime") or "20990101120000"
+
+    u = np.asarray(u, np.float32)
+    v = np.asarray(v, np.float32)
+    w = np.asarray(w, np.float32)
+    T = None if T is None else np.asarray(T, np.float32)
+    lon = np.asarray(lon, float)
+    lat = np.asarray(lat, float)
+    if lon.ndim == 1:
+        lon, lat = np.meshgrid(lon, lat)
+    nz_src = u.shape[0]
+
+    data_bounds = (float(np.nanmin(lon)), float(np.nanmax(lon)),
+                   float(np.nanmin(lat)), float(np.nanmax(lat)))
+    lon_pair = deck.get_pair("cut_lon_manual")
+    lat_pair = deck.get_pair("cut_lat_manual")
+    if lon_pair and lat_pair:
+        target = (lon_pair[0], lon_pair[1], lat_pair[0], lat_pair[1])
+        confirm_bbox_coverage("Wind NC", target, data_bounds)
+    else:
+        lon_pair = (data_bounds[0], data_bounds[1])
+        lat_pair = (data_bounds[2], data_bounds[3])
+
+    clon = 0.5 * (lon_pair[0] + lon_pair[1])
+    clat = 0.5 * (lat_pair[0] + lat_pair[1])
+    zone = utm_zone_for(clon)
+    epsg = utm_epsg_for(clon, clat)
+
+    # grid-convergence rotation from the cut window's bottom edge
+    progress.emit("Projecting wind grid", indeterminate=True, force=True)
+    rotate_deg, pivot, corners = bbox_rotation(lon_pair, lat_pair, zone)
+    xr_c, yr_c = rotate_xy(corners[:, 0], corners[:, 1], rotate_deg,
+                           pivot[0], pivot[1])
+    x_origin, y_origin = float(xr_c.min()), float(yr_c.min())
+    si_x_range = float(xr_c.max()) - x_origin
+    si_y_range = float(yr_c.max()) - y_origin
+    print(f"[luwbc] convergence rotation {rotate_deg:.6f} deg, target domain "
+          f"{si_x_range:.1f} x {si_y_range:.1f} m")
+
+    ux, uy = lonlat_to_utm(lon.ravel(), lat.ravel(), zone=zone)
+    xr, yr = rotate_xy(ux, uy, rotate_deg, pivot[0], pivot[1])
+    x_src = (xr - x_origin).reshape(lon.shape)
+    y_src = (yr - y_origin).reshape(lon.shape)
+
+    # deck parameters
+    base_height = deck.get_float("base_height", 50.0) or 50.0
+    z_limit = deck.get_float("z_limit")
+    if z_limit is not None and (not math.isfinite(z_limit) or z_limit <= 0):
+        z_limit = None
+    mesh_base = deck.get_float("midmesh_basesize", 50.0) or 50.0
+
+    # horizontal target grid: spacing ~ midmesh_basesize
+    nx = max(1, int(round(si_x_range / mesh_base))) + 1
+    ny = max(1, int(round(si_y_range / mesh_base))) + 1
+    x_grid = np.linspace(0.0, si_x_range, nx)
+    y_grid = np.linspace(0.0, si_y_range, ny)
+    dx = x_grid[1] - x_grid[0] if nx > 1 else si_x_range
+    dy = y_grid[1] - y_grid[0] if ny > 1 else si_y_range
+
+    # vertical source levels (AGL); pressure-looking coords fall back to
+    # index meters (reference :1665-1688)
+    lev = np.asarray(z_levels, np.float32).reshape(-1)
+    if lev.size != nz_src or not np.isfinite(lev).all():
+        lev = np.arange(nz_src, dtype=np.float32)
+    units = vert_units.lower()
+    is_pressure = (units in ("pa", "hpa", "mb") or "mbar" in units
+                   or vert_name.lower() in ("plev", "pressure", "isobaric"))
+    if is_pressure and 10.0 < float(lev.min()) and float(lev.max()) < 2000.0:
+        print("[luwbc] WARNING: vertical levels look like pressure; using "
+              "index-based meters")
+        lev = np.arange(nz_src, dtype=np.float32)
+    if lev.size >= 2 and lev[1] < lev[0]:
+        lev = lev[::-1].copy()
+        u, v, w = u[::-1], v[::-1], w[::-1]
+        if T is not None:
+            T = T[::-1]
+    z_src_raw = lev.copy()
+    for k in range(1, z_src_raw.size):
+        if z_src_raw[k] <= z_src_raw[k - 1]:
+            z_src_raw[k] = z_src_raw[k - 1] + 1e-3
+    z_top_agl = float(z_src_raw[-1])
+
+    # horizontal interpolation onto the uniform meter grid
+    progress.emit("Interface interpolation", indeterminate=True, force=True)
+    u_m = _interp_to_grid(u, x_src, y_src, x_grid, y_grid)
+    v_m = _interp_to_grid(v, x_src, y_src, x_grid, y_grid)
+    w_m = _interp_to_grid(w, x_src, y_src, x_grid, y_grid)
+    t_m = _interp_to_grid(T, x_src, y_src, x_grid, y_grid) if T is not None else None
+
+    # vertical resample to ~mesh_base spacing, nearest fill outside range
+    from scipy.interpolate import interp1d
+
+    n_cell_z = max(1, int(round(z_top_agl / mesh_base)))
+    z_new = np.linspace(0.0, z_top_agl, n_cell_z + 1, dtype=np.float32)
+    dz = float(z_new[1] - z_new[0]) if len(z_new) > 1 else 0.0
+
+    def vre(a):
+        f = interp1d(z_src_raw, a, axis=0, bounds_error=False,
+                     fill_value=(a[0], a[-1]))
+        return f(z_new).astype(np.float32)
+
+    u_m, v_m, w_m = vre(u_m), vre(v_m), vre(w_m)
+    if t_m is not None:
+        t_m = vre(t_m)
+    nz = len(z_new)
+
+    # DEM terrain onto the wind grid
+    dem_grid = None
+    dem = load_dem_lonlat(home, deck)
+    if dem is not None:
+        progress.emit("Terrain grid", indeterminate=True, force=True)
+        pts_ll, elev = dem
+        if lon_pair and lat_pair:
+            inb = (float(np.nanmin(pts_ll[:, 0])), float(np.nanmax(pts_ll[:, 0])),
+                   float(np.nanmin(pts_ll[:, 1])), float(np.nanmax(pts_ll[:, 1])))
+            confirm_bbox_coverage("DEM", (lon_pair[0], lon_pair[1],
+                                          lat_pair[0], lat_pair[1]), inb)
+        dx_u, dy_u = lonlat_to_utm(pts_ll[:, 0], pts_ll[:, 1], zone=zone)
+        dxr, dyr = rotate_xy(dx_u, dy_u, rotate_deg, pivot[0], pivot[1])
+        dem_grid = _idw_grid(np.stack([dxr - x_origin, dyr - y_origin], axis=1),
+                             np.asarray(elev, float), x_grid, y_grid)
+
+    ground_max = base_height + (float(np.nanmax(dem_grid)) if dem_grid is not None else 0.0)
+    z_top_agl_out = min(z_top_agl, z_limit) if z_limit is not None else z_top_agl
+    z_top_output = ground_max + z_top_agl_out
+
+    # early writebacks (reference :1822-1826)
+    deck.set_pair("si_x_cfd", (0.0, si_x_range))
+    deck.set_pair("si_y_cfd", (0.0, si_y_range))
+    deck.set_pair("si_z_cfd", (0.0, z_top_output))
+    deck.set_text("utm_crs", f"EPSG:{epsg}", quoted=True)
+    deck.set_float("rotate_deg", rotate_deg)
+    deck.set_bool("origin_shift_applied", True)
+    deck.set_float("center_lon", clon)
+    deck.set_float("center_lat", clat)
+    if deck.get_pair("cut_lon_manual") is None:
+        deck.set_pair("cut_lon_manual", lon_pair)
+    if deck.get_pair("cut_lat_manual") is None:
+        deck.set_pair("cut_lat_manual", lat_pair)
+    deck.save()
+
+    # ---- SurfData CSV with patch faces (reference :2164-2400) -------------
+    progress.emit("Writing boundary CSV", indeterminate=True, force=True)
+    write_T = t_m is not None
+    ground_eps = max(1e-3, min(0.1, 0.05 * dz)) if dz > 0 else 0.05
+
+    def ground_at(j, i):
+        d = float(dem_grid[j, i]) if dem_grid is not None else 0.0
+        return base_height + d
+
+    def sample(j, i, z_abs, gz):
+        zq_src = z_new + np.float32(gz)     # terrain-uplifted source ladder
+        z_c = float(np.clip(z_abs, zq_src[0], zq_src[-1]))
+        vals = [_idw_interp_1d(u_m[:, j, i], z_c, zq_src),
+                _idw_interp_1d(v_m[:, j, i], z_c, zq_src),
+                _idw_interp_1d(w_m[:, j, i], z_c, zq_src)]
+        if write_T:
+            vals.append(_idw_interp_1d(t_m[:, j, i], z_c, zq_src))
+        return vals
+
+    rows = []
+    bc_sum = np.zeros(3)
+
+    def emit(x, y, z, uvw, patch, tval=None):
+        cells = [f"{x:.3f}", f"{y:.3f}", f"{z:.3f}",
+                 f"{uvw[0]}", f"{uvw[1]}", f"{uvw[2]}"]
+        if write_T:
+            cells.append(f"{tval}")
+        cells.append(str(patch))
+        rows.append(",".join(cells))
+        bc_sum[:] += uvw
+
+    # bottom: just above local terrain, w kept
+    for j in range(ny):
+        for i in range(nx):
+            gz = ground_at(j, i)
+            zt = z_top_output
+            if zt <= gz:
+                continue
+            zb = gz + min(ground_eps, 0.5 * (zt - gz))
+            s = sample(j, i, zb, gz)
+            emit(x_grid[i], y_grid[j], zb, s[:3], PATCH_BOTTOM,
+                 s[3] if write_T else None)
+    # top: flat cap, w = 0
+    for j in range(ny):
+        for i in range(nx):
+            gz = ground_at(j, i)
+            if gz >= z_top_output:
+                continue
+            s = sample(j, i, z_top_output, gz)
+            emit(x_grid[i], y_grid[j], z_top_output, (s[0], s[1], 0.0),
+                 PATCH_TOP, s[3] if write_T else None)
+    # sides: ground point + k*dz AGL levels (w = 0)
+    def side(idx_list, patch_of, xy_of):
+        for fixed in idx_list:
+            patch = patch_of(fixed)
+            for other in range(side_n):
+                j, i = (fixed, other) if patch in (PATCH_SOUTH, PATCH_NORTH) \
+                    else (other, fixed)
+                x, y = x_grid[i], y_grid[j]
+                gz = ground_at(j, i)
+                if z_top_output <= gz:
+                    continue
+                s = sample(j, i, gz, gz)
+                emit(x, y, gz, (s[0], s[1], 0.0), patch,
+                     s[3] if write_T else None)
+                if dz <= 0:
+                    continue
+                k_max = min(int((z_top_output - gz) / dz + 1e-6), nz - 1)
+                for k in range(1, k_max + 1):
+                    z_out = gz + k * dz
+                    if z_out >= z_top_output - 1e-6:
+                        continue
+                    s = sample(j, i, z_out, gz)
+                    emit(x, y, z_out, (s[0], s[1], 0.0), patch,
+                         s[3] if write_T else None)
+
+    side_n = nx
+    side([0, ny - 1], lambda j: PATCH_SOUTH if j == 0 else PATCH_NORTH, None)
+    side_n = ny
+    side([0, nx - 1], lambda i: PATCH_WEST if i == 0 else PATCH_EAST, None)
+
+    out = home / "proj_temp" / f"SurfData_{dt}.csv"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    header = "X,Y,Z,u,v,w,T,patch" if write_T else "X,Y,Z,u,v,w,patch"
+    out.write_text(header + "\n" + "\n".join(rows) + "\n")
+
+    # ---- late writebacks (reference :2413-2438) ----------------------------
+    um_vol = [float(np.nanmean(u_m)), float(np.nanmean(v_m)),
+              float(np.nanmean(w_m))]
+    um_bc = (bc_sum / max(len(rows), 1)).tolist()
+    mean_u, mean_v = um_vol[0], um_vol[1]
     if abs(mean_u) >= abs(mean_v):
         face = "+x" if mean_u >= 0 else "-x"
+        parallel, perp = abs(mean_u), mean_v
     else:
         face = "+y" if mean_v >= 0 else "-y"
-    yaw = float(np.degrees(np.arctan2(mean_u, mean_v)))
-    return face, yaw
+        parallel, perp = abs(mean_v), mean_u
+    theta = math.degrees(math.atan2(abs(perp), parallel)) if parallel else 90.0
+    yaw = (1.0 if perp >= 0 else -1.0) * theta
+
+    deck.set_list("um_vol", um_vol)
+    deck.set_list("um_bc", um_bc)
+    deck.set_text("downstream_bc", face, quoted=True)
+    deck.set_float("downstream_bc_yaw", yaw, precision=2)
+    deck.save()
+    progress.done("Writing boundary CSV", f"{len(rows)} samples")
+    print(f"[luwbc] wrote {out.name} ({len(rows)} samples, patch column, "
+          f"{'T, ' if write_T else ''}grid {nx}x{ny}x{nz}), EPSG:{epsg}, "
+          f"rotate {rotate_deg:.4f} deg, downstream {face} yaw {yaw:.2f}")
+    return out
+
+
+# ---------------------------------------------------------------------------
+# dependency-light scattered path (pre-extracted samples)
+# ---------------------------------------------------------------------------
 
 
 def build_from_samples(deck_path: Path, lon, lat, z_agl, u, v, w, T=None) -> Path:
-    """Project, rotate, and emit the SurfData CSV + deck writebacks."""
+    """Scattered samples -> SurfData CSV (no patch column — the solver's
+    high-order/nearest BC paths consume it).  Same projection/rotation
+    semantics as the structured path."""
     deck = load_deck(deck_path)
     home = deck_path.parent
     dt = deck.get_text("datetime") or "20990101120000"
@@ -57,14 +517,21 @@ def build_from_samples(deck_path: Path, lon, lat, z_agl, u, v, w, T=None) -> Pat
     lon_pair = deck.get_pair("cut_lon_manual")
     lat_pair = deck.get_pair("cut_lat_manual")
     if lon_pair and lat_pair:
+        confirm_bbox_coverage(
+            "Wind samples",
+            (lon_pair[0], lon_pair[1], lat_pair[0], lat_pair[1]),
+            (float(lon.min()), float(lon.max()),
+             float(lat.min()), float(lat.max())))
         inside = ((lon >= lon_pair[0]) & (lon <= lon_pair[1])
                   & (lat >= lat_pair[0]) & (lat <= lat_pair[1]))
         if inside.sum() < 8:
-            print(f"[luwbc] WARNING: only {int(inside.sum())} samples inside the "
-                  "lon/lat window; using all samples")
+            print(f"[luwbc] WARNING: only {int(inside.sum())} samples inside "
+                  "the lon/lat window; using all samples")
             inside = np.ones(len(lon), bool)
     else:
         inside = np.ones(len(lon), bool)
+        lon_pair = (float(lon.min()), float(lon.max()))
+        lat_pair = (float(lat.min()), float(lat.max()))
     lon, lat = lon[inside], lat[inside]
     z_agl = np.asarray(z_agl, float)[inside]
     u = np.asarray(u, float)[inside]
@@ -72,29 +539,33 @@ def build_from_samples(deck_path: Path, lon, lat, z_agl, u, v, w, T=None) -> Pat
     w = np.asarray(w, float)[inside]
     T_arr = np.asarray(T, float)[inside] if T is not None else None
 
-    epsg = utm_epsg_for(float(lon.mean()), float(lat.mean()))
-    ux, uy = lonlat_to_utm(lon, lat)
-
-    mean_u, mean_v = float(u.mean()), float(v.mean())
-    rot = _rotation_for_wind(mean_u, mean_v)
-    th = np.radians(rot)
-    cx, cy = ux.mean(), uy.mean()
-    xr = np.cos(th) * (ux - cx) + np.sin(th) * (uy - cy)
-    yr = -np.sin(th) * (ux - cx) + np.cos(th) * (uy - cy)
-    ur = np.cos(th) * u + np.sin(th) * v
-    vr = -np.sin(th) * u + np.cos(th) * v
-    x0, y0 = xr.min(), yr.min()
+    clon = 0.5 * (lon_pair[0] + lon_pair[1])
+    zone = utm_zone_for(clon)
+    epsg = utm_epsg_for(clon, 0.5 * (lat_pair[0] + lat_pair[1]))
+    rot, pivot, corners = bbox_rotation(lon_pair, lat_pair, zone)
+    ux, uy = lonlat_to_utm(lon, lat, zone=zone)
+    xr, yr = rotate_xy(ux, uy, rot, pivot[0], pivot[1])
+    xr_c, yr_c = rotate_xy(corners[:, 0], corners[:, 1], rot, pivot[0], pivot[1])
+    x0, y0 = float(xr_c.min()), float(yr_c.min())
     X = xr - x0
     Y = yr - y0
 
-    face, yaw = _downstream_face(float(ur.mean()), float(vr.mean()))
-    z_top = float(np.nanmax(z_agl))
+    mean_u, mean_v = float(u.mean()), float(v.mean())
+    if abs(mean_u) >= abs(mean_v):
+        face = "+x" if mean_u >= 0 else "-x"
+        parallel, perp = abs(mean_u), mean_v
+    else:
+        face = "+y" if mean_v >= 0 else "-y"
+        parallel, perp = abs(mean_v), mean_u
+    theta = math.degrees(math.atan2(abs(perp), parallel)) if parallel else 90.0
+    yaw = (1.0 if perp >= 0 else -1.0) * theta
+
     base_h = deck.get_float("base_height", 50.0) or 50.0
     Z = z_agl + base_h
 
     out = home / "proj_temp" / f"SurfData_{dt}.csv"
     out.parent.mkdir(parents=True, exist_ok=True)
-    cols = [X, Y, Z, ur, vr, w]
+    cols = [X, Y, Z, u, v, w]
     header = "X,Y,Z,u,v,w"
     if T_arr is not None:
         cols.append(T_arr)
@@ -102,28 +573,25 @@ def build_from_samples(deck_path: Path, lon, lat, z_agl, u, v, w, T=None) -> Pat
     np.savetxt(out, np.stack(cols, axis=1), delimiter=",", header=header,
                comments="", fmt="%.6f")
 
-    # Generated deck fields (reference writebacks: 1_buildBC.py:1822-1826,2432-2438)
-    deck.set_pair("si_x_cfd", (0.0, float(X.max())))
-    deck.set_pair("si_y_cfd", (0.0, float(Y.max())))
+    deck.set_pair("si_x_cfd", (0.0, float(xr_c.max()) - x0))
+    deck.set_pair("si_y_cfd", (0.0, float(yr_c.max()) - y0))
     deck.set_pair("si_z_cfd", (0.0, float(Z.max())))
     deck.set_text("utm_crs", f"EPSG:{epsg}", quoted=True)
     deck.set_float("rotate_deg", rot)
     deck.set_list("um_vol", [mean_u, mean_v, float(w.mean())])
-    deck.set_list("um_bc", [float(ur.mean()), float(vr.mean()), float(w.mean())])
+    deck.set_list("um_bc", [mean_u, mean_v, float(w.mean())])
     deck.set_text("downstream_bc", face, quoted=True)
     deck.set_float("downstream_bc_yaw", yaw, precision=2)
     deck.set_bool("origin_shift_applied", True)
-    deck.set_float("center_lon", float(lon.mean()))
-    deck.set_float("center_lat", float(lat.mean()))
-    # default the cut window to the data extent when the user gave none —
-    # probes and the geographic transform (post/transform.py) need it
+    deck.set_float("center_lon", clon)
+    deck.set_float("center_lat", 0.5 * (lat_pair[0] + lat_pair[1]))
     if deck.get_pair("cut_lon_manual") is None:
-        deck.set_pair("cut_lon_manual", (float(lon.min()), float(lon.max())))
+        deck.set_pair("cut_lon_manual", lon_pair)
     if deck.get_pair("cut_lat_manual") is None:
-        deck.set_pair("cut_lat_manual", (float(lat.min()), float(lat.max())))
+        deck.set_pair("cut_lat_manual", lat_pair)
     deck.save()
     print(f"[luwbc] wrote {out.name} ({len(X)} samples), EPSG:{epsg}, "
-          f"rotate {rot:.3f} deg, downstream {face}")
+          f"rotate {rot:.4f} deg, downstream {face}")
     return out
 
 

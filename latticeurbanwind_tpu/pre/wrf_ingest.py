@@ -59,7 +59,6 @@ def _pick_time(var: Optional[Var]) -> Optional[np.ndarray]:
 def build_from_wrf(deck_path: Path) -> int:
     from ..cli.inspect_tools import resolve_nc_path
     from ..deck import load_deck
-    from .buildbc import build_from_samples
 
     deck_path = Path(deck_path)
     deck = load_deck(deck_path)
@@ -117,18 +116,20 @@ def build_from_wrf(deck_path: Path) -> int:
         if T is not None and np.nanmax(T) < 200.0:
             T = T + 300.0  # WRF perturbation potential temperature convention
 
-    flat = lambda a: np.broadcast_to(a, u.shape).reshape(-1)
-    lon_f, lat_f = flat(lon[None]), flat(lat[None])
-    z_f, u_f, v_f, w_f = (a.reshape(-1) for a in
-                          (np.broadcast_to(z_agl, u.shape), u, v, w))
-    finite = np.isfinite(u_f) & np.isfinite(v_f) & (z_f > 0)
-    idx = np.nonzero(finite)[0]
-    if len(idx) > 400000:       # bound the interpolation workload
-        idx = idx[:: len(idx) // 400000 + 1]
-    build_from_samples(
-        deck_path,
-        lon_f[idx], lat_f[idx], z_f[idx],
-        u_f[idx], v_f[idx], w_f[idx],
-        T.reshape(-1)[idx] if T is not None else None,
-    )
+    # 1-D AGL level ladder = domain mean of the per-column AGL heights
+    # (the reference's height_agl_1d coordinate, 1_buildBC.py:237-354)
+    z_levels = np.nanmean(np.broadcast_to(z_agl, u.shape).reshape(u.shape[0], -1),
+                          axis=1)
+
+    # NaN columns: vertical forward fill (reference _forward_fill_whole_layer)
+    for arr in (u, v, w) + ((T,) if T is not None else ()):
+        if np.isnan(arr).any():
+            for k in range(1, arr.shape[0]):
+                lay = arr[k]
+                lay[np.isnan(lay)] = arr[k - 1][np.isnan(lay)]
+            arr[np.isnan(arr)] = 0.0
+
+    from .buildbc import build_structured
+
+    build_structured(deck_path, lon, lat, z_levels, u, v, w, T)
     return 0
