@@ -256,3 +256,42 @@ def test_nudging_pulls_interior_toward_boundary():
     out = run(state, dyn_zero())
     # cells inside the band moved toward the face value
     assert float(out.u[0, 4, 4, 2]) > 0.02
+
+
+def test_storage_drift_fp16c_beats_fp16s_low_velocity():
+    """Low-velocity (u ~ 0.005) Taylor-Green drift per storage codec.
+
+    The reference defaults to FP16C because its 11-bit mantissa halves the
+    quantization error of the near-zero DDF-shifted populations vs FP16S
+    (defines.hpp:14, kernel.cpp:864-875).  Validate: after 200 steps the
+    velocity-field error vs the f32 run satisfies fp16c <= f16 (FP16S), and
+    both stay well-behaved (SURVEY.md §2.5 drift validation)."""
+    N = 32
+    nu = 0.02
+    shape = (4, N, N)
+    k = 2 * np.pi / N
+    z, y, x = np.meshgrid(np.arange(4), np.arange(N), np.arange(N), indexing="ij")
+    U0 = 0.005
+    u = np.zeros((3, *shape), dtype=np.float32)
+    u[0] = U0 * np.sin(k * x) * np.cos(k * y)
+    u[1] = -U0 * np.cos(k * x) * np.sin(k * y)
+    rho = 1.0 - (3.0 * U0**2 / 4.0) * (np.cos(2 * k * x) + np.cos(2 * k * y))
+
+    results = {}
+    for storage in ("f32", "f16", "fp16c", "bf16"):
+        config = StepConfig(omega=omega_from_nu(nu), subgrid=False,
+                            storage=storage)
+        state = make_initial_state(shape, config=config, rho=rho, u=u)
+        run = make_multi_step(config, n_inner=200)
+        out = run(state, dyn_zero())
+        results[storage] = np.asarray(out.u)
+
+    ref = results["f32"]
+    scale = np.abs(ref).max()
+    err = {s: np.abs(results[s] - ref).max() / scale
+           for s in ("f16", "fp16c", "bf16")}
+    # fp16c's extra mantissa bit must not lose to FP16S at low velocity
+    assert err["fp16c"] <= err["f16"] * 1.05, err
+    assert err["fp16c"] < 0.02, err
+    # bf16 (8-bit mantissa) drifts more; it must still stay bounded
+    assert err["bf16"] < 0.2, err
