@@ -1,9 +1,18 @@
 """luwcutvis — cropped multi-altitude wind quiver + TKE heatmap figures.
 
 Clean-room equivalent of tools_core/cut_vis.py / tke_viz.py /
-batch_tke_geo_viz.py: crop the averaged VTK to a sub-box (deck keys or
-explicit bounds), render a 3x3 grid of altitude layers with wind quivers,
-and a matching TKE heatmap grid.
+batch_tke_geo_viz.py: crop the averaged VTK to a sub-box, render a 3x3 grid
+of altitude layers with wind quivers, and a matching TKE heatmap grid.
+
+Crop modes:
+  * GEO (the reference batch workflow, batch_tke_geo_viz.py:1-35): deck keys
+    `crop_min_lon / crop_max_lon / crop_min_lat / crop_max_lat` map through
+    the case's lon/lat<->local transform (cut_* + utm_crs + rotate_deg);
+    every VTK matching `crop_debug_file_glob` (default `*_avg-*.vtk`) in
+    `crop_debug_input_dir` (default RESULTS/vtk) is cropped, exported as
+    `<stem>_cropped.vtk`, and rendered at `crop_vis_dpi` (default 1200 in
+    the reference; 150 here unless set — 1200 is poster-grade).
+  * LOCAL: explicit `[x0 x1 y0 y1]` meters on the command line.
 """
 
 from __future__ import annotations
@@ -35,7 +44,7 @@ def crop_fields(meta, fields, crop_xy: Optional[Tuple[float, float, float, float
 
 
 def nine_layer_figure(fields, spacing: float, base_h: float, out_path: Path,
-                      kind: str = "wind") -> Path:
+                      kind: str = "wind", dpi: int = 100) -> Path:
     import matplotlib
 
     matplotlib.use("Agg")
@@ -64,9 +73,77 @@ def nine_layer_figure(fields, spacing: float, base_h: float, out_path: Path,
         fig.colorbar(pm, ax=ax, label=label)
     fig.suptitle(f"{out_path.stem}")
     out_path.parent.mkdir(parents=True, exist_ok=True)
-    fig.savefig(out_path, dpi=100, bbox_inches="tight")
+    fig.savefig(out_path, dpi=dpi, bbox_inches="tight")
     plt.close(fig)
     return out_path
+
+
+def geo_crop_bounds(deck, meta) -> Optional[Tuple[float, float, float, float]]:
+    """(x0, x1, y0, y1) local meters from the deck's crop_*_lon/lat keys,
+    mapped through the case's lon/lat<->local transform; None if unset."""
+    keys = ("crop_min_lon", "crop_max_lon", "crop_min_lat", "crop_max_lat")
+    vals = [deck.get_float(k) for k in keys]
+    if any(v is None for v in vals):
+        return None
+    lo_lon, hi_lon, lo_lat, hi_lat = vals
+    from .transform import TransformModel
+
+    nx, ny, _ = meta["dims"]
+    sp = meta["spacing"][0]
+    model = TransformModel.from_deck(deck, (nx * sp, ny * sp))
+    # map the four crop corners and take the local-frame bounding box
+    lons = np.array([lo_lon, hi_lon, hi_lon, lo_lon])
+    lats = np.array([lo_lat, lo_lat, hi_lat, hi_lat])
+    xs, ys = model.lonlat_to_local(lons, lats)
+    return float(xs.min()), float(xs.max()), float(ys.min()), float(ys.max())
+
+
+def discover_crop_inputs(deck, home: Path):
+    """VTKs per the reference's input-dir fallback + file glob keys."""
+    sub = deck.get_text("crop_debug_input_dir")
+    candidates = ([home / sub] if sub else []) + [
+        home / "RESULTS" / "vtk", home / "RESULTS", home / "proj_temp" / "vtk",
+        home]
+    globs = [g.strip() for g in
+             (deck.get_text("crop_debug_file_glob") or "*_avg-*.vtk").split(",")
+             if g.strip()]
+    for d in candidates:
+        if not d.is_dir():
+            continue
+        found = []
+        for g in globs:
+            found += [f for f in sorted(d.glob(g))
+                      if not f.stem.endswith("_cropped")]
+        if found:
+            return found
+    return []
+
+
+def process_one(deck_path: Path, deck, vtk: Path, crop, dpi: int) -> list:
+    from ..io.vtk import write_structured_points
+
+    meta, fields = read_structured_points(vtk)
+    sp = meta["spacing"][0]
+    fields, (i0, i1, j0, j1) = crop_fields(meta, fields, crop)
+    written = []
+    if crop is not None:
+        out_vtk = vtk.with_name(vtk.stem + "_cropped.vtk")
+        origin = (meta["origin"][0] + i0 * sp, meta["origin"][1] + j0 * sp,
+                  meta["origin"][2])
+        write_structured_points(out_vtk, {k: v.astype(np.float32)
+                                          for k, v in fields.items()},
+                                spacing=sp, origin=origin)
+        written.append(out_vtk)
+    base_h = deck.get_float("base_height", 50.0) or 50.0
+    fig_dir = deck_path.parent / "RESULTS" / "figures"
+    written.append(nine_layer_figure(fields, sp, base_h,
+                                     fig_dir / f"{vtk.stem}_wind9.png",
+                                     "wind", dpi=dpi))
+    if "tke" in fields:
+        written.append(nine_layer_figure(fields, sp, base_h,
+                                         fig_dir / f"{vtk.stem}_tke9.png",
+                                         "tke", dpi=dpi))
+    return written
 
 
 def main(argv=None) -> int:
@@ -75,26 +152,27 @@ def main(argv=None) -> int:
         print("Usage: luwcutvis <deck file> [x0 x1 y0 y1]")
         return 2
     deck_path = Path(argv[0]).expanduser().resolve()
-    crop = tuple(float(v) for v in argv[1:5]) if len(argv) >= 5 else None
+    crop_cli = tuple(float(v) for v in argv[1:5]) if len(argv) >= 5 else None
     deck = load_deck(deck_path)
     dt = deck.get_text("datetime") or ""
-    files = [f for f in discover_case_vtk_files(deck_path.parent, dt)
-             if "_avg-" in f.name]
+    dpi = int(deck.get_float("crop_vis_dpi", 150) or 150)
+
+    files = discover_crop_inputs(deck, deck_path.parent)
+    if not files:
+        files = [f for f in discover_case_vtk_files(deck_path.parent, dt)
+                 if "_avg-" in f.name][-1:]
     if not files:
         print("luwcutvis: no averaged VTK found")
         return 1
-    meta, fields = read_structured_points(files[-1])
-    fields, _ = crop_fields(meta, fields, crop)
-    base_h = deck.get_float("base_height", 50.0) or 50.0
-    fig_dir = deck_path.parent / "RESULTS" / "figures"
-    w = nine_layer_figure(fields, meta["spacing"][0], base_h,
-                          fig_dir / f"{files[-1].stem}_wind9.png", "wind")
-    print(f"luwcutvis: wrote {w.name}")
-    if "tke" in fields:
-        t = nine_layer_figure(fields, meta["spacing"][0], base_h,
-                              fig_dir / f"{files[-1].stem}_tke9.png", "tke")
-        print(f"luwcutvis: wrote {t.name}")
-    return 0
+
+    total = 0
+    for vtk in files:
+        meta, _ = read_structured_points(vtk)
+        crop = crop_cli if crop_cli is not None else geo_crop_bounds(deck, meta)
+        for out in process_one(deck_path, deck, vtk, crop, dpi):
+            print(f"luwcutvis: wrote {out.name}")
+            total += 1
+    return 0 if total else 1
 
 
 if __name__ == "__main__":

@@ -156,3 +156,133 @@ def test_netcdf_export_round_trip(tmp_path):
     with netcdf_file(str(path), "r", mmap=False) as nc:
         np.testing.assert_allclose(nc.variables["ue"][:], u)
         np.testing.assert_allclose(nc.variables["lon"][:], lon)
+
+
+def _tiny_avg_case(tmp_path, with_geo=True):
+    """Minimal case dir: deck + one avg VTK with u_avg/tke/fluid fields."""
+    import numpy as np
+    from latticeurbanwind_tpu.deck import parse_deck_text
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+
+    home = tmp_path / "case"
+    (home / "RESULTS" / "vtk").mkdir(parents=True)
+    text = ("// LUW deck\ncasename = t\ndatetime = 20250101000000\n"
+            "base_height = 20\n")
+    if with_geo:
+        text += ("cut_lon_manual = [121.30, 121.34]\n"
+                 "cut_lat_manual = [31.10, 31.13]\n"
+                 'utm_crs = "EPSG:32651"\nrotate_deg = 0.5\n')
+    deck = parse_deck_text(text)
+    deck.save(home / "conf.luw")
+    nz, ny, nx = 6, 20, 24
+    rng = np.random.default_rng(0)
+    u = rng.uniform(1, 5, (3, nz, ny, nx)).astype(np.float32)
+    fields = {
+        "u_avg": u,
+        "rho_avg": np.full((nz, ny, nx), 1.2, np.float32),
+        "tke": rng.uniform(0, 1, (nz, ny, nx)).astype(np.float32),
+        "fluid": np.ones((nz, ny, nx), np.float32),
+    }
+    vtk = home / "RESULTS" / "vtk" / "ANG_0_20250101000000_avg-000000100.vtk"
+    write_structured_points(vtk, fields, spacing=10.0)
+    return home, vtk, fields
+
+
+def test_visluw_netcdf_export_structure(tmp_path):
+    """The docstring-promised NetCDF export exists and carries the full 3-D
+    field in lon/lat coordinates (reference visluw.py spec item 8)."""
+    import numpy as np
+    from scipy.io import netcdf_file
+
+    from latticeurbanwind_tpu.post.visluw import render_layers
+
+    home, vtk, fields = _tiny_avg_case(tmp_path)
+    written = render_layers(home / "conf.luw", vtk, sections=3, write_nc=True)
+    pngs = [p for p in written if p.suffix == ".png"]
+    ncs = [p for p in written if p.suffix == ".nc"]
+    assert len(pngs) == 3 and len(ncs) == 1
+    assert ncs[0].name == vtk.stem + "_visluw.nc"
+    with netcdf_file(str(ncs[0]), "r", mmap=False) as nc:
+        assert set(nc.variables) >= {"lon", "lat", "height", "u", "v", "w", "tke"}
+        nz, ny, nx = 6, 20, 24
+        assert nc.variables["u"].shape == (nz, ny, nx)
+        lon = np.array(nc.variables["lon"][:])
+        assert 121.29 < lon.min() < lon.max() < 121.35
+        # u round-trips bit-exactly (no regrid in the visluw export)
+        assert np.allclose(np.array(nc.variables["u"][:]), fields["u_avg"][0])
+
+
+def test_visluw_height_selection(tmp_path):
+    """Explicit --heights pick the nearest layers above the base pedestal
+    and name figures wind_<height>m.png (reference spec items 1/4)."""
+    from latticeurbanwind_tpu.post.visluw import render_layers
+
+    home, vtk, _ = _tiny_avg_case(tmp_path, with_geo=False)
+    written = render_layers(home / "conf.luw", vtk, heights=[12.0, 32.0],
+                            write_nc=False)
+    names = sorted(p.name for p in written)
+    # layer centers 5,15,25,... m; base 20 m -> usable heights 5,15,25,35
+    assert names == ["wind_15m.png", "wind_35m.png"]
+
+
+def test_season_windrose_weight_derivation(tmp_path):
+    """Direction weights from the joint windrose table: probability,
+    velocity (v/vref) and tke ((v/vref)^2) weights match hand math
+    (reference season_average.py:546-660)."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.post.season_average import (
+        derive_direction_weights, parse_windrose_csv,
+    )
+
+    home = tmp_path / "case"
+    (home / "wind_bc").mkdir(parents=True)
+    # profile: linear 0.5*z -> at 10 m the reference speed is 5 m/s
+    (home / "wind_bc" / "profile.dat").write_text(
+        "z,U\n1\t0.5\n10\t5.0\n100\t50.0\n")
+    # two directions, two bins: C1 centers 2, C2 centers 6
+    (home / "wind_bc" / "windrose_10m.csv").write_text(
+        "dir,C1_0_4,C2_4_8\nN,10,30\nE,40,20\n")
+    targets, table, total = parse_windrose_csv(home / "wind_bc" / "windrose_10m.csv")
+    assert np.allclose(targets, [2.0, 6.0])
+    assert abs(total - 1.0) < 1e-9          # percentage table scaled by 0.01
+    weights = {a: (v, t, p) for a, v, t, p in derive_direction_weights(home)}
+    # N: joint (0.1, 0.3); ratios (0.4, 1.2) -> v = 0.04+0.36 = 0.4
+    v, t, p = weights[0.0]
+    assert abs(p - 0.4) < 1e-9
+    assert abs(v - (0.1 * 0.4 + 0.3 * 1.2)) < 1e-9
+    assert abs(t - (0.1 * 0.16 + 0.3 * 1.44)) < 1e-9
+    # E: joint (0.4, 0.2) -> v = 0.16 + 0.24 = 0.4
+    v, t, p = weights[90.0]
+    assert abs(p - 0.6) < 1e-9
+    assert abs(v - (0.4 * 0.4 + 0.2 * 1.2)) < 1e-9
+
+
+def test_cutvis_geo_crop_outputs(tmp_path):
+    """Geo-mode crop exports <stem>_cropped.vtk with shrunken dims plus the
+    wind/tke figure pair (reference batch_tke_geo_viz.py contract)."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.deck import load_deck
+    from latticeurbanwind_tpu.io.vtk import read_structured_points
+    from latticeurbanwind_tpu.post.cut_vis import main as cutvis_main
+
+    home, vtk, _ = _tiny_avg_case(tmp_path)
+    deck = load_deck(home / "conf.luw")
+    # a ~90 x 60 m window around the domain center (the toy VTK spans only
+    # 240 x 200 m of the cut window's central patch)
+    deck.set_float("crop_min_lon", 121.3195)
+    deck.set_float("crop_max_lon", 121.3205)
+    deck.set_float("crop_min_lat", 31.11470)
+    deck.set_float("crop_max_lat", 31.11530)
+    deck.set_float("crop_vis_dpi", 60)
+    deck.save()
+    assert cutvis_main([str(home / "conf.luw")]) == 0
+    cropped = vtk.with_name(vtk.stem + "_cropped.vtk")
+    assert cropped.exists()
+    meta, fields = read_structured_points(cropped)
+    assert meta["dims"][0] < 24 and meta["dims"][1] < 20
+    assert "u_avg" in fields and "tke" in fields
+    figs = sorted((home / "RESULTS" / "figures").glob("*.png"))
+    assert any("wind9" in f.name for f in figs)
+    assert any("tke9" in f.name for f in figs)
