@@ -82,6 +82,21 @@ def write_snapshot(state: LBMState, out_path: Path, *, u_factor: float = 1.0,
     out_path.parent.mkdir(parents=True, exist_ok=True)
     fig.savefig(out_path, dpi=100, bbox_inches="tight")
     plt.close(fig)
+
+    # companion 3-D frame: raytraced flags + Q isosurface + streamlines
+    # (reference raytrace/streamline kernels, kernel.cpp:2642-3200)
+    try:
+        from .render import render_scene
+
+        q_pos = q[~solid_full]
+        thr = float(np.percentile(q_pos[q_pos > 0], 97.0)) if (q_pos > 0).any() else None
+        render_scene(
+            solid if nz_out else solid_full, u,
+            out_path.with_name(out_path.stem + "_3d.png"),
+            q=q[: nz_out or Z] if thr is not None else None,
+            q_threshold=thr, title=title, u_factor=1.0)
+    except Exception as e:   # rendering must never kill a solver run
+        print(f"[snapshots] 3-D render skipped: {e}")
     return out_path
 
 

@@ -65,3 +65,40 @@ def test_write_snapshot(tmp_path):
     out2 = write_snapshot(state, tmp_path / "snap2.png", u_factor=10.0,
                           nz_out=8)
     assert out2.exists() and out2.stat().st_size > 10000
+
+
+def test_render_scene_outputs(tmp_path):
+    """3-D raytraced frame: geometry + Q isosurface + streamlines
+    (reference graphics kernels, kernel.cpp:2642-3200)."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.run.render import (
+        Camera, default_seeds, integrate_streamlines, project_points,
+        raytrace_masks, render_scene,
+    )
+
+    Z, Y, X = 16, 24, 32
+    solid = np.zeros((Z, Y, X), bool)
+    solid[:1] = True
+    solid[:8, 8:12, 10:14] = True
+    u = np.zeros((3, Z, Y, X), np.float32)
+    u[0] = 0.05
+    u[:, solid] = 0.0
+
+    cam = Camera(width=160, height=120)
+    img, depth = raytrace_masks((Z, Y, X), [(solid, (0.5, 0.5, 0.5))], cam)
+    assert img.shape == (120, 160, 3)
+    assert np.isfinite(depth).any()          # geometry was hit
+    assert (img < 0.99).any()                # shaded pixels differ from bg
+
+    seeds = default_seeds((Z, Y, X), solid)
+    assert len(seeds) > 4
+    paths, speeds = integrate_streamlines(u, seeds, n_steps=60, solid=solid)
+    # streamlines advect downstream in +x (paths go NaN after domain exit)
+    dx = np.nanmax(paths[:, :, 0]) - seeds[:, 0].max()
+    assert dx > 10
+    col, row, t = project_points(paths[0], (Z, Y, X), cam)
+    assert np.isfinite(col).all() and np.isfinite(row).all()
+
+    out = render_scene(solid, u, tmp_path / "frame.png", cam=cam)
+    assert out.exists() and out.stat().st_size > 5000
