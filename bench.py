@@ -8,6 +8,11 @@ the largest cubic-ish grid that fits, and prints ONE JSON line:
 Baseline: 2000 MLUPs/chip (BASELINE.json target floor).
 vs_baseline = measured / 2000.
 
+`bench.py --mesh [Dx,Dy,Dz]` runs the weak-scaling harness instead: the
+sharded Pallas tier over all visible devices (default z-slab split), with a
+fixed per-chip subdomain, reporting aggregate + per-chip MLUPs and the halo
+traffic per step (docs/SCALING.md records the pod projection).
+
 Env overrides: LUW_BENCH_SHAPE="Z,Y,X", LUW_BENCH_STEPS, LUW_BENCH_STORAGE,
 LUW_BENCH_IMPL=reference|pallas.
 """
@@ -104,5 +109,74 @@ def main() -> None:
     print(json.dumps(result))
 
 
+def main_mesh(split_arg: str = "") -> None:
+    """Weak scaling over the visible devices: per-chip slab held constant."""
+    import jax
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.lbm import (
+        DynParams, Forcing, StepConfig, TYPE_E, TYPE_S,
+        make_initial_state, omega_from_nu,
+    )
+    from latticeurbanwind_tpu.parallel import domain_mesh, shard_state
+    from latticeurbanwind_tpu.parallel.halo import make_sharded_pallas_runner
+
+    ndev = len(jax.devices())
+    if split_arg:
+        dx, dy, dz = (int(v) for v in split_arg.split(","))
+    else:
+        dx, dy, dz = 1, 1, ndev
+    n = dx * dy * dz
+    storage = os.environ.get("LUW_BENCH_STORAGE", "bf16")
+    steps = int(os.environ.get("LUW_BENCH_STEPS", "50"))
+    # per-chip slab (z-extent per shard kept constant = weak scaling)
+    zl, Y, X = (int(v) for v in os.environ.get(
+        "LUW_BENCH_LOCAL", "64,256,256").split(","))
+    shape = (zl * dz, Y * dy, X * dx)
+    Z = shape[0]
+    config = StepConfig(omega=omega_from_nu(1e-4), subgrid=True, storage=storage)
+    flags = np.zeros(shape, np.uint8)
+    flags[0] = TYPE_S
+    flags[-1] = TYPE_E
+    flags[:, 0, :] = TYPE_E
+    flags[:, -1, :] = TYPE_E
+    flags[:, :, 0] = TYPE_E
+    flags[:, :, -1] = TYPE_E
+    u = np.zeros((3, *shape), np.float32)
+    u[0] = 0.05
+    state = make_initial_state(shape, config=config, u=u, flags=flags)
+    dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3))
+    mesh = domain_mesh((dx, dy, dz))
+    run = make_sharded_pallas_runner(config, Forcing(), shape, mesh,
+                                     init_u=state.u, init_T=None)
+    state = shard_state(state, mesh)
+    state = run(state, dyn, 0, 1)
+    _ = np.asarray(state.fi[0, 1, 1, 1])
+    best = float("inf")
+    for _i in range(2):
+        t0 = time.perf_counter()
+        state = run(state, dyn, 0, steps)
+        _ = np.asarray(state.fi[0, 1, 1, 1])
+        best = min(best, time.perf_counter() - t0)
+    cells = int(np.prod(shape))
+    mlups = cells * steps / best / 1e6
+    halo_bytes = 2 * (5 * Y * X * dz * (dy * dx) * 2
+                      + (5 * Z * X * (dy - 1) * dx + 5 * Z * Y * (dx - 1) * dy) * 2)
+    print(json.dumps({
+        "metric": f"weak-scaling D3Q19 {storage} ({dx}x{dy}x{dz} mesh, "
+                  f"{zl}x{Y}x{X}/chip)",
+        "value": round(mlups, 1),
+        "unit": "MLUPs",
+        "per_chip": round(mlups / n, 1),
+        "halo_bytes_per_step": halo_bytes,
+        "vs_baseline": round(mlups / n / BASELINE_MLUPS, 3),
+    }))
+
+
 if __name__ == "__main__":
-    main()
+    if "--mesh" in sys.argv:
+        i = sys.argv.index("--mesh")
+        arg = sys.argv[i + 1] if len(sys.argv) > i + 1 else ""
+        main_mesh(arg if "," in arg else "")
+    else:
+        main()
