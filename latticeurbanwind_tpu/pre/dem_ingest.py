@@ -5,10 +5,12 @@ dem_tif_to_shp.py:1-463): load a DEM GeoTIFF from `database/`, clip to
 120 % of the deck's lon/lat bounding box, and emit the per-point elevation
 set the terrain interpolator consumes.  Differences from the reference:
 
-  * output is `proj_temp/dem_points.csv` (x, y, elevation in the case's
-    UTM metres — the contract pre/voxelization.py already reads) instead
-    of an intermediate point *shapefile*; the shapefile hop only existed
-    to feed geopandas.
+  * outputs BOTH documented artifacts: the point shapefile
+    `terrain_db/dem_points.shp` (lon/lat with an `elevation` attribute —
+    the reference's drop-folder contract, dem_tif_to_shp.py:207, consumed
+    by buildBC's terrain stage) and `proj_temp/dem_points.csv`
+    (x, y, elevation in case-local metres — the contract
+    pre/voxelization.py reads).
   * GeoTIFF input needs rasterio (absent in this image — gated with a
     clear message).  CSV/XYZ input (`lon,lat,elev` or `x,y,elev` headers)
     is always available, including point sets exported by GIS tools.
@@ -120,6 +122,16 @@ def ingest_dem(deck_path: Path | str, src: Optional[Path] = None,
         if lon.size == 0:
             print("dem_ingest: no DEM points inside the case bbox")
             return None
+        # the documented drop-folder artifact: a lon/lat point shapefile
+        # with an elevation attribute (reference dem_tif_to_shp.py:207)
+        from .shp_reader import write_point_shp
+
+        shp_out = home / "terrain_db" / "dem_points.shp"
+        shp_out.parent.mkdir(parents=True, exist_ok=True)
+        write_point_shp(shp_out, np.stack([lon, lat], axis=1), values=elev)
+        if not quiet:
+            print(f"dem_ingest: point shapefile -> terrain_db/{shp_out.name}")
+
         zone = utm_zone_for(float(lon.mean()))
         x, y = lonlat_to_utm(lon, lat, zone)
         # local frame: relative to the SW corner, matching buildbc's frame
