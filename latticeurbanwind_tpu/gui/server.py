@@ -192,12 +192,35 @@ class Studio:
             out[k] = sorted(set(out[k]))
         return out
 
+    def api_series(self, q) -> dict:
+        """Timestep series for a VTK: all files sharing its `<base>-<t>.vtk`
+        stem, sorted by step — drives the playback slider (the streamcenter
+        volume-streaming analog)."""
+        import re
+
+        path = self.resolve(q["path"][0])
+        m = re.match(r"(.+)-(\d+)$", path.stem)
+        if not m:
+            return {"steps": [], "files": []}
+        base = m.group(1)
+        steps, files = [], []
+        for f in sorted(path.parent.glob(f"{base}-*.vtk")):
+            mm = re.match(r"(.+)-(\d+)$", f.stem)
+            if mm and mm.group(1) == base:
+                steps.append(int(mm.group(2)))
+                files.append(str(f.relative_to(self.root)))
+        order = sorted(range(len(steps)), key=lambda i: steps[i])
+        return {"steps": [steps[i] for i in order],
+                "files": [files[i] for i in order]}
+
     def api_render(self, q) -> bytes:
         """VTK render -> PNG (the VtkViewWidget/streamcenter analog).
 
         mode=slice (default): one z layer, quiver overlay for vectors.
-        mode=mip: maximum-intensity projection along z/y/x — the lightweight
-        analog of the reference's streamcenter volume viewer.
+        mode=mip: maximum-intensity projection along z/y/x.
+        mode=3d: raytraced geometry + Q isosurface + streamlines through
+        the orthographic camera (run/render.py; az/el/zoom parameters) —
+        the analog of the reference's streamcenter 3-D volume viewer.
         field=Q: virtual Q-criterion field derived from the velocity
         (run/snapshots.q_criterion, same stencil as the reference renderer).
         """
@@ -209,6 +232,40 @@ class Studio:
         mode = q.get("mode", ["slice"])[0]
         axis = {"z": 0, "y": 1, "x": 2}.get(q.get("axis", ["z"])[0], 0)
         z = int(q.get("z", ["0"])[0])
+
+        if mode == "3d":
+            import tempfile
+
+            from ..run.render import Camera, render_scene
+            from ..run.snapshots import q_criterion
+
+            vec = next((v for v in fields.values() if v.ndim == 4), None)
+            fluid = fields.get("fluid")
+            if fluid is not None:
+                solid = fluid < 0.5
+            elif vec is not None:
+                solid = (np.abs(vec).sum(axis=0) == 0.0)
+                solid[-1] = False      # open top even if still
+            else:
+                raise ValueError("3d view needs a vector or fluid field")
+            qf = thr = None
+            if vec is not None and q.get("q", ["1"])[0] != "0":
+                qf = q_criterion(vec.astype(np.float64)).astype(np.float32)
+                qf[solid] = 0.0
+                pos = qf[qf > 0]
+                if pos.size:
+                    thr = float(np.percentile(pos, 97.0))
+            cam = Camera(
+                azimuth=float(q.get("az", ["225"])[0]),
+                elevation=float(q.get("el", ["35"])[0]),
+                zoom=float(q.get("zoom", ["1.0"])[0]),
+                width=820, height=600)
+            with tempfile.TemporaryDirectory() as td:
+                out = render_scene(
+                    solid, vec, Path(td) / "f.png", q=qf, q_threshold=thr,
+                    cam=cam, title=path.name,
+                    streamlines=q.get("sl", ["1"])[0] != "0")
+                return out.read_bytes()
 
         if name == "Q":
             from ..run.snapshots import q_criterion
@@ -328,6 +385,8 @@ def make_handler(studio: Studio):
                     self._json(studio.api_vtk_info(q))
                 elif u.path == "/api/render":
                     self._send(200, studio.api_render(q), "image/png")
+                elif u.path == "/api/series":
+                    self._json(studio.api_series(q))
                 elif u.path == "/api/env":
                     self._json(studio.api_env(q))
                 elif u.path == "/api/file":

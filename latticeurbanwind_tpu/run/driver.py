@@ -312,10 +312,15 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
             avg = welford_update(avg, state)
             avg_samples += 1
         if case.probes and t >= probe_start and (t - probe_start) % avg_stride == 0:
-            for p in case.probes:
-                # tiny (3, Z) device->host gather per probe column
-                col = np.asarray(state.u[:, :, p.y, p.x])
-                p.sample_column(col, t * dt_si, u_factor)
+            # ONE batched device->host readback for all probe columns (the
+            # reference batches its averaging-path readbacks the same way,
+            # setup.cpp:4498-4509); per-probe gathers serialize against the
+            # step stream through the device queue
+            ys = np.array([p.y for p in case.probes])
+            xs = np.array([p.x for p in case.probes])
+            cols = np.asarray(state.u[:, :, ys, xs])     # (3, Z, P)
+            for pi, p in enumerate(case.probes):
+                p.sample_column(cols[:, :, pi], t * dt_si, u_factor)
         if unsteady and t % unsteady == 0 and t > 0 and t != last_unsteady_t:
             write_raw("u", np.asarray(state.u) * u_factor, t)
             last_unsteady_t = t

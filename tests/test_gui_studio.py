@@ -110,3 +110,24 @@ def test_studio_mip_and_q_render(studio):
         ctype, png = _get(
             base + "/api/render?path=RESULTS/vtk/demo_avg-000000010.vtk&" + params)
         assert ctype == "image/png" and png[:4] == b"\x89PNG", params
+
+
+def test_studio_3d_render_and_series(studio):
+    """The streamcenter-analog endpoints: timestep series discovery and the
+    raytraced 3-D view with camera parameters."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+
+    base, case = studio
+    # second timestep -> a playable series
+    u2 = np.full((3, 6, 10, 12), 3.0, np.float32)
+    write_structured_points(case / "RESULTS" / "vtk" / "demo_avg-000000020.vtk",
+                            {"u_avg": u2}, spacing=5.0)
+    s = _json(base + "/api/series?path=RESULTS/vtk/demo_avg-000000010.vtk")
+    assert s["steps"] == [10, 20]
+    assert len(s["files"]) == 2
+
+    ctype, png = _get(base + "/api/render?path=RESULTS/vtk/demo_avg-000000010.vtk"
+                      "&mode=3d&az=200&el=40&sl=1&q=0")
+    assert ctype == "image/png" and len(png) > 3000
