@@ -1,9 +1,14 @@
 """luwspectra — turbulence energy-spectrum diagnostics.
 
-Clean-room equivalent of tools_core/les_spectra.py: computes 1-D streamwise
-energy spectra from probe CSV time series and/or radially-binned 3-D spectra
-from an unsteady velocity VTK, overlays the Kolmogorov k^-5/3 slope, and
-saves figures + a spectra CSV.
+Clean-room equivalent of tools_core/les_spectra.py:
+  * horizontal kx-ky spectra on height layers every `--dz` meters (default
+    50 m, the reference's layer ladder), each with a valid-point coverage
+    fraction from the fluid/nonzero mask, one PNG per layer plus an
+    overview panel with shared robust log color limits and a layer
+    metadata CSV (reference :187-402);
+  * a radially-binned 3-D isotropic energy spectrum E(k) with the
+    Kolmogorov k^-5/3 reference slope, PNG + CSV (reference :414-700);
+  * 1-D frequency spectra from probe CSV time series.
 """
 
 from __future__ import annotations
@@ -51,6 +56,116 @@ def spectrum_3d(u: np.ndarray, spacing: float, nbins: int = 40):
     return kc[1:], E[1:]
 
 
+def horizontal_spectrum(layer: np.ndarray, spacing: float):
+    """2-D kx-ky energy spectrum of one (Y, X) horizontal layer (Hann
+    windowed, fftshifted; reference compute_horizontal_energy_spectrum)."""
+    lay = np.asarray(layer, float)
+    lay = lay - lay.mean()
+    Y, X = lay.shape
+    win = np.hanning(Y)[:, None] * np.hanning(X)[None, :]
+    F = np.fft.fftshift(np.fft.fft2(lay * win))
+    E = np.abs(F) ** 2 / (X * Y) ** 2
+    kx = np.fft.fftshift(np.fft.fftfreq(X, spacing))
+    ky = np.fft.fftshift(np.fft.fftfreq(Y, spacing))
+    return kx, ky, E
+
+
+def layer_ladder(nz: int, spacing: float, z0: float, dz_target: float = 50.0):
+    """[(k, height_m)] every ~dz_target meters (reference build_target_heights)."""
+    heights = z0 + (np.arange(nz) + 0.5) * spacing
+    targets = np.arange(heights[0], heights[-1] + 1e-6, dz_target)
+    out, seen = [], set()
+    for t in targets:
+        k = int(np.argmin(np.abs(heights - t)))
+        if k not in seen:
+            seen.add(k)
+            out.append((k, float(heights[k])))
+    return out
+
+
+def robust_log_limits(arrs, lo_pct=5.0, hi_pct=99.5):
+    """Shared color limits over log10 spectra (reference :253-263)."""
+    vals = np.concatenate([a[a > 0].ravel() for a in arrs if (a > 0).any()])
+    if not len(vals):
+        return -12.0, 0.0
+    lv = np.log10(vals)
+    return float(np.percentile(lv, lo_pct)), float(np.percentile(lv, hi_pct))
+
+
+def horizontal_layer_report(vtk_path: Path, fig_dir: Path, *,
+                            dz_target: float = 50.0) -> list:
+    """Per-layer kx-ky spectra + overview + metadata CSV; returns paths."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    meta, fields = read_structured_points(vtk_path)
+    sp = meta["spacing"][0]
+    uname = next((k for k in fields if fields[k].ndim == 4), None)
+    if uname is None:
+        return []
+    u = fields[uname][0]
+    fluid = fields.get("fluid")
+    nz = u.shape[0]
+    ladder = layer_ladder(nz, sp, meta["origin"][2], dz_target)
+
+    records, spectra = [], []
+    for k, h in ladder:
+        lay = u[k]
+        valid = (fluid[k] > 0.5) if fluid is not None else (lay != 0)
+        frac = float(valid.mean())
+        if frac < 0.05:
+            continue
+        kx, ky, E = horizontal_spectrum(np.where(valid, lay, lay[valid].mean()
+                                                 if valid.any() else 0.0), sp)
+        spectra.append((k, h, frac, kx, ky, E))
+    if not spectra:
+        return []
+    vmin, vmax = robust_log_limits([s[5] for s in spectra])
+
+    written = []
+    for k, h, frac, kx, ky, E in spectra:
+        fig, ax = plt.subplots(figsize=(6, 5))
+        pm = ax.pcolormesh(kx, ky, np.log10(np.maximum(E, 1e-300)),
+                           vmin=vmin, vmax=vmax, shading="auto", cmap="magma")
+        ax.set_title(f"kx-ky spectrum @ {h:.0f} m (valid {frac * 100:.0f}%)")
+        ax.set_xlabel("kx (1/m)")
+        ax.set_ylabel("ky (1/m)")
+        fig.colorbar(pm, ax=ax, label="log10 E")
+        out = fig_dir / f"{vtk_path.stem}_kxky_{h:.0f}m.png"
+        fig.savefig(out, dpi=110, bbox_inches="tight")
+        plt.close(fig)
+        written.append(out)
+        records.append((h, k, frac, out.name))
+
+    # overview panel with the shared color scale
+    n = len(spectra)
+    cols = min(3, n)
+    rows = (n + cols - 1) // cols
+    fig, axes = plt.subplots(rows, cols, figsize=(5 * cols, 4 * rows),
+                             squeeze=False)
+    for ax in axes.ravel():
+        ax.set_axis_off()
+    for ax, (k, h, frac, kx, ky, E) in zip(axes.ravel(), spectra):
+        ax.set_axis_on()
+        ax.pcolormesh(kx, ky, np.log10(np.maximum(E, 1e-300)),
+                      vmin=vmin, vmax=vmax, shading="auto", cmap="magma")
+        ax.set_title(f"{h:.0f} m")
+    fig.suptitle(f"{vtk_path.stem} horizontal spectra")
+    out = fig_dir / f"{vtk_path.stem}_kxky_overview.png"
+    fig.savefig(out, dpi=110, bbox_inches="tight")
+    plt.close(fig)
+    written.append(out)
+
+    csv_out = fig_dir / f"{vtk_path.stem}_kxky_layers.csv"
+    csv_out.write_text(
+        "height_m,z_index,valid_fraction,png\n"
+        + "\n".join(f"{h:.2f},{k},{f:.4f},{n}" for h, k, f, n in records) + "\n")
+    written.append(csv_out)
+    return written
+
+
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
     if len(argv) != 1:
@@ -94,6 +209,9 @@ def main(argv=None) -> int:
                    comments="")
         print(f"luwspectra: wrote {out.name}")
         wrote += 1
+        for p in horizontal_layer_report(raw_files[-1], fig_dir):
+            print(f"luwspectra: wrote {p.name}")
+            wrote += 1
 
     # probe CSV time-series spectra (RESULTS/<lon>_<lat>*.csv contract)
     for probe_csv in sorted((home / "RESULTS").glob("*.csv")):

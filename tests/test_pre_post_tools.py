@@ -286,3 +286,32 @@ def test_cutvis_geo_crop_outputs(tmp_path):
     figs = sorted((home / "RESULTS" / "figures").glob("*.png"))
     assert any("wind9" in f.name for f in figs)
     assert any("tke9" in f.name for f in figs)
+
+
+def test_les_spectra_horizontal_layers(tmp_path):
+    """Per-layer kx-ky spectra + overview + metadata CSV with coverage
+    fractions (reference les_spectra.py:187-402)."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.post.les_spectra import (
+        horizontal_layer_report, horizontal_spectrum, layer_ladder,
+    )
+
+    home, vtk, fields = _tiny_avg_case(tmp_path, with_geo=False)
+    fig_dir = home / "RESULTS" / "figures"
+    fig_dir.mkdir(parents=True)
+    written = horizontal_layer_report(vtk, fig_dir, dz_target=20.0)
+    names = [p.name for p in written]
+    assert any("kxky_overview" in n for n in names)
+    assert any(n.endswith("_kxky_layers.csv") for n in names)
+    assert sum(n.endswith(".png") for n in names) >= 2
+
+    # a pure sine layer concentrates energy at its wavenumber
+    Y, X, sp = 64, 64, 2.0
+    x = np.arange(X) * sp
+    lay = np.sin(2 * np.pi * 4 * x / (X * sp))[None, :] * np.ones((Y, 1))
+    kx, ky, E = horizontal_spectrum(lay, sp)
+    peak = np.unravel_index(E.argmax(), E.shape)
+    k_peak = abs(kx[peak[1]])
+    assert abs(k_peak - 4 / (X * sp)) < 1.5 / (X * sp)
+    assert len(layer_ladder(10, 10.0, 0.0, 30.0)) == 4
