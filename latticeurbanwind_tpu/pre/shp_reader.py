@@ -206,7 +206,7 @@ def write_polygon_shp(path: Path | str, polygons,
     contents = []
     xs_all, ys_all = [], []
     for ring in polygons:
-        ring = list(ring)
+        ring = [(float(p[0]), float(p[1])) for p in ring]
         if ring[0] != ring[-1]:
             ring = ring + [ring[0]]
         # shapefile outer rings are clockwise (negative shoelace area)

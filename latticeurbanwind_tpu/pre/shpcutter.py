@@ -84,8 +84,8 @@ def _main_pure(deck, home: Path) -> int:
                   "cut_lon/lat + generated fields (run luwbc first)")
             return 1
 
-    rows = ["id,x,y,height"]
-    kept = dropped = 0
+    kept_rings = []           # (ring lon/lat, height)
+    dropped = 0
     for rec in f.records:
         if polygon_defects(rec):
             dropped += 1
@@ -106,18 +106,77 @@ def _main_pure(deck, home: Path) -> int:
             if not inside.any():
                 dropped += 1
                 continue
+        kept_rings.append((ring, h))
+    kept = len(kept_rings)
+
+    # overlapping-building merge with height merge (reference 2_shpCutter
+    # :463): cluster footprints whose bounding boxes overlap (union-find)
+    # and raise each member to the cluster's max height — voxel-equivalent
+    # to stamping the geometric union at that height.
+    n = len(kept_rings)
+    parent = list(range(n))
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    boxes = [(r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max())
+             for r, _ in kept_rings]
+    for i in range(n):
+        for j in range(i + 1, n):
+            a, b = boxes[i], boxes[j]
+            if a[0] <= b[1] and b[0] <= a[1] and a[2] <= b[3] and b[2] <= a[3]:
+                ri, rj = find(i), find(j)
+                if ri != rj:
+                    parent[rj] = ri
+    cluster_h = {}
+    for i in range(n):
+        r = find(i)
+        cluster_h[r] = max(cluster_h.get(r, 0.0), kept_rings[i][1])
+    merged = sum(1 for i in range(n) if find(i) != i)
+    heights = [cluster_h[find(i)] for i in range(n)]
+
+    out = home / "proj_temp" / "buildings.csv"
+    out.parent.mkdir(parents=True, exist_ok=True)
+    rows = ["id,x,y,height"]
+    for i, (ring, _) in enumerate(kept_rings):
         if tm is not None:
             x, y = tm.lonlat_to_local(ring[:, 0], ring[:, 1])
         else:
             x, y = ring[:, 0], ring[:, 1]
         for xi, yi in zip(x, y):
-            rows.append(f"{kept},{xi:.4f},{yi:.4f},{h:.2f}")
-        kept += 1
-
-    out = home / "proj_temp" / "buildings.csv"
-    out.parent.mkdir(parents=True, exist_ok=True)
+            rows.append(f"{i},{xi:.4f},{yi:.4f},{heights[i]:.2f}")
     out.write_text("\n".join(rows) + "\n")
-    print(f"[luwcut] wrote buildings.csv: {kept} footprints "
+
+    # the cropped-shapefile artifact (reference output contract) + preview
+    casename = deck.get_text("casename") or "case"
+    if kept:
+        from .shp_reader import write_polygon_shp
+
+        shp_out = home / "proj_temp" / f"{casename}_buildings.shp"
+        write_polygon_shp(shp_out, [r for r, _ in kept_rings], heights=heights)
+        try:
+            import matplotlib
+
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+
+            fig, ax = plt.subplots(figsize=(7, 7))
+            for ring, _h in kept_rings:
+                ax.plot(np.append(ring[:, 0], ring[0, 0]),
+                        np.append(ring[:, 1], ring[0, 1]), "b-", lw=0.6)
+            ax.set_aspect("equal")
+            ax.set_title(f"{casename}: {kept} footprints")
+            fig.savefig(home / "proj_temp" / f"{casename}_buildings.png",
+                        dpi=110, bbox_inches="tight")
+            plt.close(fig)
+        except Exception:
+            pass
+        print(f"[luwcut] wrote {shp_out.name} + preview PNG")
+    print(f"[luwcut] wrote buildings.csv: {kept} footprints, "
+          f"{merged} merged into overlap clusters "
           f"({dropped} dropped: degenerate/outside/under-height)")
     return 0
 
