@@ -42,9 +42,22 @@ def load_nc_vars(nc_path: Path) -> Dict[str, Var]:
         pass
     from scipy.io import netcdf_file
 
-    ds = netcdf_file(str(nc_path), "r", mmap=False)
-    return {k: (tuple(v.dimensions), np.array(v[:]))
-            for k, v in ds.variables.items()}
+    # mmap keeps multi-GB NWP files off the heap (the reference streams big
+    # NetCDFs through dask-chunked xarray, 1_buildBC.py:1214-1217); only the
+    # first time index of each variable is materialized.
+    ds = netcdf_file(str(nc_path), "r", mmap=True)
+    out = {}
+    for k, v in ds.variables.items():
+        dims = tuple(v.dimensions)
+        if dims and dims[0].lower() in ("time", "times") and v.data.ndim > 0:
+            out[k] = (dims, np.array(v[0])[None])
+        else:
+            out[k] = (dims, np.array(v[:]))
+    try:
+        ds.close()
+    except Exception:
+        pass
+    return out
 
 
 def _pick_time(var: Optional[Var]) -> Optional[np.ndarray]:
