@@ -23,13 +23,48 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..lbm.state import LBMState
 
 
+def ensure_distributed() -> bool:
+    """Initialize jax.distributed for multi-host (DCN) pods when the
+    standard coordination env is present (LUW_COORDINATOR or the JAX
+    defaults COORDINATOR_ADDRESS/+NUM_PROCESSES/PROCESS_ID).  Idempotent;
+    single-host runs are untouched.  Returns True when running multi-host.
+
+    The reference is single-process multi-GPU only (SURVEY §5: PCIe host
+    pointer swaps); pods shard the same ('z','y','x') mesh over all global
+    devices — the outer z axis naturally lands across hosts so the per-step
+    plane halos ride DCN while y/x ghost traffic stays on ICI.
+    """
+    import os
+
+    coord = os.environ.get("LUW_COORDINATOR") or os.environ.get(
+        "COORDINATOR_ADDRESS")
+    if not coord:
+        return False
+    try:
+        if jax.process_count() > 1:
+            return True
+    except RuntimeError:
+        pass
+    kw = {"coordinator_address": coord}
+    if os.environ.get("LUW_NUM_PROCESSES"):
+        kw["num_processes"] = int(os.environ["LUW_NUM_PROCESSES"])
+        kw["process_id"] = int(os.environ.get("LUW_PROCESS_ID", "0"))
+    jax.distributed.initialize(**kw)
+    return jax.process_count() > 1
+
+
 def domain_mesh(split: Tuple[int, int, int], devices=None) -> Mesh:
     """Mesh over ('z','y','x') from the deck's [Dx, Dy, Dz] split triple.
 
     Note the deck order is (Dx, Dy, Dz); arrays are indexed [z, y, x].
+    Multi-host pods: set LUW_COORDINATOR (see ensure_distributed) and the
+    mesh builds over the GLOBAL device set in process order, so contiguous
+    z-slabs map host-local first (halo traffic prefers ICI).
     """
     dx, dy, dz = split
-    devices = devices if devices is not None else jax.devices()
+    if devices is None:
+        ensure_distributed()
+        devices = jax.devices()
     n = dx * dy * dz
     if len(devices) < n:
         raise ValueError(f"need {n} devices for split {split}, have {len(devices)}")
