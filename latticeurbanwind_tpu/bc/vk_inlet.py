@@ -406,7 +406,24 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
 
             z0/zl/top_on localize the update for the z-sharded runner: faces
             whose rows run along z are sliced to [z0, z0+zl); the top-face
-            slab applies only on the shard owning the global top plane."""
+            slab applies only on the shard owning the global top plane.
+
+            With stride > 1 and no interpolation the realization only
+            changes at anchor steps, so the (transcendental-heavy) mode sum
+            and slab writes are skipped in between — the reference runs
+            vk_inlet_apply at the same cadence (setup.cpp update_stride)."""
+            if stride > 1 and not interp:
+                import jax as _jax
+
+                anchor_step = (jnp.asarray(t, jnp.int32) % stride) == 0
+                return _jax.lax.cond(
+                    anchor_step,
+                    lambda st: _ddf_apply(st, t, z0=z0, zl=zl, top_on=top_on),
+                    lambda st: st,
+                    s)
+            return _ddf_apply(s, t, z0=z0, zl=zl, top_on=top_on)
+
+        def _ddf_apply(s, t, *, z0=None, zl=None, top_on=None):
             from ..lbm.state import decode_ddf, encode_ddf
 
             sharded = z0 is not None
