@@ -471,7 +471,11 @@ def build_structured(deck_path: Path, lon, lat, z_levels, u, v, w, T=None,
     out = home / "proj_temp" / f"SurfData_{dt}.csv"
     out.parent.mkdir(parents=True, exist_ok=True)
     header = "X,Y,Z,u,v,w,T,patch" if write_T else "X,Y,Z,u,v,w,patch"
-    out.write_text(header + "\n" + "\n".join(rows) + "\n")
+    body = header + "\n" + "\n".join(rows) + "\n"
+    # the reference writes SurfData_Latest.csv first and copies it to the
+    # timestamped name (:2164, :2400-2410) — keep both artifacts
+    (home / "proj_temp" / "SurfData_Latest.csv").write_text(body)
+    out.write_text(body)
 
     # ---- late writebacks (reference :2413-2438) ----------------------------
     um_vol = [float(np.nanmean(u_m)), float(np.nanmean(v_m)),

@@ -131,3 +131,44 @@ def test_sharded_vk_inlet_matches_single():
                        pre_step=sharded_pre)
     np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
                                atol=1e-6)
+
+
+def test_sharded_thermal_forcing_matches_single():
+    """Thermal sub-lattice + nudge/sponge under a (1,2,2) ghost split —
+    gp/gm halos, thermal T targets, and ghost-padded g arrays all in play."""
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.lbm import (
+        DynParams, NudgeSpec, SpongeSpec, StepConfig, TYPE_E, TYPE_S, TYPE_T,
+        build_forcing, make_initial_state, omega_from_nu,
+    )
+
+    shape = (8, 32, 64)
+    rng = np.random.default_rng(3)
+    cfg = StepConfig(omega=omega_from_nu(0.03), subgrid=True, thermal=True,
+                     omega_t=1.1, beta=0.002, storage="f32")
+    u = 0.02 * rng.standard_normal((3, *shape)).astype(np.float32)
+    flags = np.zeros(shape, np.uint8)
+    flags[-1] = TYPE_E
+    flags[:, 0, :] |= TYPE_E
+    flags[:, -1, :] |= TYPE_E
+    flags[:, :, 0] |= TYPE_E
+    flags[:, :, -1] |= TYPE_E
+    flags[0] = TYPE_S
+    flags[3:5, 10:20, 30:40] = TYPE_S
+    flags[:, :, 0] |= TYPE_T
+    flags[-1] |= TYPE_T
+    T = (1.0 + 0.01 * rng.standard_normal(shape)).astype(np.float32)
+    state = make_initial_state(shape, config=cfg, u=u, flags=flags, T=T)
+    forcing = build_forcing(shape,
+                            nudge=NudgeSpec(n_cells=3, inv_tau=0.02,
+                                            downstream_face=1),
+                            sponge=SpongeSpec(n_cells=3, inv_tau=0.05))
+    dyn = DynParams(force=jnp.array([1e-5, 0.0, -2e-5]),
+                    omega_coriolis=jnp.zeros(3))
+    single = _single(cfg, state, forcing, dyn, 3)
+    sharded = _sharded(cfg, state, forcing, dyn, 3, (1, 2, 2))
+    np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
+                               atol=1e-6)
+    np.testing.assert_allclose(np.asarray(sharded.gi), np.asarray(single.gi),
+                               atol=1e-6)
