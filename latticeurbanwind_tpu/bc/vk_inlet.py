@@ -431,12 +431,17 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
             for fid, axis, index, mask, base, sig, pts_flat in faces:
                 newf = face_velocity(fid, pts_flat, mask.shape, base, sig, t)
                 m = mask
+                m_fbc = mask
                 if sharded:
                     # canonical orientation: w/e/s/n faces have z rows (axis 0
-                    # of the face grid); the top face is a full (Y, X) plane
+                    # of the face grid); the top face is a full (Y, X) plane.
+                    # The DDF slab write applies only on the shard owning the
+                    # global top plane, but fbc.ut is REPLICATED over z (every
+                    # shard's sponge reads it) — its update must not be masked.
                     if axis in (2, 3):
                         m = jax.lax.dynamic_slice_in_dim(m, z0, zl, 0)
                         newf = jax.lax.dynamic_slice_in_dim(newf, z0, zl, 1)
+                        m_fbc = m
                     else:
                         m = m * top_on
                 q0, qp, qm = feq19(newf)
@@ -462,10 +467,10 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
                     field = FBC_FIELD[(axis, index if index >= 0 else -1)]
                     cur = getattr(fbc, field)
                     if axis == 1:       # ut/ub hold (3, R, C) directly
-                        upd = m[None] * newf + (1.0 - m[None]) * cur
+                        upd = m_fbc[None] * newf + (1.0 - m_fbc[None]) * cur
                     else:               # z-leading (R, 3, C) face layout
-                        upd = (m[:, None] * newf.swapaxes(0, 1)
-                               + (1.0 - m[:, None]) * cur)
+                        upd = (m_fbc[:, None] * newf.swapaxes(0, 1)
+                               + (1.0 - m_fbc[:, None]) * cur)
                     fbc = fbc._replace(**{field: upd})
             if fbc is not None:
                 s = s._replace(fbc=fbc)

@@ -91,15 +91,20 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
             impl == "auto" and _pallas_ok(permute_shape(shape), config))
 
     if use_pallas:
-        from ..ops.stream_collide import make_pallas_step, merge_state, split_state
+        from ..ops.stream_collide import (
+            build_face_bc, make_pallas_step, merge_state, split_state,
+        )
 
         step = make_pallas_step(config, forcing, shape)
 
-        def body(state: LBMState, dyn: DynParams, t0, n_steps) -> LBMState:
-            s = split_state(state, with_fbc=has_forcing)
+        def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc):
+            s = split_state(state)._replace(fbc=fbc)
             out = loop(step, s, dyn, jnp.asarray(t0, jnp.int32), n_steps,
                        hook=pre_step_ddf, post=True)
-            return merge_state(out)
+            return merge_state(out), out.fbc
+
+        def init_fbc(state: LBMState):
+            return build_face_bc(state.u, state.T) if has_forcing else None
 
         impl_name = "pallas"
     elif use_permuted:
@@ -107,33 +112,51 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
             make_permuted_pallas_step, permute_dyn, permute_state,
             unpermute_state,
         )
-        from ..ops.stream_collide import merge_state, split_state
+        from ..ops.stream_collide import build_face_bc, merge_state, split_state
 
         step = make_permuted_pallas_step(config, forcing, shape)
 
-        def body(state: LBMState, dyn: DynParams, t0, n_steps) -> LBMState:
-            s = split_state(permute_state(state), with_fbc=has_forcing,
-                            sponge_axis="y")
+        def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc):
+            s = split_state(permute_state(state))._replace(fbc=fbc)
             out = loop(step, s, permute_dyn(dyn), jnp.asarray(t0, jnp.int32),
                        n_steps, hook=pre_step_pddf, post=True)
-            return unpermute_state(merge_state(out))
+            return unpermute_state(merge_state(out)), out.fbc
+
+        def init_fbc(state: LBMState):
+            if not has_forcing:
+                return None
+            p = permute_state(state)
+            return build_face_bc(p.u, p.T, sponge_axis="y")
 
         impl_name = "pallas-permuted"
     else:
         step = make_reference_step(config, forcing)
 
-        def body(state: LBMState, dyn: DynParams, t0, n_steps) -> LBMState:
-            return loop(step, state, dyn, jnp.asarray(t0, jnp.int32), n_steps)
+        def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc):
+            return (loop(step, state, dyn, jnp.asarray(t0, jnp.int32), n_steps),
+                    None)
+
+        def init_fbc(state: LBMState):
+            return None
 
         impl_name = "reference"
 
     jitted = jax.jit(body, donate_argnums=(0,) if donate else ())
+    fbc_cell = [None, False]      # [carried FaceBC, initialized?]
 
     def run(state, dyn, t0, n_steps=None):
-        # traced trip count: every chunk length reuses the one compilation
-        return jitted(state, dyn, t0,
-                      jnp.asarray(n_inner if n_steps is None else n_steps,
-                                  jnp.int32))
+        # traced trip count: every chunk length reuses the one compilation.
+        # The FaceBC (nudge/sponge targets, VK-refreshed in-loop) is carried
+        # ACROSS chunks so inlet targets never revert to the initial values
+        # at chunk boundaries.
+        if not fbc_cell[1]:
+            fbc_cell[0] = init_fbc(state)
+            fbc_cell[1] = True
+        out, fbc_cell[0] = jitted(
+            state, dyn, t0,
+            jnp.asarray(n_inner if n_steps is None else n_steps, jnp.int32),
+            fbc_cell[0])
+        return out
 
     # pallas tiers step pure DDFs: rho/u/T in the returned state are stale
     # until lbm.fields.update_fields refreshes them (driver does, at events)

@@ -198,6 +198,7 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
             return st
 
         out = jax.lax.fori_loop(0, n_steps, inner, s)
+        fbc_out = out.fbc
         out = out._replace(
             f0=_strip_ghosts(out.f0, gy, gx), fp=_strip_ghosts(out.fp, gy, gx),
             fm=_strip_ghosts(out.fm, gy, gx), flags=state.flags, fbc=None,
@@ -206,7 +207,7 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
             gp=None if out.gp is None else _strip_ghosts(out.gp, gy, gx),
             gm=None if out.gm is None else _strip_ghosts(out.gm, gy, gx),
         )
-        return merge_state(out)
+        return merge_state(out), fbc_out
 
     spec_v = P(None, "z", "y", "x")
     spec_s = P("z", "y", "x")
@@ -231,7 +232,7 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
         body, mesh=mesh,
         in_specs=(in_state_specs, P(), P(), P(), spec_s, spec_s,
                   P("z", None), fbc_specs),
-        out_specs=in_state_specs,
+        out_specs=(in_state_specs, fbc_specs),
         check_rep=False,
     )
 
@@ -272,12 +273,15 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
         ub=pad_axis(pad_axis(fbc0.ub, 1, ny), 2, nx),
         tt=None if fbc0.tt is None else pad_axis(pad_axis(fbc0.tt, 0, ny), 1, nx),
     )
-    # adjust the fbc specs for the pre-padded row axes: the padded arrays
-    # are (n_split*(loc+2)) long on those axes and shard evenly
+    # the FaceBC is loop- AND chunk-carried: VK refreshes it in-loop and the
+    # carried value persists across run() calls (never reverts to init)
+    fbc_cell = [fbc0]
+
     def run(state: LBMState, dyn: DynParams, t0, n_steps=None) -> LBMState:
         n = jnp.asarray(n_inner if n_steps is None else n_steps, jnp.int32)
-        return jitted(state, dyn, jnp.asarray(t0, jnp.int32), n,
-                      nsig_g, nface_g, spz_g, fbc0)
+        out, fbc_cell[0] = jitted(state, dyn, jnp.asarray(t0, jnp.int32), n,
+                                  nsig_g, nface_g, spz_g, fbc_cell[0])
+        return out
 
     run.fields_stale = True
     return run

@@ -1,9 +1,21 @@
 """Local-grid <-> geographic transforms for postprocessing.
 
 Clean-room equivalent of the TransformModel in tools_core/vtk2nc_new.py
-(:393-468): the solver grid lives in a rotated, origin-shifted UTM frame;
-this module rebuilds the forward/inverse mapping from the deck's Generated
-fields (utm_crs, rotate_deg, cut_lon/lat) using the built-in UTM math.
+(:393-468): the solver grid lives in a rotated, origin-shifted UTM frame.
+Conventions match pre/buildbc.py EXACTLY (and the reference pair
+1_buildBC.py:999-1058 / vtk2nc_new.py:403-424):
+
+  * forward (lonlat -> local): project to UTM, rotate by +rotate_deg about
+    the PIVOT (the projected cut-window centroid), subtract the rotated
+    window's min corner;
+  * inverse (local -> lonlat): add the origin, rotate by -rotate_deg about
+    the pivot, unproject;
+  * winds: the boundary CSV carries components in the ROTATED local frame
+    (buildbc rotates them); derotate_winds applies R(-rotate_deg) to
+    recover east/north on export (reference vtk_avg_to_utm_asl_nc.py:496).
+
+Consistency is pinned by tests/test_pre_post_tools.py round-trip tests and
+the buildbc cross-check.
 """
 
 from __future__ import annotations
@@ -21,11 +33,11 @@ class TransformModel:
     zone: int
     northern: bool
     rotate_deg: float
-    utm_center: Tuple[float, float]   # UTM coords of the rotated-domain center
-    local_center: Tuple[float, float]  # local coords of the same point
+    pivot: Tuple[float, float]        # UTM pivot (projected bbox centroid)
+    origin_rot: Tuple[float, float]   # rotated-frame min corner (local 0,0)
 
     @classmethod
-    def from_deck(cls, deck, si_size_xy: Tuple[float, float]) -> "TransformModel":
+    def from_deck(cls, deck, si_size_xy: Tuple[float, float] = None) -> "TransformModel":
         lon_pair = deck.get_pair("cut_lon_manual")
         lat_pair = deck.get_pair("cut_lat_manual")
         if lon_pair is None or lat_pair is None:
@@ -38,42 +50,47 @@ class TransformModel:
         else:
             zone = None
             northern = 0.5 * sum(lat_pair) >= 0
-        clon = 0.5 * sum(lon_pair)
-        clat = 0.5 * sum(lat_pair)
         if zone is None:
             from ..pre.utm import utm_zone_for
 
-            zone = utm_zone_for(clon)
-        ce, cn = lonlat_to_utm(np.array([clon]), np.array([clat]), zone=zone)
-        return cls(
-            zone=zone, northern=northern,
-            rotate_deg=deck.get_float("rotate_deg", 0.0) or 0.0,
-            utm_center=(float(ce[0]), float(cn[0])),
-            local_center=(0.5 * si_size_xy[0], 0.5 * si_size_xy[1]),
-        )
+            zone = utm_zone_for(0.5 * sum(lon_pair))
+        rotate_deg = deck.get_float("rotate_deg", 0.0) or 0.0
+
+        # project the four window corners; pivot = centroid, origin = min
+        # corner of the rotated window (identical to pre/buildbc.py)
+        lons = np.array([lon_pair[0], lon_pair[1], lon_pair[1], lon_pair[0]])
+        lats = np.array([lat_pair[0], lat_pair[0], lat_pair[1], lat_pair[1]])
+        xs, ys = lonlat_to_utm(lons, lats, zone=zone)
+        cx, cy = float(xs.mean()), float(ys.mean())
+        th = np.radians(rotate_deg)
+        xr = np.cos(th) * (xs - cx) - np.sin(th) * (ys - cy) + cx
+        yr = np.sin(th) * (xs - cx) + np.cos(th) * (ys - cy) + cy
+        return cls(zone=zone, northern=northern, rotate_deg=rotate_deg,
+                   pivot=(cx, cy),
+                   origin_rot=(float(xr.min()), float(yr.min())))
+
+    def _rotate(self, x, y, deg):
+        th = np.radians(deg)
+        c, s = np.cos(th), np.sin(th)
+        xr = c * (np.asarray(x) - self.pivot[0]) - s * (np.asarray(y) - self.pivot[1])
+        yr = s * (np.asarray(x) - self.pivot[0]) + c * (np.asarray(y) - self.pivot[1])
+        return xr + self.pivot[0], yr + self.pivot[1]
 
     def local_to_lonlat(self, x, y):
         """Local rotated meters -> (lon, lat)."""
-        th = np.radians(self.rotate_deg)
-        dx = np.asarray(x) - self.local_center[0]
-        dy = np.asarray(y) - self.local_center[1]
-        # inverse rotation (local frame was rotated by +rotate_deg from UTM)
-        ux = np.cos(th) * dx - np.sin(th) * dy + self.utm_center[0]
-        uy = np.sin(th) * dx + np.cos(th) * dy + self.utm_center[1]
+        x_rot = np.asarray(x) + self.origin_rot[0]
+        y_rot = np.asarray(y) + self.origin_rot[1]
+        ux, uy = self._rotate(x_rot, y_rot, -self.rotate_deg)
         return utm_to_lonlat(ux, uy, self.zone, self.northern)
 
     def lonlat_to_local(self, lon, lat):
         ux, uy = lonlat_to_utm(np.asarray(lon), np.asarray(lat), zone=self.zone)
-        th = np.radians(self.rotate_deg)
-        dx = ux - self.utm_center[0]
-        dy = uy - self.utm_center[1]
-        x = np.cos(th) * dx + np.sin(th) * dy + self.local_center[0]
-        y = -np.sin(th) * dx + np.cos(th) * dy + self.local_center[1]
-        return x, y
+        xr, yr = self._rotate(ux, uy, self.rotate_deg)
+        return xr - self.origin_rot[0], yr - self.origin_rot[1]
 
     def derotate_winds(self, u, v):
-        """Rotate local-frame winds back to east/north components."""
+        """Rotated-local-frame winds -> east/north components (R(-deg))."""
         th = np.radians(self.rotate_deg)
-        ue = np.cos(th) * np.asarray(u) - np.sin(th) * np.asarray(v)
-        vn = np.sin(th) * np.asarray(u) + np.cos(th) * np.asarray(v)
+        ue = np.cos(th) * np.asarray(u) + np.sin(th) * np.asarray(v)
+        vn = -np.sin(th) * np.asarray(u) + np.cos(th) * np.asarray(v)
         return ue, vn

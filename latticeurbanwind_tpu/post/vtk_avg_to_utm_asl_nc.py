@@ -29,12 +29,13 @@ def convert(deck_path: Path, vtk_path: Path) -> Path:
     k0 = int(np.ceil(base_h / sp))           # strip pedestal rows
 
     model = TransformModel.from_deck(deck, (nx * sp, ny * sp))
-    th = np.radians(model.rotate_deg)
-    # UTM axes of the (unrotated) grid center row/column
+    # 1-D UTM axes for the (small-residual-rotation) grid: the local frame
+    # shifted by the rotated-window origin (the residual convergence angle
+    # is recorded as metadata — reference :436 behavior)
     x = (np.arange(nx) + 0.5) * sp
     y = (np.arange(ny) + 0.5) * sp
-    easting = model.utm_center[0] + (x - model.local_center[0])
-    northing = model.utm_center[1] + (y - model.local_center[1])
+    easting = model.origin_rot[0] + x
+    northing = model.origin_rot[1] + y
     z_asl = (np.arange(k0, nz) + 0.5) * sp - base_h
 
     out_fields = {}

@@ -154,9 +154,16 @@ def load_dem_lonlat(home: Path, deck) -> Optional[Tuple[np.ndarray, np.ndarray]]
             pts = np.array([r.point for r in data.records if r.point is not None])
             if not len(pts):
                 continue
-            field = next((f for f in data.fields
-                          if f.lower() in ("elevation", "elev", "height", "z")),
-                         data.fields[0] if data.fields else None)
+            names = {f.lower(): f for f in data.fields}
+            field = next((names[k] for k in names
+                          if k in ("elevation", "elev", "height", "z", "dem")
+                          or k.startswith(("elev", "height", "alt", "dem"))),
+                         None)
+            if field is None and data.fields:
+                raise ValueError(
+                    f"{shp.name}: no elevation-like attribute among "
+                    f"{data.fields} — rename the column (elev*/height*/alt*/"
+                    "z/dem) rather than risk reading ids as terrain")
             if field is None or not data.attributes:
                 elev = np.zeros(len(pts))
             else:
@@ -290,6 +297,14 @@ def build_structured(deck_path: Path, lon, lat, z_levels, u, v, w, T=None,
     x_src = (xr - x_origin).reshape(lon.shape)
     y_src = (yr - y_origin).reshape(lon.shape)
 
+    # wind COMPONENTS rotate with the frame: the CSV carries rotated-local
+    # u/v so the solver's axes are the rotated box; post/transform.py
+    # derotates by -rotate_deg on export.  (The reference leaves the
+    # sub-degree convergence rotation off its inputs but derotates on
+    # export, vtk_avg_to_utm_asl_nc.py:496 — we keep both sides exact.)
+    c_r, s_r = math.cos(math.radians(rotate_deg)), math.sin(math.radians(rotate_deg))
+    u, v = c_r * u - s_r * v, s_r * u + c_r * v
+
     # deck parameters
     base_height = deck.get_float("base_height", 50.0) or 50.0
     z_limit = deck.get_float("z_limit")
@@ -388,85 +403,109 @@ def build_structured(deck_path: Path, lon, lat, z_levels, u, v, w, T=None,
     deck.save()
 
     # ---- SurfData CSV with patch faces (reference :2164-2400) -------------
+    # Fully vectorized column sampling: the vertical ladder is uniform
+    # (z_new = k*dz, terrain-uplifted per column), so the inverse-distance-
+    # between-bracketing-levels rule reduces to array index math — the
+    # reference's per-point loops take minutes at production window sizes.
     progress.emit("Writing boundary CSV", indeterminate=True, force=True)
     write_T = t_m is not None
     ground_eps = max(1e-3, min(0.1, 0.05 * dz)) if dz > 0 else 0.05
+    z_top_agl2 = float(z_new[-1])
 
-    def ground_at(j, i):
-        d = float(dem_grid[j, i]) if dem_grid is not None else 0.0
-        return base_height + d
+    gz_grid = base_height + (dem_grid if dem_grid is not None
+                             else np.zeros((ny, nx)))
 
-    def sample(j, i, z_abs, gz):
-        zq_src = z_new + np.float32(gz)     # terrain-uplifted source ladder
-        z_c = float(np.clip(z_abs, zq_src[0], zq_src[-1]))
-        vals = [_idw_interp_1d(u_m[:, j, i], z_c, zq_src),
-                _idw_interp_1d(v_m[:, j, i], z_c, zq_src),
-                _idw_interp_1d(w_m[:, j, i], z_c, zq_src)]
-        if write_T:
-            vals.append(_idw_interp_1d(t_m[:, j, i], z_c, zq_src))
-        return vals
+    fields3 = [u_m, v_m, w_m] + ([t_m] if write_T else [])
 
-    rows = []
+    def sample_many(jj, ii, z_abs, gz):
+        """Vectorized column IDW sample at absolute heights (arrays (P,))."""
+        zq = np.clip(z_abs - gz, 0.0, z_top_agl2)
+        if nz < 2 or dz <= 0:
+            return [fm_[0, jj, ii] for fm_ in fields3]
+        k_lo = np.clip((zq // dz).astype(np.int64), 0, nz - 2)
+        d_lo = zq - k_lo * dz
+        d_up = (k_lo + 1) * dz - zq
+        w_lo = 1.0 / np.maximum(d_lo, 1e-12)
+        w_up = 1.0 / np.maximum(d_up, 1e-12)
+        # exact-hit snapping (reference _idw_interp_1d, d < 1e-6 first-match)
+        snap_lo = d_lo < 1e-6
+        snap_up = (d_up < 1e-6) & ~snap_lo
+        w_lo = np.where(snap_lo, 1.0, np.where(snap_up, 0.0, w_lo))
+        w_up = np.where(snap_lo, 0.0, np.where(snap_up, 1.0, w_up))
+        inv = 1.0 / (w_lo + w_up)
+        out = []
+        for fm_ in fields3:
+            lo = fm_[k_lo, jj, ii]
+            up = fm_[k_lo + 1, jj, ii]
+            out.append((w_lo * lo + w_up * up) * inv)
+        return out
+
+    rows: list = []
     bc_sum = np.zeros(3)
+    bc_n = 0
 
-    def emit(x, y, z, uvw, patch, tval=None):
-        cells = [f"{x:.3f}", f"{y:.3f}", f"{z:.3f}",
-                 f"{uvw[0]}", f"{uvw[1]}", f"{uvw[2]}"]
+    def emit_many(xs_, ys_, zs_, vals, patch, keep_w: bool):
+        nonlocal bc_n
+        uu, vv = vals[0], vals[1]
+        ww = vals[2] if keep_w else np.zeros_like(vals[0])
+        tt = vals[3] if write_T else None
+        bc_sum[0] += float(uu.sum())
+        bc_sum[1] += float(vv.sum())
+        bc_sum[2] += float(ww.sum())
+        bc_n += len(uu)
         if write_T:
-            cells.append(f"{tval}")
-        cells.append(str(patch))
-        rows.append(",".join(cells))
-        bc_sum[:] += uvw
+            rows.extend(
+                f"{x:.3f},{y:.3f},{z:.3f},{a},{b},{c},{d},{patch}"
+                for x, y, z, a, b, c, d in zip(xs_, ys_, zs_, uu, vv, ww, tt))
+        else:
+            rows.extend(
+                f"{x:.3f},{y:.3f},{z:.3f},{a},{b},{c},{patch}"
+                for x, y, z, a, b, c in zip(xs_, ys_, zs_, uu, vv, ww))
+
+    jj_g, ii_g = np.meshgrid(np.arange(ny), np.arange(nx), indexing="ij")
+    jj_f, ii_f = jj_g.ravel(), ii_g.ravel()
+    gz_f = gz_grid[jj_f, ii_f]
+    open_col = gz_f < z_top_output
 
     # bottom: just above local terrain, w kept
-    for j in range(ny):
-        for i in range(nx):
-            gz = ground_at(j, i)
-            zt = z_top_output
-            if zt <= gz:
-                continue
-            zb = gz + min(ground_eps, 0.5 * (zt - gz))
-            s = sample(j, i, zb, gz)
-            emit(x_grid[i], y_grid[j], zb, s[:3], PATCH_BOTTOM,
-                 s[3] if write_T else None)
+    jj_b, ii_b, gz_b = jj_f[open_col], ii_f[open_col], gz_f[open_col]
+    zb = gz_b + np.minimum(ground_eps, 0.5 * (z_top_output - gz_b))
+    emit_many(x_grid[ii_b], y_grid[jj_b], zb,
+              sample_many(jj_b, ii_b, zb, gz_b), PATCH_BOTTOM, keep_w=True)
     # top: flat cap, w = 0
-    for j in range(ny):
-        for i in range(nx):
-            gz = ground_at(j, i)
-            if gz >= z_top_output:
-                continue
-            s = sample(j, i, z_top_output, gz)
-            emit(x_grid[i], y_grid[j], z_top_output, (s[0], s[1], 0.0),
-                 PATCH_TOP, s[3] if write_T else None)
-    # sides: ground point + k*dz AGL levels (w = 0)
-    def side(idx_list, patch_of, xy_of):
-        for fixed in idx_list:
-            patch = patch_of(fixed)
-            for other in range(side_n):
-                j, i = (fixed, other) if patch in (PATCH_SOUTH, PATCH_NORTH) \
-                    else (other, fixed)
-                x, y = x_grid[i], y_grid[j]
-                gz = ground_at(j, i)
-                if z_top_output <= gz:
-                    continue
-                s = sample(j, i, gz, gz)
-                emit(x, y, gz, (s[0], s[1], 0.0), patch,
-                     s[3] if write_T else None)
-                if dz <= 0:
-                    continue
-                k_max = min(int((z_top_output - gz) / dz + 1e-6), nz - 1)
-                for k in range(1, k_max + 1):
-                    z_out = gz + k * dz
-                    if z_out >= z_top_output - 1e-6:
-                        continue
-                    s = sample(j, i, z_out, gz)
-                    emit(x, y, z_out, (s[0], s[1], 0.0), patch,
-                         s[3] if write_T else None)
+    zt = np.full(len(jj_b), z_top_output)
+    emit_many(x_grid[ii_b], y_grid[jj_b], zt,
+              sample_many(jj_b, ii_b, zt, gz_b), PATCH_TOP, keep_w=False)
 
-    side_n = nx
-    side([0, ny - 1], lambda j: PATCH_SOUTH if j == 0 else PATCH_NORTH, None)
-    side_n = ny
-    side([0, nx - 1], lambda i: PATCH_WEST if i == 0 else PATCH_EAST, None)
+    # sides: ground point + k*dz AGL levels (w = 0)
+    def side_face(jj_s, ii_s, patch):
+        gz_s = gz_grid[jj_s, ii_s]
+        keep = gz_s < z_top_output
+        jj_s, ii_s, gz_s = jj_s[keep], ii_s[keep], gz_s[keep]
+        if not len(jj_s):
+            return
+        emit_many(x_grid[ii_s], y_grid[jj_s], gz_s,
+                  sample_many(jj_s, ii_s, gz_s, gz_s), patch, keep_w=False)
+        if dz <= 0:
+            return
+        k_max = np.minimum(((z_top_output - gz_s) / dz + 1e-6).astype(np.int64),
+                           nz - 1)
+        for k in range(1, nz):
+            on = k <= k_max
+            z_out = gz_s + k * dz
+            on &= z_out < z_top_output - 1e-6
+            if not on.any():
+                continue
+            emit_many(x_grid[ii_s[on]], y_grid[jj_s[on]], z_out[on],
+                      sample_many(jj_s[on], ii_s[on], z_out[on], gz_s[on]),
+                      patch, keep_w=False)
+
+    ii_all = np.arange(nx)
+    jj_all = np.arange(ny)
+    side_face(np.zeros(nx, np.int64), ii_all, PATCH_SOUTH)
+    side_face(np.full(nx, ny - 1, np.int64), ii_all, PATCH_NORTH)
+    side_face(jj_all, np.zeros(ny, np.int64), PATCH_WEST)
+    side_face(jj_all, np.full(ny, nx - 1, np.int64), PATCH_EAST)
 
     out = home / "proj_temp" / f"SurfData_{dt}.csv"
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -553,6 +592,9 @@ def build_from_samples(deck_path: Path, lon, lat, z_agl, u, v, w, T=None) -> Pat
     x0, y0 = float(xr_c.min()), float(yr_c.min())
     X = xr - x0
     Y = yr - y0
+    # wind components rotate with the frame (see build_structured)
+    c_r, s_r = math.cos(math.radians(rot)), math.sin(math.radians(rot))
+    u, v = c_r * u - s_r * v, s_r * u + c_r * v
 
     mean_u, mean_v = float(u.mean()), float(v.mean())
     if abs(mean_u) >= abs(mean_v):

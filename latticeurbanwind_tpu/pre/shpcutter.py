@@ -110,9 +110,12 @@ def _main_pure(deck, home: Path) -> int:
     kept = len(kept_rings)
 
     # overlapping-building merge with height merge (reference 2_shpCutter
-    # :463): cluster footprints whose bounding boxes overlap (union-find)
-    # and raise each member to the cluster's max height — voxel-equivalent
-    # to stamping the geometric union at that height.
+    # :463): cluster footprints that GEOMETRICALLY overlap (vertex-in-
+    # polygon test, not mere bbox contact — bbox chains must not inherit a
+    # distant tower's height) and raise each member to the cluster's max —
+    # voxel-equivalent to stamping the geometric union at that height.
+    # Candidate pairs come from a bbox grid hash, so city-scale inputs stay
+    # near-linear instead of O(n^2).
     n = len(kept_rings)
     parent = list(range(n))
 
@@ -122,15 +125,39 @@ def _main_pure(deck, home: Path) -> int:
             i = parent[i]
         return i
 
-    boxes = [(r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max())
-             for r, _ in kept_rings]
-    for i in range(n):
-        for j in range(i + 1, n):
+    boxes = np.array([(r[:, 0].min(), r[:, 0].max(), r[:, 1].min(), r[:, 1].max())
+                      for r, _ in kept_rings]) if n else np.zeros((0, 4))
+    paths = None
+    if n:
+        from matplotlib.path import Path as MplPath
+
+        paths = [MplPath(r) for r, _ in kept_rings]
+        cell = max(float(np.median(boxes[:, 1] - boxes[:, 0])), 1e-9)
+        grid: dict = {}
+        for i in range(n):
+            for gx in range(int(boxes[i, 0] / cell), int(boxes[i, 1] / cell) + 1):
+                for gy in range(int(boxes[i, 2] / cell), int(boxes[i, 3] / cell) + 1):
+                    grid.setdefault((gx, gy), []).append(i)
+
+        def overlaps(i, j):
             a, b = boxes[i], boxes[j]
-            if a[0] <= b[1] and b[0] <= a[1] and a[2] <= b[3] and b[2] <= a[3]:
-                ri, rj = find(i), find(j)
-                if ri != rj:
-                    parent[rj] = ri
+            if a[0] > b[1] or b[0] > a[1] or a[2] > b[3] or b[2] > a[3]:
+                return False
+            return (paths[i].contains_points(kept_rings[j][0]).any()
+                    or paths[j].contains_points(kept_rings[i][0]).any())
+
+        seen_pairs = set()
+        for bucket in grid.values():
+            for ai in range(len(bucket)):
+                for bi in range(ai + 1, len(bucket)):
+                    i, j = bucket[ai], bucket[bi]
+                    if (i, j) in seen_pairs:
+                        continue
+                    seen_pairs.add((i, j))
+                    if overlaps(i, j):
+                        ri, rj = find(i), find(j)
+                        if ri != rj:
+                            parent[rj] = ri
     cluster_h = {}
     for i in range(n):
         r = find(i)

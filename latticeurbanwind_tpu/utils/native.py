@@ -54,7 +54,13 @@ def load() -> Optional[ctypes.CDLL]:
     stamp = _STAMP.read_text().strip() if _STAMP.exists() else ""
     if not _LIB.exists() or stamp != digest:
         if not _build(digest):
-            return None
+            if _LIB.exists():
+                # toolchain-less host with a pre-existing binary: use it but
+                # say so — it may lag the current source
+                print("[native] rebuild unavailable; loading the existing "
+                      f"{_LIB.name} (may predate {_SRC.name})")
+            else:
+                return None
     try:
         lib = ctypes.CDLL(str(_LIB))
         lib.voxelize_columns.argtypes = [
