@@ -8,4 +8,35 @@ contract, file formats, and run modes — but engineered for TPU hardware
 exchange over a 3-D device mesh).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
+
+
+def _enable_compile_cache() -> None:
+    """Point JAX's persistent compilation cache at a user-level directory.
+
+    Production grids take minutes to compile cold (the Mosaic kernel alone
+    is ~3-4 min on hosted chips); the cache makes every later process start
+    in seconds.  Opt out with LUW_NO_COMPILE_CACHE=1; an explicit
+    JAX_COMPILATION_CACHE_DIR always wins.
+    """
+    import os
+
+    if os.environ.get("LUW_NO_COMPILE_CACHE"):
+        return
+    if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
+        return
+    try:
+        import jax
+
+        path = os.path.join(
+            os.environ.get("XDG_CACHE_HOME",
+                           os.path.expanduser("~/.cache")), "luw_jax")
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        # cache everything that took meaningful compile time
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
+
+
+_enable_compile_cache()

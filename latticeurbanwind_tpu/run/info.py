@@ -13,17 +13,16 @@ from dataclasses import dataclass, field
 from typing import Optional
 
 
-def bytes_per_cell_update(storage: str = "bf16", thermal: bool = False,
-                          bounce_back_fetch: bool = True) -> float:
-    """HBM bytes moved per cell update in the pallas tier's access pattern."""
-    s = {"f32": 4, "f16": 2, "bf16": 2}[storage]
-    total = 19 * s * 2          # DDF read + write
-    if bounce_back_fetch:
-        total += 10 * s         # fp/fm refetched at the own plane
-    total += 3                  # flags x3 views
-    total += 16 + 16            # rho/u read + write
+def bytes_per_cell_update(storage: str = "bf16", thermal: bool = False) -> float:
+    """HBM bytes moved per cell update in the pure-DDF pallas tier.
+
+    Matches the reference's own traffic model (lbm.cpp:121-142): two DDF
+    passes + one flags byte — the plane-carry kernel fetches every plane
+    exactly once and streams no persistent rho/u/T."""
+    s = {"f32": 4, "f16": 2, "fp16c": 2, "bf16": 2}[storage]
+    total = 19 * s * 2 + 1      # DDF read + write + flags
     if thermal:
-        total += 7 * s * 2 + 2 * s + 8
+        total += 7 * s * 2
     return float(total)
 
 
