@@ -175,7 +175,8 @@ class Studio:
     def api_results(self, q) -> dict:
         base = self.resolve(q.get("path", [""])[0])
         out = {"vtks": [], "images": [], "csvs": []}
-        for sub in ("RESULTS/vtk", "RESULTS", "proj_temp/snapshots",
+        for sub in ("RESULTS/vtk", "RESULTS", "RESULTS/sections",
+                    "RESULTS/figures", "proj_temp", "proj_temp/snapshots",
                     "RESULTS/tke_viz", ""):
             d = base / sub if sub else base
             if not d.is_dir():
@@ -191,6 +192,52 @@ class Studio:
         for k in out:
             out[k] = sorted(set(out[k]))
         return out
+
+    def api_boundary(self, q) -> bytes:
+        """SurfData boundary-CSV preview PNG — the BatchBoundaryPanel /
+        BoundaryCsvPanel analog (reference gui/src/BatchBoundaryPanel.cpp,
+        BoundaryCsvPanel.cpp): per-face sample scatter colored by |u|, with
+        per-patch counts and speed statistics in the panel title."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        path = self.resolve(q["path"][0])
+        with open(path) as fh:
+            header = fh.readline().strip().split(",")
+        data = np.loadtxt(path, delimiter=",", skiprows=1, ndmin=2)
+        cols = {name.strip().lower(): k for k, name in enumerate(header)}
+        x, y, z = (data[:, cols[c]] for c in ("x", "y", "z"))
+        u, v, w = (data[:, cols[c]] for c in ("u", "v", "w"))
+        speed = np.sqrt(u * u + v * v + w * w)
+        patch = (data[:, cols["patch"]].astype(int) if "patch" in cols
+                 else np.full(len(x), -1))
+
+        fig, axes = plt.subplots(1, 3, figsize=(16, 5))
+        sc = axes[0].scatter(x, y, c=speed, s=2, cmap="turbo")
+        axes[0].set_title("plan view (X, Y)")
+        axes[0].set_aspect("equal")
+        fig.colorbar(sc, ax=axes[0], label="|u| (m/s)")
+        sc1 = axes[1].scatter(x, z, c=speed, s=2, cmap="turbo")
+        axes[1].set_title("elevation (X, Z)")
+        fig.colorbar(sc1, ax=axes[1], label="|u| (m/s)")
+        names = {0: "bottom", 1: "top", 2: "south", 3: "north",
+                 4: "west", 5: "east", -1: "all"}
+        stats = []
+        for p in sorted(set(patch.tolist())):
+            m = patch == p
+            stats.append(f"{names.get(p, p)}: {int(m.sum())}")
+            axes[2].scatter(x[m], z[m], s=2, label=names.get(p, str(p)))
+        axes[2].set_title("faces (X, Z) by patch")
+        axes[2].legend(markerscale=4, fontsize=8)
+        fig.suptitle(f"{path.name} — {len(x)} samples, |u| "
+                     f"{speed.min():.2f}..{speed.max():.2f} m/s | "
+                     + ", ".join(stats))
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return buf.getvalue()
 
     def api_series(self, q) -> dict:
         """Timestep series for a VTK: all files sharing its `<base>-<t>.vtk`
@@ -387,6 +434,8 @@ def make_handler(studio: Studio):
                     self._send(200, studio.api_render(q), "image/png")
                 elif u.path == "/api/series":
                     self._json(studio.api_series(q))
+                elif u.path == "/api/boundary":
+                    self._send(200, studio.api_boundary(q), "image/png")
                 elif u.path == "/api/env":
                     self._json(studio.api_env(q))
                 elif u.path == "/api/file":

@@ -131,3 +131,21 @@ def test_studio_3d_render_and_series(studio):
     ctype, png = _get(base + "/api/render?path=RESULTS/vtk/demo_avg-000000010.vtk"
                       "&mode=3d&az=200&el=40&sl=1&q=0")
     assert ctype == "image/png" and len(png) > 3000
+
+
+def test_studio_boundary_panel(studio):
+    """SurfData boundary preview endpoint (BatchBoundaryPanel analog)."""
+    import numpy as np
+
+    base, case = studio
+    rows = ["X,Y,Z,u,v,w,patch"]
+    rng = np.random.default_rng(0)
+    for p in range(6):
+        for _ in range(20):
+            rows.append(f"{rng.uniform(0,100):.2f},{rng.uniform(0,100):.2f},"
+                        f"{rng.uniform(0,50):.2f},3.0,1.0,0.0,{p}")
+    (case / "proj_temp" / "SurfData_20250101.csv").write_text("\n".join(rows) + "\n")
+    r = _json(base + "/api/results?path=")
+    assert any("SurfData" in c for c in r["csvs"])
+    ctype, png = _get(base + "/api/boundary?path=proj_temp/SurfData_20250101.csv")
+    assert ctype == "image/png" and len(png) > 5000
