@@ -170,3 +170,74 @@ def test_buildbc_dem_terrain_sampling(tmp_path):
     deck = load_deck(case / "conf.luw")
     z_hi = deck.get_float_list("si_z_cfd")[1]
     assert z_hi > 200.0 + 20.0 + 40.0        # cap lifted above max terrain
+
+
+def test_buildbc_rotation_consistency_with_transform(tmp_path):
+    """The geographic contract: buildBC's rotated local frame and
+    post/transform.TransformModel must agree EXACTLY (SW cut corner at
+    local (0,0), winds derotating back to east/north) — pinned after the
+    round-2 convention fix."""
+    from latticeurbanwind_tpu.deck import load_deck, parse_deck_text
+    from latticeurbanwind_tpu.post.transform import TransformModel
+    from latticeurbanwind_tpu.pre.buildbc import build_structured
+
+    case = tmp_path / "case"
+    (case / "proj_temp").mkdir(parents=True)
+    deck = parse_deck_text(
+        "// LUW deck\ncasename = t\ndatetime = 20250101000000\n"
+        "base_height = 20\nz_limit = 200\nmidmesh_basesize = 100\n"
+        "cut_lon_manual = [17.00, 17.20]\ncut_lat_manual = [59.00, 59.10]\n")
+    deck.save(case / "conf.luw")
+    ny, nx = 8, 9
+    lon, lat = np.meshgrid(np.linspace(16.95, 17.25, nx),
+                           np.linspace(58.97, 59.13, ny))
+    z = np.array([10.0, 50.0, 100.0, 150.0, 220.0])
+    shape3 = (len(z), ny, nx)
+    u = np.full(shape3, 5.0)
+    v = np.full(shape3, 2.0)
+    build_structured(case / "conf.luw", lon, lat, z, u, v, np.zeros(shape3))
+
+    deck = load_deck(case / "conf.luw")
+    rot = deck.get_float("rotate_deg")
+    assert abs(rot) > 0.5            # high latitude: real convergence angle
+    tm = TransformModel.from_deck(deck)
+    # SW cut corner lands exactly at local (0, 0)
+    x0, y0 = tm.lonlat_to_local(np.array([17.00]), np.array([59.00]))
+    assert abs(float(x0[0])) < 1e-6 and abs(float(y0[0])) < 1e-6
+    # round-trip identity at sub-mm
+    lo, la = tm.local_to_lonlat(np.array([1234.5]), np.array([987.6]))
+    xb, yb = tm.lonlat_to_local(lo, la)
+    assert abs(float(xb[0]) - 1234.5) < 1e-3
+    assert abs(float(yb[0]) - 987.6) < 1e-3
+    # CSV winds are rotated-frame; derotation recovers east/north exactly
+    data = np.loadtxt(case / "proj_temp" / "SurfData_20250101000000.csv",
+                      delimiter=",", skiprows=1)
+    ue, vn = tm.derotate_winds(data[:, 3], data[:, 4])
+    assert np.allclose(ue, 5.0, atol=1e-3)
+    assert np.allclose(vn, 2.0, atol=1e-3)
+
+
+def test_buildbc_vectorized_sampler_matches_scalar_rule():
+    """The vectorized column sampler must reproduce the scalar inverse-
+    distance-between-bracketing-levels rule (reference :1899-1928)."""
+    from latticeurbanwind_tpu.pre.buildbc import _idw_interp_1d
+
+    rng = np.random.default_rng(0)
+    nz, dz = 9, 25.0
+    z_new = np.arange(nz) * dz
+    col = rng.standard_normal(nz)
+    # replicate the vectorized math from build_structured.sample_many
+    zq = np.concatenate([rng.uniform(0, (nz - 1) * dz, 200),
+                         z_new, [0.0, (nz - 1) * dz]])
+    k_lo = np.clip((zq // dz).astype(np.int64), 0, nz - 2)
+    d_lo = zq - k_lo * dz
+    d_up = (k_lo + 1) * dz - zq
+    w_lo = 1.0 / np.maximum(d_lo, 1e-12)
+    w_up = 1.0 / np.maximum(d_up, 1e-12)
+    snap_lo = d_lo < 1e-6
+    snap_up = (d_up < 1e-6) & ~snap_lo
+    w_lo = np.where(snap_lo, 1.0, np.where(snap_up, 0.0, w_lo))
+    w_up = np.where(snap_lo, 0.0, np.where(snap_up, 1.0, w_up))
+    vec = (w_lo * col[k_lo] + w_up * col[k_lo + 1]) / (w_lo + w_up)
+    ref = np.array([_idw_interp_1d(col, float(q), z_new) for q in zq])
+    np.testing.assert_allclose(vec, ref, atol=1e-9)
