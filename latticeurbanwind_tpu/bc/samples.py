@@ -53,6 +53,32 @@ def read_surfdata_csv(path: Path | str) -> SampleSet:
     idx_t = header.index("t") if "t" in header else -1
     idx_patch = header.index("patch") if "patch" in header else -1
 
+    if named:
+        # native fast path: one C pass over the body (production SurfData
+        # files reach 10^5-10^6 rows; the reference's std::stod loop scale)
+        from ..utils.native import parse_csv_native
+
+        table = parse_csv_native(Path(path).read_bytes(),
+                                 max_cols=max(len(header), 8))
+        if table is not None:
+            need = [idx[k] for k in ("x", "y", "z", "u", "v", "w")]
+            ok = np.isfinite(table[:, need]).all(axis=1)
+            table = table[ok]
+            if len(table):
+                p = table[:, need[0:3]]
+                u = table[:, need[3:6]]
+                T = table[:, idx_t] if 0 <= idx_t < table.shape[1] else None
+                patch = None
+                if 0 <= idx_patch < table.shape[1]:
+                    pa = table[:, idx_patch]
+                    patch = np.where(np.isfinite(pa), pa, -999).astype(np.int32)
+                return SampleSet(
+                    p=p, u=u,
+                    T=(np.where(np.isfinite(T), T, 293.15)
+                       if T is not None else None),
+                    patch=patch,
+                )
+
     rows = []
     body = lines[1:] if named or idx_t >= 0 or idx_patch >= 0 or not _numeric_row(lines[0]) else lines
     for line in body:
@@ -65,8 +91,11 @@ def read_surfdata_csv(path: Path | str) -> SampleSet:
                 if len(cols) <= need:
                     continue
                 vals = [float(cols[idx[k]]) for k in ("x", "y", "z", "u", "v", "w")]
-                t = float(cols[idx_t]) if 0 <= idx_t < len(cols) else np.nan
-                pt = round(float(cols[idx_patch])) if 0 <= idx_patch < len(cols) else -999
+                # blank optional cells don't invalidate the velocity sample
+                t = (float(cols[idx_t])
+                     if 0 <= idx_t < len(cols) and cols[idx_t] else np.nan)
+                pt = (round(float(cols[idx_patch]))
+                      if 0 <= idx_patch < len(cols) and cols[idx_patch] else -999)
             else:
                 nums = [float(c) for c in cols if c]
                 if not (6 <= len(nums) <= 8):

