@@ -375,17 +375,17 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 ((fl_ref[0].astype(jnp.int32) & TYPE_S) != 0).astype(jnp.float32),
             )
 
-            own = [None] * 19
+            # decode every own plane exactly once (Python-level reuse — the
+            # opposite lookups below index this list, so the f16/fp16c bit
+            # codecs don't run twice per plane)
+            own = [own_src[_D2G[d][0]](_D2G[d][1]) for d in range(19)]
             f = [None] * 19
             for d in range(19):
                 cx, cy, cz = (int(v) for v in C19[d])
                 g, k = _D2G[d]
                 shifted = _roll2(stream_src[g](k), cy, cx)
                 src_solid_f = _roll2(solid_src[g], cy, cx)
-                od = int(OPP19[d])
-                og, ok = _D2G[od]
-                opp_plane = own_src[og](ok)
-                own[d] = own_src[g](k)
+                opp_plane = own[int(OPP19[d])]
                 f[d] = opp_plane * src_solid_f + shifted * (1.0 - src_solid_f)
 
             # ---- unrolled moments (dot_general relayouts are ~10x slower) ----
@@ -471,19 +471,19 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                     lambda k: dec(gp_ref[k, 0]),
                     lambda k: dec(gm_scr[k]),
                 )
-                gown = [None] * 7
+                def _g7_loc(d):
+                    g_id = 0 if int(C7[d, 2]) == 0 else (1 if int(C7[d, 2]) == 1 else 2)
+                    return g_id, d - _G7_BASE[g_id]
+
+                gown = [g_own[_g7_loc(d)[0]](_g7_loc(d)[1]) for d in range(7)]
                 gpl = [None] * 7
                 for d in range(7):
                     cx, cy, cz = (int(v) for v in C7[d])
-                    g_id = 0 if cz == 0 else (1 if cz == 1 else 2)
-                    k = d - _G7_BASE[g_id]
+                    g_id, k = _g7_loc(d)
                     shifted = _roll2(g_stream[g_id](k), cy, cx)
                     src_solid_f = _roll2(solid_src[g_id], cy, cx)
                     od = (0, 2, 1, 4, 3, 6, 5)[d]
-                    og_id = 0 if int(C7[od, 2]) == 0 else (1 if int(C7[od, 2]) == 1 else 2)
-                    okk = od - _G7_BASE[og_id]
-                    opp_plane = g_own[og_id](okk)
-                    gown[d] = g_own[g_id](k)
+                    opp_plane = gown[od]
                     gpl[d] = opp_plane * src_solid_f + shifted * (1.0 - src_solid_f)
                 T_m = gpl[0]
                 T_own = gown[0]

@@ -97,8 +97,8 @@ casename = synth
 datetime = 20250101120000
 
 // Domain
-cut_lon_manual = [120.0, 120.1]
-cut_lat_manual = [30.0, 30.1]
+cut_lon_manual = [120.0, 120.00415]
+cut_lat_manual = [30.0, 30.0036]
 si_x_cfd = [0.0, {si}]
 si_y_cfd = [0.0, {si}]
 si_z_cfd = [0.0, 200.0]
