@@ -382,6 +382,9 @@ def build_structured(deck_path: Path, lon, lat, z_levels, u, v, w, T=None,
         dxr, dyr = rotate_xy(dx_u, dy_u, rotate_deg, pivot[0], pivot[1])
         dem_grid = _idw_grid(np.stack([dxr - x_origin, dyr - y_origin], axis=1),
                              np.asarray(elev, float), x_grid, y_grid)
+        scale = float(os.environ.get("LUW_ELEVATION_SCALE", "1.0"))
+        if scale != 1.0:
+            dem_grid = dem_grid * scale
 
     ground_max = base_height + (float(np.nanmax(dem_grid)) if dem_grid is not None else 0.0)
     z_top_agl_out = min(z_top_agl, z_limit) if z_limit is not None else z_top_agl
@@ -643,10 +646,30 @@ def build_from_samples(deck_path: Path, lon, lat, z_agl, u, v, w, T=None) -> Pat
 
 def main(argv=None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    if len(argv) != 1:
-        print("Usage: luwbc <deck file>")
+    # reference CLI flags (1_buildBC.py argparse): --elevation-scale scales
+    # DEM relief for visualization/testing; --write-vtk is accepted for
+    # compatibility (the boundary VTK debug dump is not reproduced)
+    elevation_scale = 1.0
+    pos = []
+    it = iter(argv)
+    for a in it:
+        if a == "--elevation-scale":
+            elevation_scale = float(next(it, "1.0"))
+        elif a.startswith("--elevation-scale="):
+            elevation_scale = float(a.split("=", 1)[1])
+        elif a == "--write-vtk":
+            pass
+        else:
+            pos.append(a)
+    if len(pos) != 1:
+        print("Usage: luwbc <deck file> [--elevation-scale S] [--write-vtk]")
         return 2
-    deck_path = Path(argv[0]).expanduser().resolve()
+    if elevation_scale != 1.0:
+        import os
+
+        os.environ["LUW_ELEVATION_SCALE"] = str(elevation_scale)
+        print(f"[luwbc] elevation scale {elevation_scale}x")
+    deck_path = Path(pos[0]).expanduser().resolve()
     home = deck_path.parent
 
     # dependency-light path: pre-extracted samples table
