@@ -12,12 +12,14 @@ __version__ = "0.2.0"
 
 
 def _enable_compile_cache() -> None:
-    """Point JAX's persistent compilation cache at a user-level directory.
+    """Default JAX's persistent compilation cache to a user-level directory.
 
     Production grids take minutes to compile cold (the Mosaic kernel alone
     is ~3-4 min on hosted chips); the cache makes every later process start
-    in seconds.  Opt out with LUW_NO_COMPILE_CACHE=1; an explicit
-    JAX_COMPILATION_CACHE_DIR always wins.
+    in seconds.  Implemented purely through environment defaults — jax is
+    NOT imported here (pre/post CLI tools stay light), an explicit
+    JAX_COMPILATION_CACHE_DIR wins, a host app's programmatic
+    jax.config.update is untouched, and LUW_NO_COMPILE_CACHE=1 opts out.
     """
     import os
 
@@ -26,16 +28,14 @@ def _enable_compile_cache() -> None:
     if os.environ.get("JAX_COMPILATION_CACHE_DIR"):
         return
     try:
-        import jax
-
         path = os.path.join(
             os.environ.get("XDG_CACHE_HOME",
                            os.path.expanduser("~/.cache")), "luw_jax")
         os.makedirs(path, exist_ok=True)
-        jax.config.update("jax_compilation_cache_dir", path)
-        # cache everything that took meaningful compile time
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-    except Exception:
+        os.environ["JAX_COMPILATION_CACHE_DIR"] = path
+        os.environ.setdefault(
+            "JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1.0")
+    except OSError:
         pass
 
 

@@ -203,15 +203,13 @@ class Studio:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        from ..bc.samples import read_surfdata_csv
+
         path = self.resolve(q["path"][0])
-        with open(path) as fh:
-            header = fh.readline().strip().split(",")
-        data = np.loadtxt(path, delimiter=",", skiprows=1, ndmin=2)
-        cols = {name.strip().lower(): k for k, name in enumerate(header)}
-        x, y, z = (data[:, cols[c]] for c in ("x", "y", "z"))
-        u, v, w = (data[:, cols[c]] for c in ("u", "v", "w"))
-        speed = np.sqrt(u * u + v * v + w * w)
-        patch = (data[:, cols["patch"]].astype(int) if "patch" in cols
+        samples = read_surfdata_csv(path)   # native fast path + all variants
+        x, y, z = samples.p.T
+        speed = np.sqrt((samples.u ** 2).sum(axis=1))
+        patch = (samples.patch if samples.patch is not None
                  else np.full(len(x), -1))
 
         fig, axes = plt.subplots(1, 3, figsize=(16, 5))
@@ -223,7 +221,7 @@ class Studio:
         axes[1].set_title("elevation (X, Z)")
         fig.colorbar(sc1, ax=axes[1], label="|u| (m/s)")
         names = {0: "bottom", 1: "top", 2: "south", 3: "north",
-                 4: "west", 5: "east", -1: "all"}
+                 4: "west", 5: "east", -1: "all", -999: "n/a"}
         stats = []
         for p in sorted(set(patch.tolist())):
             m = patch == p

@@ -148,7 +148,9 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
         # traced trip count: every chunk length reuses the one compilation.
         # The FaceBC (nudge/sponge targets, VK-refreshed in-loop) is carried
         # ACROSS chunks so inlet targets never revert to the initial values
-        # at chunk boundaries.
+        # at chunk boundaries.  One runner therefore serves ONE simulation:
+        # call run.reset() (or build a new runner) before reusing it with a
+        # re-initialized state, else the previous run's targets leak in.
         if not fbc_cell[1]:
             fbc_cell[0] = init_fbc(state)
             fbc_cell[1] = True
@@ -157,6 +159,14 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
             jnp.asarray(n_inner if n_steps is None else n_steps, jnp.int32),
             fbc_cell[0])
         return out
+
+    def reset():
+        """Forget the carried FaceBC; the next run() rebuilds it from the
+        state it receives (use when reusing one runner across simulations)."""
+        fbc_cell[0] = None
+        fbc_cell[1] = False
+
+    run.reset = reset
 
     # pallas tiers step pure DDFs: rho/u/T in the returned state are stale
     # until lbm.fields.update_fields refreshes them (driver does, at events)

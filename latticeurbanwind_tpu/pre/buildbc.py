@@ -156,9 +156,13 @@ def load_dem_lonlat(home: Path, deck) -> Optional[Tuple[np.ndarray, np.ndarray]]
                 continue
             names = {f.lower(): f for f in data.fields}
             field = next((names[k] for k in names
-                          if k in ("elevation", "elev", "height", "z", "dem")
+                          if k in ("elevation", "elev", "height", "z", "dem",
+                                   "grid_code", "gridcode", "value")
                           or k.startswith(("elev", "height", "alt", "dem"))),
                          None)
+            if field is None and len(names) == 1:
+                # a single attribute column can only be the elevation
+                field = next(iter(names.values()))
             if field is None and data.fields:
                 raise ValueError(
                     f"{shp.name}: no elevation-like attribute among "
@@ -522,7 +526,7 @@ def build_structured(deck_path: Path, lon, lat, z_levels, u, v, w, T=None,
     # ---- late writebacks (reference :2413-2438) ----------------------------
     um_vol = [float(np.nanmean(u_m)), float(np.nanmean(v_m)),
               float(np.nanmean(w_m))]
-    um_bc = (bc_sum / max(len(rows), 1)).tolist()
+    um_bc = (bc_sum / max(bc_n, 1)).tolist()
     mean_u, mean_v = um_vol[0], um_vol[1]
     if abs(mean_u) >= abs(mean_v):
         face = "+x" if mean_u >= 0 else "-x"
@@ -654,7 +658,11 @@ def main(argv=None) -> int:
     it = iter(argv)
     for a in it:
         if a == "--elevation-scale":
-            elevation_scale = float(next(it, "1.0"))
+            val = next(it, None)
+            if val is None:
+                print("luwbc: --elevation-scale requires a value")
+                return 2
+            elevation_scale = float(val)
         elif a.startswith("--elevation-scale="):
             elevation_scale = float(a.split("=", 1)[1])
         elif a == "--write-vtk":

@@ -139,12 +139,35 @@ def _main_pure(deck, home: Path) -> int:
                 for gy in range(int(boxes[i, 2] / cell), int(boxes[i, 3] / cell) + 1):
                     grid.setdefault((gx, gy), []).append(i)
 
+        def _edges_cross(ra, rb):
+            """Any segment of ring A properly intersecting a segment of B
+            (covers crossing footprints with no vertex inside the other)."""
+            a0 = ra
+            a1 = np.roll(ra, -1, axis=0)
+            b0 = rb
+            b1 = np.roll(rb, -1, axis=0)
+            d1 = a1 - a0                                     # (Ea, 2)
+            d2 = b1 - b0                                     # (Eb, 2)
+            # orientation cross products, broadcast (Ea, Eb)
+            w = b0[None, :, :] - a0[:, None, :]
+            c1 = d1[:, None, 0] * w[:, :, 1] - d1[:, None, 1] * w[:, :, 0]
+            w2 = (b1[None, :, :] - a0[:, None, :])
+            c2 = d1[:, None, 0] * w2[:, :, 1] - d1[:, None, 1] * w2[:, :, 0]
+            v = a0[:, None, :] - b0[None, :, :]
+            c3 = d2[None, :, 0] * v[:, :, 1] - d2[None, :, 1] * v[:, :, 0]
+            v2 = (a1[:, None, :] - b0[None, :, :])
+            c4 = d2[None, :, 0] * v2[:, :, 1] - d2[None, :, 1] * v2[:, :, 0]
+            return bool(((c1 * c2 < 0) & (c3 * c4 < 0)).any())
+
         def overlaps(i, j):
             a, b = boxes[i], boxes[j]
             if a[0] > b[1] or b[0] > a[1] or a[2] > b[3] or b[2] > a[3]:
                 return False
-            return (paths[i].contains_points(kept_rings[j][0]).any()
-                    or paths[j].contains_points(kept_rings[i][0]).any())
+            if (paths[i].contains_points(kept_rings[j][0]).any()
+                    or paths[j].contains_points(kept_rings[i][0]).any()):
+                return True
+            # crossing shapes (plus-sign overlap) have no contained vertex
+            return _edges_cross(kept_rings[i][0], kept_rings[j][0])
 
         seen_pairs = set()
         for bucket in grid.values():

@@ -63,6 +63,12 @@ def load() -> Optional[ctypes.CDLL]:
                 return None
     try:
         lib = ctypes.CDLL(str(_LIB))
+        # a pre-existing stale binary may lack newer symbols: probe before
+        # typing, and let the numpy fallbacks cover anything missing
+        for sym in ("voxelize_columns", "encode_be_f32_aos"):
+            if not hasattr(lib, sym):
+                print(f"[native] {_LIB.name} lacks {sym}; numpy fallback")
+                return None
         lib.voxelize_columns.argtypes = [
             ctypes.POINTER(ctypes.c_double), ctypes.c_int64,
             ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
@@ -80,7 +86,7 @@ def load() -> Optional[ctypes.CDLL]:
             ]
             lib.parse_csv_doubles.restype = ctypes.c_int64
         _lib = lib
-    except OSError as e:
+    except (OSError, AttributeError) as e:
         print(f"[native] load failed, using numpy fallbacks: {e}")
     return _lib
 
@@ -111,7 +117,8 @@ def parse_csv_native(text: bytes, max_cols: int = 16) -> Optional[np.ndarray]:
     lib = load()
     if lib is None or not hasattr(lib, "parse_csv_doubles"):
         return None
-    max_rows = text.count(b"\n") + 2
+    # count both line-ending styles (CR-only files still split on \r in C)
+    max_rows = text.count(b"\n") + text.count(b"\r") + 2
     out = np.empty((max_rows, max_cols), dtype=np.float64)
     ncols = ctypes.c_int64(0)
     n = lib.parse_csv_doubles(
