@@ -18,11 +18,12 @@ from typing import Optional, Tuple
 
 def bytes_per_cell(storage: str = "f16", thermal: bool = False,
                    double_buffered: bool = True) -> float:
-    s = {"f32": 4, "f16": 2, "bf16": 2}[storage]
+    s = {"f32": 4, "f16": 2, "bf16": 2, "fp16c": 2}[storage]
     mult = 2 if double_buffered else 1
-    # rho/u are double-buffered alongside the DDFs under the functional
-    # update; +6 covers split/merge transients (measured HBM peak on v5e:
-    # ~120 B/cell bf16 at 134M cells — XLA reported 16.12G/15.75G)
+    # Pure-DDF stepping only ping-pongs the DDFs, but rho/u transiently
+    # double when update_fields rewrites them at event steps, so the peak
+    # matches the old both-double-buffered model; +6 covers split/merge
+    # transients (measured HBM peak on v5e: ~120 B/cell bf16 at 134M cells)
     total = 19 * s * mult + (4 + 12) * mult + 1 + 6
     total += 5  # nudge sigma (4) + face id (1)
     if thermal:
