@@ -401,6 +401,24 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
         FBC_FIELD = {(3, 0): "uw", (3, -1): "ue", (2, 0): "us", (2, -1): "un",
                      (1, -1): "ut", (1, 0): "ub"}
 
+        def _anchor_fields(anchor_f):
+            """Per-face (q0, q1) realizations bracketing the anchor window."""
+            q0s, q1s = [], []
+            for fid, axis, index, mask, base, sig, pts_flat in faces:
+                q0s.append(face_q(fid, pts_flat, mask.shape, anchor_f))
+                q1s.append(face_q(fid, pts_flat, mask.shape, anchor_f + stride))
+            return tuple(q0s), tuple(q1s)
+
+        def init_aux(s, t0):
+            """Loop-carried anchor fields for the interpolating stride mode
+            (None otherwise).  Called by the runners before the step loop."""
+            if not (interp and stride > 1):
+                return None
+            tf = jnp.asarray(t0, jnp.float32)
+            anchor = jnp.floor(tf / stride) * stride
+            q0s, q1s = _anchor_fields(anchor)
+            return (anchor, q0s, q1s)
+
         def ddf_pre_step(s, t, *, z0=None, zl=None, top_on=None):
             """Pure-DDF inlet hook (SplitState in, SplitState out).
 
@@ -408,28 +426,45 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
             whose rows run along z are sliced to [z0, z0+zl); the top-face
             slab applies only on the shard owning the global top plane.
 
-            With stride > 1 and no interpolation the realization only
-            changes at anchor steps, so the (transcendental-heavy) mode sum
-            and slab writes are skipped in between — the reference runs
-            vk_inlet_apply at the same cadence (setup.cpp update_stride)."""
+            Stride cadence matches the reference's vk_inlet_apply
+            (setup.cpp update_stride): with stride > 1 and no interpolation
+            the (transcendental-heavy) mode sum and slab writes are skipped
+            between anchors; with interpolation the two anchor realizations
+            are LOOP-CARRIED (s.aux) and each step only lerps them — two
+            mode sums per stride instead of two per step."""
             if stride > 1 and not interp:
-                import jax as _jax
-
                 anchor_step = (jnp.asarray(t, jnp.int32) % stride) == 0
-                return _jax.lax.cond(
+                return jax.lax.cond(
                     anchor_step,
-                    lambda st: _ddf_apply(st, t, z0=z0, zl=zl, top_on=top_on),
+                    lambda st: _ddf_apply(st, t, None, z0=z0, zl=zl,
+                                          top_on=top_on),
                     lambda st: st,
                     s)
-            return _ddf_apply(s, t, z0=z0, zl=zl, top_on=top_on)
+            if interp and stride > 1 and s.aux is not None:
+                tf = jnp.asarray(t, jnp.float32)
+                anchor = jnp.floor(tf / stride) * stride
+                cur_anchor, q0s, q1s = s.aux
+                aux = jax.lax.cond(
+                    anchor != cur_anchor,
+                    lambda: (anchor,) + _anchor_fields(anchor),
+                    lambda: s.aux)
+                frac = (tf - aux[0]) / stride
+                q_faces = tuple(q0 + frac * (q1 - q0)
+                                for q0, q1 in zip(aux[1], aux[2]))
+                out = _ddf_apply(s, t, q_faces, z0=z0, zl=zl, top_on=top_on)
+                return out._replace(aux=aux)
+            return _ddf_apply(s, t, None, z0=z0, zl=zl, top_on=top_on)
 
-        def _ddf_apply(s, t, *, z0=None, zl=None, top_on=None):
+        def _ddf_apply(s, t, q_faces=None, *, z0=None, zl=None, top_on=None):
             from ..lbm.state import decode_ddf, encode_ddf
 
             sharded = z0 is not None
             fbc = s.fbc
-            for fid, axis, index, mask, base, sig, pts_flat in faces:
-                newf = face_velocity(fid, pts_flat, mask.shape, base, sig, t)
+            for f_i, (fid, axis, index, mask, base, sig, pts_flat) in enumerate(faces):
+                if q_faces is not None:   # pre-lerped anchor realization
+                    newf = base + sig[None] * q_faces[f_i]
+                else:
+                    newf = face_velocity(fid, pts_flat, mask.shape, base, sig, t)
                 m = mask
                 m_fbc = mask
                 if sharded:
@@ -476,6 +511,7 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
                 s = s._replace(fbc=fbc)
             return s
 
+        ddf_pre_step.init_aux = init_aux
         pre_step.ddf_variant = ddf_pre_step
         return pre_step
 

@@ -99,6 +99,8 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
 
         def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc):
             s = split_state(state)._replace(fbc=fbc)
+            if pre_step_ddf is not None and hasattr(pre_step_ddf, "init_aux"):
+                s = s._replace(aux=pre_step_ddf.init_aux(s, t0))
             out = loop(step, s, dyn, jnp.asarray(t0, jnp.int32), n_steps,
                        hook=pre_step_ddf, post=True)
             return merge_state(out), out.fbc
@@ -118,6 +120,8 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
 
         def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc):
             s = split_state(permute_state(state))._replace(fbc=fbc)
+            if pre_step_pddf is not None and hasattr(pre_step_pddf, "init_aux"):
+                s = s._replace(aux=pre_step_pddf.init_aux(s, t0))
             out = loop(step, s, permute_dyn(dyn), jnp.asarray(t0, jnp.int32),
                        n_steps, hook=pre_step_pddf, post=True)
             return unpermute_state(merge_state(out)), out.fbc

@@ -115,6 +115,7 @@ class SplitState(NamedTuple):
     gm: Optional[jnp.ndarray] = None  # (1, Z, Y, X)
     T: Optional[jnp.ndarray] = None
     fbc: Optional[FaceBC] = None
+    aux: Optional[tuple] = None   # hook-carried state (e.g. VK anchor fields)
 
 
 def build_face_bc(u: jnp.ndarray, T: Optional[jnp.ndarray] = None,

@@ -184,6 +184,8 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
         z0 = zi * zl
         top_on = (zi == nz - 1).astype(jnp.float32)
         t0_ = jnp.asarray(t0, jnp.int32)
+        if pre_step is not None and hasattr(pre_step, "init_aux"):
+            s = s._replace(aux=pre_step.init_aux(s, t0_))
 
         def inner(i, st):
             st = exchange_state(st)
