@@ -71,7 +71,10 @@ def read_surfdata_csv(path: Path | str) -> SampleSet:
                 patch = None
                 if 0 <= idx_patch < table.shape[1]:
                     pa = table[:, idx_patch]
-                    patch = np.where(np.isfinite(pa), pa, -999).astype(np.int32)
+                    # rint before the cast so non-integer patch values parse
+                    # identically to the Python fallback's round()
+                    patch = np.rint(
+                        np.where(np.isfinite(pa), pa, -999)).astype(np.int32)
                 return SampleSet(
                     p=p, u=u,
                     T=(np.where(np.isfinite(T), T, 293.15)

@@ -61,6 +61,10 @@ def encode_fp16c(x) -> "jnp.ndarray":
     norm = (((e - 112) << 11) & 0x7800) | (m >> 12)
     den = (((0x007FF800 + m) >> xp.clip(124 - e, 0, 31)) + 1) >> 1
     h = sgn | xp.where(e > 112, norm, xp.where(e > 100, den, 0))
+    # overflow saturates to the largest finite FP16C value (reference
+    # utilities.hpp float_to_half_custom: (e > 127) * 0x7FFF term) — without
+    # this, |x| >= 2 wraps to near-zero garbage instead of clamping
+    h = xp.where(e > 127, sgn | 0x7FFF, h)
     return h.astype(xp.uint16)
 
 

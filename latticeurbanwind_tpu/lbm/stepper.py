@@ -171,6 +171,14 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
         fbc_cell[1] = False
 
     run.reset = reset
+    # checkpoint/resume access to the carried targets (run/checkpoint.py)
+    run.get_fbc = lambda: fbc_cell[0]
+
+    def set_fbc(fbc):
+        fbc_cell[0] = fbc
+        fbc_cell[1] = True
+
+    run.set_fbc = set_fbc
 
     # pallas tiers step pure DDFs: rho/u/T in the returned state are stale
     # until lbm.fields.update_fields refreshes them (driver does, at events)

@@ -237,6 +237,9 @@ def _make_codec(storage: str):
             den = (((0x007FF800 + m) >> sh) + 1) >> 1
             h = sgn | jnp.where(e > 112, norm,
                                 jnp.where(e > 100, den, 0))
+            # saturate overflow to max finite (reference utilities.hpp
+            # float_to_half_custom (e > 127) * 0x7FFF term)
+            h = jnp.where(e > 127, sgn | 0x7FFF, h)
             return h.astype(jnp.uint16)
 
         return dec, enc

@@ -285,5 +285,16 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
                                   nsig_g, nface_g, spz_g, fbc_cell[0])
         return out
 
+    # checkpoint/resume access to the carried targets (run/checkpoint.py)
+    run.get_fbc = lambda: fbc_cell[0]
+
+    def set_fbc(fbc):
+        if any(getattr(fbc, k) is not None
+               and getattr(fbc, k).shape != getattr(fbc_cell[0], k).shape
+               for k in ("uw", "ue", "us", "un", "ut", "ub")):
+            raise ValueError("restored FaceBC shapes do not match this mesh")
+        fbc_cell[0] = fbc
+
+    run.set_fbc = set_fbc
     run.fields_stale = True
     return run

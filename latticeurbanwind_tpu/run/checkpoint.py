@@ -29,11 +29,19 @@ def checkpoint_path(parent: Path, datetime_tag: str, prefix: str = "") -> Path:
             / f"{prefix}{datetime_tag}.ckpt.npz")
 
 
+_FBC_FIELDS = ("uw", "ue", "us", "un", "ut", "ub", "tt")
+
+
 def save_checkpoint(path: Path, state: LBMState, *, step: int,
                     avg: Optional[AvgState] = None,
                     avg_samples: int = 0,
                     probes: Optional[list] = None,
-                    meta: Optional[dict] = None) -> Path:
+                    meta: Optional[dict] = None,
+                    fbc=None) -> Path:
+    """`fbc`: the runner's loop-carried FaceBC (nudge/sponge face targets,
+    refreshed in-loop by the VK inlet).  Without it a resumed VK+nudge run
+    nudges toward the INITIAL face values for up to update_stride steps
+    until the next anchor refresh — serializing it makes resume bit-exact."""
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
     payload = {
@@ -42,6 +50,11 @@ def save_checkpoint(path: Path, state: LBMState, *, step: int,
         "u": np.asarray(state.u),
         "flags": np.asarray(state.flags),
     }
+    if fbc is not None:
+        for k in _FBC_FIELDS:
+            v = getattr(fbc, k)
+            if v is not None:
+                payload[f"fbc_{k}"] = np.asarray(v)
     if state.gi is not None:
         payload["gi"] = np.asarray(state.gi)
         payload["T"] = np.asarray(state.T)
@@ -121,3 +134,17 @@ def load_checkpoint(path: Path, *, expect_shape=None, probes: Optional[list] = N
                 p.times_si = list(np.asarray(z[f"probe{i}_times"]))
                 p.series = [s for s in np.asarray(z[f"probe{i}_series"])]
         return state, header["step"], avg, header["avg_samples"], header["meta"]
+
+
+def load_fbc(path: Path):
+    """Restore the saved FaceBC carried targets, or None if absent."""
+    import jax.numpy as jnp
+
+    from ..ops.stream_collide import FaceBC
+
+    with np.load(path) as z:
+        if "fbc_uw" not in z:
+            return None
+        vals = {k: (jnp.asarray(z[f"fbc_{k}"]) if f"fbc_{k}" in z else None)
+                for k in _FBC_FIELDS}
+    return FaceBC(**vals)

@@ -211,6 +211,15 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
                     ckpt_path, expect_shape=shape, probes=case.probes)
                 if avg_loaded is not None:
                     avg = avg_loaded
+                # restore the carried nudge/sponge face targets so VK+nudge
+                # runs continue bit-exactly (without this the targets revert
+                # to the initial values until the next VK anchor refresh)
+                if hasattr(advance, "set_fbc"):
+                    from .checkpoint import load_fbc
+
+                    fbc_saved = load_fbc(ckpt_path)
+                    if fbc_saved is not None:
+                        advance.set_fbc(fbc_saved)
                 if not quiet:
                     print(f"| Checkpoint      | resumed from step {resume_t}")
             except (ValueError, KeyError, OSError) as e:
@@ -338,7 +347,9 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
 
             save_checkpoint(ckpt_path, state, step=t, avg=avg,
                             avg_samples=avg_samples, probes=case.probes,
-                            meta={"total_steps": total_steps})
+                            meta={"total_steps": total_steps},
+                            fbc=(advance.get_fbc()
+                                 if hasattr(advance, "get_fbc") else None))
 
     _sync(state)
     solver_seconds = time.perf_counter() - t0

@@ -45,6 +45,40 @@ def test_checkpoint_save_load_round_trip(tmp_path):
     np.testing.assert_array_equal(np.asarray(state.flags), np.asarray(case.state.flags))
 
 
+def test_checkpoint_fbc_round_trip(tmp_path):
+    """The loop-carried FaceBC (VK-refreshed nudge targets) round-trips, so
+    resumed VK+nudge runs are bit-exact (ADVICE r2: targets must not revert
+    to initial values until the next anchor refresh)."""
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.ops.stream_collide import FaceBC
+    from latticeurbanwind_tpu.run.checkpoint import load_fbc
+
+    case = _case(tmp_path, 4)
+    rng = np.random.default_rng(11)
+    Z, Y, X = case.state.rho.shape
+    fbc = FaceBC(
+        uw=jnp.asarray(rng.standard_normal((Z, 3, Y)).astype(np.float32)),
+        ue=jnp.asarray(rng.standard_normal((Z, 3, Y)).astype(np.float32)),
+        us=jnp.asarray(rng.standard_normal((Z, 3, X)).astype(np.float32)),
+        un=jnp.asarray(rng.standard_normal((Z, 3, X)).astype(np.float32)),
+        ut=jnp.asarray(rng.standard_normal((3, Y, X)).astype(np.float32)),
+        ub=jnp.asarray(rng.standard_normal((3, Y, X)).astype(np.float32)),
+        tt=None,
+    )
+    p = tmp_path / "f.ckpt.npz"
+    save_checkpoint(p, case.state, step=3, fbc=fbc)
+    back = load_fbc(p)
+    assert back is not None and back.tt is None
+    for k in ("uw", "ue", "us", "un", "ut", "ub"):
+        np.testing.assert_array_equal(np.asarray(getattr(back, k)),
+                                      np.asarray(getattr(fbc, k)))
+    # a checkpoint without fbc loads as None
+    p2 = tmp_path / "g.ckpt.npz"
+    save_checkpoint(p2, case.state, step=3)
+    assert load_fbc(p2) is None
+
+
 def test_interrupted_run_resumes_identically(tmp_path):
     # full run in one go
     full_dir = tmp_path / "full"

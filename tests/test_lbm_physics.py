@@ -258,6 +258,34 @@ def test_nudging_pulls_interior_toward_boundary():
     assert float(out.u[0, 4, 4, 2]) > 0.02
 
 
+def test_fp16c_codec_saturates_overflow():
+    """|x| >= 2 must clamp to the largest finite FP16C value (+-1.9995...),
+    not wrap to near-zero garbage (reference utilities.hpp
+    float_to_half_custom's (e > 127) * 0x7FFF saturation term)."""
+    from latticeurbanwind_tpu.lbm.state import decode_fp16c, encode_fp16c
+
+    x = np.array([2.0, 3.0, 1e9, np.inf, -2.0, -1e5, -np.inf, 1.5, -0.75,
+                  1.9990234375], dtype=np.float32)
+    rt = decode_fp16c(encode_fp16c(x))
+    max_fin = float(decode_fp16c(np.array([0x7FFF], np.uint16))[0])
+    assert 1.999 < max_fin < 2.0
+    # overflow lanes clamp to +-max finite
+    assert np.all(rt[:4] == max_fin), rt
+    assert np.all(rt[4:7] == -max_fin), rt
+    # in-range lanes still round-trip exactly
+    np.testing.assert_allclose(rt[7:], x[7:], rtol=0, atol=0)
+
+    # the in-kernel codec agrees lane-for-lane with the host codec
+    import jax
+
+    from latticeurbanwind_tpu.ops.stream_collide import _make_codec
+
+    dec, enc = _make_codec("fp16c")
+    rt_k = np.asarray(jax.jit(lambda v: dec(enc(v).astype(jnp.int32)))(
+        jnp.asarray(x)))
+    np.testing.assert_array_equal(rt_k, rt)
+
+
 def test_storage_drift_fp16c_beats_fp16s_low_velocity():
     """Low-velocity (u ~ 0.005) Taylor-Green drift per storage codec.
 
