@@ -310,9 +310,35 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
         A_np = np.asarray(rt.modes_A)[:, :, cp]                  # (5, M, 3)
         ph_np = np.asarray(rt.modes_phi)[:, :, cp]
         # cos(theta + phi_c) = cos(theta) cos(phi_c) - sin(theta) sin(phi_c):
-        # one cos/sin pair per point covers all three components
-        A_cos = jnp.asarray(A_np * np.cos(ph_np))                # (5, M, 3)
-        A_sin = jnp.asarray(A_np * np.sin(ph_np))
+        # Ac/As fold the per-component phase into the amplitudes
+        Ac_np = A_np * np.cos(ph_np)                             # (5, M, 3)
+        As_np = A_np * np.sin(ph_np)
+        kk_np = np.asarray(rt.modes_k)
+        om_np = np.asarray(rt.modes_omega)
+        Zg, Yg, Xg = Z, Y, X
+
+        def face_geometry(fid):
+            """Face grid -> lattice position: pos(r, c) = base + r e_r + c e_c
+            (the inlet points of _collect_points lie exactly on this grid)."""
+            base = np.zeros(3)
+            er = np.zeros(3)
+            ec = np.zeros(3)
+            if fid in (WEST, EAST):
+                base[0] = 0.0 if fid == WEST else Xg - 1
+                er[2] = 1.0          # rows span z
+                ec[1] = 1.0          # cols span y
+                if permuted:         # face grid transposed under z<->y
+                    er, ec = ec, er
+            elif fid in (SOUTH, NORTH):
+                base[1] = 0.0 if fid == SOUTH else Yg - 1
+                er[2] = 1.0
+                ec[0] = 1.0
+            else:                    # TOP
+                base[2] = Zg - 1.0
+                er[1] = 1.0
+                ec[0] = 1.0
+            return base, er, ec
+
         faces = []
         for fid in active_faces:
             axis, index, rs, cs = FACE_DEF[fid]
@@ -325,32 +351,61 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
             base[:, rows, cols] = np.asarray(rt.base_u)[cp][:, sel]
             sig = np.zeros((R, C), np.float32)
             sig[rows, cols] = np.asarray(rt.sigma)[sel]
-            pts = np.zeros((R, C, 3), np.float32)
-            pts[rows, cols] = np.asarray(rt.points)[sel]
             if permuted:
                 if fid in (WEST, EAST):    # face dims (z,y) -> (z',y')=(y,z)
                     mask, sig = mask.T, sig.T
                     base = base.transpose(0, 2, 1)
-                    pts = pts.transpose(1, 0, 2)
                 axis = {1: 2, 2: 1, 3: 3}[axis]
-            faces.append((fid, axis, index, jnp.asarray(mask),
-                          jnp.asarray(base), jnp.asarray(sig),
-                          jnp.asarray(pts.reshape(-1, 3))))
+            R2, C2 = mask.shape
 
-        def face_q(fid, pts_flat, shape2, t_float):
+            # --- separable mode-sum factorization (TPU-first) -------------
+            # theta(r, c, t) = (k.base + omega t + r k.e_r) + c k.e_c, so the
+            # per-point transcendental field cos(theta + phi) splits into a
+            # time-dependent (M, R) cos/sin pair and a STATIC (2M, 3C) matrix
+            # contracted on the MXU: O(M R) transcendentals per update
+            # instead of the reference kernel's O(M R C)
+            # (kernel.cpp:2495-2571 evaluates cos per point x mode).
             mid = active_faces[0] if same else fid
-            theta = pts_flat @ kk[mid].T + om[mid][None, :] * t_float
-            ct, st = jnp.cos(theta), jnp.sin(theta)
-            q = ct @ A_cos[mid] - st @ A_sin[mid]        # (N, 3)
-            return q.T.reshape(3, *shape2)               # (3, R, C)
+            gbase, ger, gec = face_geometry(fid)
+            km = kk_np[mid]                              # (M, 3)
+            a0 = km @ gbase                              # (M,)
+            br = km @ ger
+            bc = km @ gec
+            cv = np.outer(bc, np.arange(C2))             # (M, C)
+            CV, SV = np.cos(cv), np.sin(cv)
+            Ac, As = Ac_np[mid], As_np[mid]              # (M, 3)
+            ytop = np.concatenate(
+                [Ac[:, i:i + 1] * CV - As[:, i:i + 1] * SV for i in range(3)],
+                axis=1)                                  # (M, 3C)
+            ybot = np.concatenate(
+                [-(Ac[:, i:i + 1] * SV + As[:, i:i + 1] * CV) for i in range(3)],
+                axis=1)
+            trig = dict(
+                a0=jnp.asarray(a0.astype(np.float32)),
+                br=jnp.asarray(br.astype(np.float32)),
+                om=jnp.asarray(om_np[mid]),
+                ymat=jnp.asarray(np.concatenate([ytop, ybot], 0)
+                                 .astype(np.float32)),   # (2M, 3C)
+                r_idx=jnp.asarray(np.arange(R2, dtype=np.float32)),
+            )
+            faces.append((fid, axis, index, jnp.asarray(mask),
+                          jnp.asarray(base), jnp.asarray(sig), trig))
 
-        def face_velocity(fid, pts_flat, shape2, base, sig, t):
+        def face_q(fid, trig, shape2, t_float):
+            R2, C2 = shape2
+            u = (trig["a0"] + trig["om"] * t_float)[:, None] \
+                + trig["br"][:, None] * trig["r_idx"][None, :]   # (M, R)
+            xr = jnp.concatenate([jnp.cos(u), jnp.sin(u)], 0)    # (2M, R)
+            q = xr.T @ trig["ymat"]                              # (R, 3C)
+            return q.reshape(R2, 3, C2).swapaxes(0, 1)           # (3, R, C)
+
+        def face_velocity(fid, trig, shape2, base, sig, t):
             """Perturbed face velocity u' = base + sigma * q(t) (3, R, C)."""
             tf = jnp.asarray(t, jnp.float32)
             anchor = jnp.floor(tf / stride) * stride
 
             def q_at(tv):
-                return face_q(fid, pts_flat, shape2, tv)
+                return face_q(fid, trig, shape2, tv)
 
             if interp:
                 a = (tf - anchor) / stride
@@ -362,8 +417,8 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
 
         def pre_step(state: LBMState, t) -> LBMState:
             u = state.u
-            for fid, axis, index, mask, base, sig, pts_flat in faces:
-                newf = face_velocity(fid, pts_flat, mask.shape, base, sig, t)
+            for fid, axis, index, mask, base, sig, trig in faces:
+                newf = face_velocity(fid, trig, mask.shape, base, sig, t)
                 if axis == 1:
                     cur = u[:, index]
                     u = u.at[:, index].set(mask[None] * newf
@@ -404,9 +459,9 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
         def _anchor_fields(anchor_f):
             """Per-face (q0, q1) realizations bracketing the anchor window."""
             q0s, q1s = [], []
-            for fid, axis, index, mask, base, sig, pts_flat in faces:
-                q0s.append(face_q(fid, pts_flat, mask.shape, anchor_f))
-                q1s.append(face_q(fid, pts_flat, mask.shape, anchor_f + stride))
+            for fid, axis, index, mask, base, sig, trig in faces:
+                q0s.append(face_q(fid, trig, mask.shape, anchor_f))
+                q1s.append(face_q(fid, trig, mask.shape, anchor_f + stride))
             return tuple(q0s), tuple(q1s)
 
         def init_aux(s, t0):
@@ -419,12 +474,15 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
             q0s, q1s = _anchor_fields(anchor)
             return (anchor, q0s, q1s)
 
-        def ddf_pre_step(s, t, *, z0=None, zl=None, top_on=None):
+        def ddf_pre_step(s, t, *, z0=None, **shard):
             """Pure-DDF inlet hook (SplitState in, SplitState out).
 
-            z0/zl/top_on localize the update for the z-sharded runner: faces
-            whose rows run along z are sliced to [z0, z0+zl); the top-face
-            slab applies only on the shard owning the global top plane.
+            Shard kwargs (z0/zl, y0/yl, x0/xl, gy/gx, *_on) localize the
+            update under ANY (Dx, Dy, Dz) split of the sharded runner: face
+            grids slice to the shard's box (ghost-edge-padded on split
+            axes), slab writes land at the ghost-offset boundary index, and
+            each physical face applies only on the shards that own it
+            (reference analog: per-domain point buffers, setup.cpp:886-976).
 
             Stride cadence matches the reference's vk_inlet_apply
             (setup.cpp update_stride): with stride > 1 and no interpolation
@@ -436,8 +494,7 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
                 anchor_step = (jnp.asarray(t, jnp.int32) % stride) == 0
                 return jax.lax.cond(
                     anchor_step,
-                    lambda st: _ddf_apply(st, t, None, z0=z0, zl=zl,
-                                          top_on=top_on),
+                    lambda st: _ddf_apply(st, t, None, z0=z0, **shard),
                     lambda st: st,
                     s)
             if interp and stride > 1 and s.aux is not None:
@@ -451,52 +508,86 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
                 frac = (tf - aux[0]) / stride
                 q_faces = tuple(q0 + frac * (q1 - q0)
                                 for q0, q1 in zip(aux[1], aux[2]))
-                out = _ddf_apply(s, t, q_faces, z0=z0, zl=zl, top_on=top_on)
+                out = _ddf_apply(s, t, q_faces, z0=z0, **shard)
                 return out._replace(aux=aux)
-            return _ddf_apply(s, t, None, z0=z0, zl=zl, top_on=top_on)
+            return _ddf_apply(s, t, None, z0=z0, **shard)
 
-        def _ddf_apply(s, t, q_faces=None, *, z0=None, zl=None, top_on=None):
+        def _slice_pad(a, axis, start, length, g):
+            """a[start-g : start+length+g] along `axis` with global-edge
+            padding — the ghost entries line up with the runner's
+            ghost-extended local arrays (their values are dead: ghost DDF
+            lanes are overwritten by the next exchange, and nudge sigma is
+            zero on ghosts)."""
+            if g:
+                pad = [(0, 0)] * a.ndim
+                pad[axis] = (g, g)
+                a = jnp.pad(a, pad, mode="edge")
+            return jax.lax.dynamic_slice_in_dim(a, start, length + 2 * g, axis)
+
+        def _ddf_apply(s, t, q_faces=None, *, z0=None, zl=None, top_on=None,
+                       y0=None, yl=None, x0=None, xl=None, gy=0, gx=0,
+                       west_on=None, east_on=None, south_on=None,
+                       north_on=None):
             from ..lbm.state import decode_ddf, encode_ddf
 
             sharded = z0 is not None
+            if sharded and permuted:
+                raise NotImplementedError(
+                    "sharded VK inlet runs in canonical orientation only")
             fbc = s.fbc
-            for f_i, (fid, axis, index, mask, base, sig, pts_flat) in enumerate(faces):
+            own_of = {WEST: west_on, EAST: east_on, SOUTH: south_on,
+                      NORTH: north_on, TOP: top_on}
+            for f_i, (fid, axis, index, mask, base, sig, trig) in enumerate(faces):
                 if q_faces is not None:   # pre-lerped anchor realization
                     newf = base + sig[None] * q_faces[f_i]
                 else:
-                    newf = face_velocity(fid, pts_flat, mask.shape, base, sig, t)
+                    newf = face_velocity(fid, trig, mask.shape, base, sig, t)
                 m = mask
-                m_fbc = mask
+                idx = index
                 if sharded:
-                    # canonical orientation: w/e/s/n faces have z rows (axis 0
-                    # of the face grid); the top face is a full (Y, X) plane.
-                    # The DDF slab write applies only on the shard owning the
-                    # global top plane, but fbc.ut is REPLICATED over z (every
-                    # shard's sponge reads it) — its update must not be masked.
-                    if axis in (2, 3):
-                        m = jax.lax.dynamic_slice_in_dim(m, z0, zl, 0)
-                        newf = jax.lax.dynamic_slice_in_dim(newf, z0, zl, 1)
-                        m_fbc = m
-                    else:
-                        m = m * top_on
+                    # slice the global face grid to this shard's box.  Rows:
+                    # z for w/e/s/n faces, y for top; cols: y for w/e, x for
+                    # s/n/top.  Split axes get ghost-edge padding so slices
+                    # line up with the ghost-extended local slabs.
+                    _, _, rs, cs = FACE_DEF[fid]
+                    row = (z0, zl, 0) if rs == "z" else (y0, yl, gy)
+                    col = (y0, yl, gy) if cs == "y" else (x0, xl, gx)
+                    if row[0] is not None:
+                        m = _slice_pad(m, 0, *row)
+                        newf = _slice_pad(newf, 1, *row)
+                    if col[0] is not None:
+                        m = _slice_pad(m, 1, *col)
+                        newf = _slice_pad(newf, 2, *col)
+                    # boundary slab index shifts past the ghost layers
+                    if axis == 3:
+                        idx = gx if index == 0 else -(gx + 1)
+                    elif axis == 2:
+                        idx = gy if index == 0 else -(gy + 1)
+                # fbc targets update UNMASKED (they are replicated across
+                # shards that do not own the face — identical math keeps the
+                # replicas consistent); the DDF write is ownership-masked
+                m_fbc = m
+                own = own_of[fid]
+                if sharded and own is not None:
+                    m = m * own
                 q0, qp, qm = feq19(newf)
                 for arr_name, qv in (("f0", q0), ("fp", qp), ("fm", qm)):
                     arr = getattr(s, arr_name)
                     if axis == 1:
-                        cur = decode_ddf(arr[:, index], storage)
+                        cur = decode_ddf(arr[:, idx], storage)
                         upd = encode_ddf(m[None] * qv + (1.0 - m[None]) * cur,
                                          storage)
-                        arr = arr.at[:, index].set(upd)
+                        arr = arr.at[:, idx].set(upd)
                     elif axis == 2:
-                        cur = decode_ddf(arr[:, :, index], storage)
+                        cur = decode_ddf(arr[:, :, idx], storage)
                         upd = encode_ddf(m[None] * qv + (1.0 - m[None]) * cur,
                                          storage)
-                        arr = arr.at[:, :, index].set(upd)
+                        arr = arr.at[:, :, idx].set(upd)
                     else:
-                        cur = decode_ddf(arr[:, :, :, index], storage)
+                        cur = decode_ddf(arr[:, :, :, idx], storage)
                         upd = encode_ddf(m[None] * qv + (1.0 - m[None]) * cur,
                                          storage)
-                        arr = arr.at[:, :, :, index].set(upd)
+                        arr = arr.at[:, :, :, idx].set(upd)
                     s = s._replace(**{arr_name: arr})
                 if fbc is not None:
                     field = FBC_FIELD[(axis, index if index >= 0 else -1)]

@@ -29,19 +29,61 @@ import jax
 import jax.numpy as jnp
 
 from .lattice import C7, C19, CS, OPP7, OPP19
-from .reference import _stream, moments
 from .state import DynParams, LBMState, StepConfig, TYPE_E, TYPE_S, TYPE_T, decode_ddf
+
+
+def _stream_moments(fi, solid, C, OPP, storage):
+    """(rho_streamed, mom_streamed, rho_own, mom_own) via a lax.scan over
+    opposite-direction pairs.
+
+    Never materializes the full decoded (Q, Z, Y, X) f32 lattice — at
+    production sizes (10^8+ cells) that single temporary is ~10 GB and OOMs
+    HBM.  The scan bounds the live set to the 8 accumulator planes plus a
+    couple of per-pair temporaries (XLA's list scheduler keeps far more
+    alive when the loop is unrolled)."""
+    import numpy as np
+
+    n = int(fi.shape[0])
+    pairs = [(d, int(OPP[d])) for d in range(1, n) if int(OPP[d]) > d]
+    ds = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
+    ods = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
+    cs = jnp.asarray(np.array([C[p[0]] for p in pairs], np.int32))  # (P, 3)
+
+    rest = decode_ddf(fi[0], storage)
+    shape = rest.shape
+    zeros3 = jnp.zeros((3, *shape), jnp.float32)
+
+    def body(carry, x):
+        rho_s, mom_s, rho_o, mom_o = carry
+        d, od, c = x
+        a = decode_ddf(fi[d], storage)
+        b = decode_ddf(fi[od], storage)
+        sh = (c[2], c[1], c[0])
+        nsh = (-c[2], -c[1], -c[0])
+        sa = jnp.where(jnp.roll(solid, sh, (0, 1, 2)), b,
+                       jnp.roll(a, sh, (0, 1, 2)))
+        sb = jnp.where(jnp.roll(solid, nsh, (0, 1, 2)), a,
+                       jnp.roll(b, nsh, (0, 1, 2)))
+        cf = c.astype(jnp.float32)[:, None, None, None]
+        return (rho_s + (sa + sb), mom_s + cf * (sa - sb),
+                rho_o + (a + b), mom_o + cf * (a - b)), None
+
+    (rho_s, mom_s, rho_o, mom_o), _ = jax.lax.scan(
+        body, (rest, zeros3, rest, zeros3), (ds, ods, cs))
+    return 1.0 + rho_s, mom_s, 1.0 + rho_o, mom_o
 
 
 @partial(jax.jit, static_argnames=("config",))
 def _update(state: LBMState, dyn: DynParams, config: StepConfig) -> LBMState:
+    # NOTE: fi/gi pass through unchanged and rho/u/T are replaced wholesale,
+    # so XLA aliases them; the transient cost is the scan carry (~8 planes).
     flags = state.flags
     solid = (flags & TYPE_S) != 0
     eqbc = (flags & TYPE_E) != 0
 
-    f_own = decode_ddf(state.fi, config.storage)
-    f = _stream(f_own, solid, C19, OPP19)
-    rho_s, u_s = moments(f)
+    rho_s, mom_s, rho_own, mom_own = _stream_moments(
+        state.fi, solid, C19, OPP19, config.storage)
+    u_s = mom_s / rho_s
 
     fx = dyn.force.astype(jnp.float32)
     ox, oy, oz = dyn.omega_coriolis
@@ -54,26 +96,32 @@ def _update(state: LBMState, dyn: DynParams, config: StepConfig) -> LBMState:
     T_new = state.T
     if config.thermal and state.gi is not None:
         tfix = (flags & TYPE_T) != 0
-        g_own = decode_ddf(state.gi, config.storage)
-        g = _stream(g_own, solid, C7, OPP7)
-        T_stream = 1.0 + jnp.sum(g, axis=0)
-        T_own = 1.0 + jnp.sum(g_own, axis=0)
-        Tn = jnp.where(tfix, T_own, T_stream)
+        Tg_s, _, Tg_o, _ = _stream_moments(
+            state.gi, solid, C7, OPP7, config.storage)
+        Tn = jnp.where(tfix, Tg_o, Tg_s)
         T_new = jnp.where(solid, state.T, Tn)
         F = F - fx[:, None, None, None] * (config.beta * (Tn - config.t_avg))
 
     u_f = jnp.clip(u_s + F * (0.5 / rho_s), -CS, CS)
 
-    rho_own, u_own = moments(f_own)
+    u_own = mom_own / rho_own
     rho_new = jnp.where(solid, state.rho, jnp.where(eqbc, rho_own, rho_s))
     u_new = jnp.where(solid[None], state.u, jnp.where(eqbc[None], u_own, u_f))
     return state._replace(rho=rho_new, u=u_new, T=T_new)
 
 
+_update_donating = jax.jit(_update.__wrapped__, static_argnames=("config",),
+                           donate_argnums=(0,))
+
+
 def update_fields(state: LBMState, config: StepConfig,
-                  dyn: DynParams = None) -> LBMState:
-    """Refresh rho/u[/T] from the DDFs (reference kernel.cpp:1938)."""
+                  dyn: DynParams = None, *, donate: bool = False) -> LBMState:
+    """Refresh rho/u[/T] from the DDFs (reference kernel.cpp:1938).
+
+    `donate=True` donates the input state so fi/gi alias through and the old
+    rho/u buffers are reused — halves the transient footprint on production
+    grids.  Callers must rebind (the old state's buffers become invalid)."""
     if dyn is None:
         dyn = DynParams(force=jnp.zeros(3, jnp.float32),
                         omega_coriolis=jnp.zeros(3, jnp.float32))
-    return _update(state, dyn, config)
+    return (_update_donating if donate else _update)(state, dyn, config)

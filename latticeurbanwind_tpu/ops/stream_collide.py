@@ -1,4 +1,4 @@
-"""Fused Pallas stream-collide kernel — the performance tier (v2, pure-DDF).
+"""Fused Pallas stream-collide kernel — the performance tier (v3, y-tiled).
 
 TPU-native replacement for the reference's OpenCL hot loop
 (reference: kernel.cpp:1475-1780 stream_collide).  Design:
@@ -16,24 +16,37 @@ TPU-native replacement for the reference's OpenCL hot loop
     maintains the boundary exactly).  rho/u/T are materialized on demand by
     lbm/fields.update_fields — the same split the reference uses
     (kernel.cpp:1938 update_fields; setup.cpp:4441-4494 event readbacks).
-  * Plane-carry scheme: grid program q computes plane z = q-2 (two warm-up
-    programs).  Each program fetches exactly ONE plane of every DDF array;
-    the z-1 plane of fp, the own plane of fm, and two flags planes arrive
-    through VMEM scratch carried across the sequential grid programs.  Every
-    DDF plane is fetched exactly once and written exactly once: HBM traffic
-    is 2 x 19 x sizeof(storage) + ~1 flag byte per cell-update — the
-    reference's own roofline model (lbm.cpp:121-142).
+  * Plane-carry scheme: grid program (j, q) computes plane z = q-2 of y-tile
+    j (two warm-up programs per tile).  Each program fetches exactly ONE
+    tile-plane of every DDF array; the z-1 plane of fp, the own plane of fm,
+    and two flags planes arrive through VMEM scratch carried across the
+    sequential grid programs.  Every DDF plane is fetched exactly once and
+    written exactly once: HBM traffic is 2 x 19 x sizeof(storage) + ~1 flag
+    byte per cell-update — the reference's own roofline model
+    (lbm.cpp:121-142).
+  * y-tiling (v3): when the full (Y, X) plane exceeds the VMEM budget, the
+    plane splits into J = Y/By equal y-tiles marched tile-by-tile (grid
+    (J, Z+2)).  Cross-tile y-shifts read PACKED NEIGHBOR ROWS: per (tile, z)
+    one (NR, X) slab holding the below/above boundary rows of every streamed
+    plane (f0@z, fp@z-1, fm@z+1, solid masks, thermal), gathered outside the
+    kernel by XLA from static row indices.  Packing all channels into one
+    slab amortizes Mosaic's 8-sublane block granularity: extra traffic is
+    ~NR/(19*By) (a few percent).  This removes the reference contract gap
+    where only <=512x512 footprints ran the fast tier (the reference runs
+    one work-item per cell at ANY local size, kernel.cpp:1486, lbm.cpp:1125).
+  * Scratch planes carry DECODED fp32 values (not storage bits), so the
+    f16/fp16c software codecs run exactly once per fetched plane: 19 decodes
+    + 19 encodes per cell-update (+7/+7 thermal), the minimum possible.
   * Nudge/sponge face targets come from compact static FaceBC arrays
-    (O(surface), fetched once per program or held in SMEM) instead of
-    per-step volume reads; the Von Karman inlet updates these arrays and the
-    boundary DDF slabs directly (bc/vk_inlet.py).
+    (O(surface)) instead of per-step volume reads; the Von Karman inlet
+    updates these arrays and the boundary DDF slabs directly (bc/vk_inlet.py).
   * All arithmetic fp32; storage f16 (range-shifted FP16S), fp16c (the
     reference's 1-4-11 custom float, kernel.cpp:864-875), bf16 or f32.
 
-Constraints: Z >= 3, Y/X >= 8, plane Y*X <= 256Ki cells (VMEM budget;
-wide-flat grids run via the axis-permuted variant, ops/permute.py).
-Multi-chip: shard_map halo runner in parallel/halo.py (ghost rows/planes),
-or GSPMD over the reference tier.
+Constraints: Z >= 3, Y/X >= 8; tiled planes need a By | Y with By % 32 == 0
+and By*X within the VMEM plane budget (tile_plan).  Multi-chip: shard_map
+halo runner in parallel/halo.py (ghost rows/planes) — composes with tiling,
+so any local slab shape runs the fast tier.
 """
 
 from __future__ import annotations
@@ -59,6 +72,7 @@ from ..lbm.state import (
     TYPE_E,
     TYPE_S,
     TYPE_T,
+    encode_ddf,
 )
 
 # direction index -> (group array id, index within group); group 0=f0, 1=fp, 2=fm
@@ -74,6 +88,11 @@ for _d in range(19):
 
 # D3Q7 direction -> (group id, index): g0 holds dirs 0..4 (cz=0), gp dir 5, gm dir 6
 _G7_BASE = (0, 5, 6)
+
+# VMEM working-set budget for one (By, X) tile-plane (cells).  Measured on
+# v5e: the full in-kernel f32 intermediate set at 256Ki cells fits the 128 MiB
+# VMEM with the 120 MiB scoped limit below.
+PLANE_BUDGET = 262144
 
 
 class FaceBC(NamedTuple):
@@ -153,14 +172,33 @@ def merge_state(s: SplitState) -> LBMState:
     return LBMState(fi=fi, rho=s.rho, u=s.u, flags=s.flags, gi=gi, T=s.T)
 
 
+def tile_plan(Y: int, X: int) -> Optional[int]:
+    """Rows-per-tile By for the y-tiled kernel (J = Y // By tiles).
+
+    Y*X <= PLANE_BUDGET runs untiled (By = Y; Mosaic allows unaligned block
+    dims when they equal the whole array dims, so ANY Y, X legalize).
+    Larger planes tile by y into equal blocks: By must divide Y and be a
+    multiple of 32 (uint8 flags sublane packing).  Returns None when no
+    legal tiling exists (then the jnp/GSPMD tier serves the shape)."""
+    import os
+
+    budget = int(os.environ.get("LUW_PLANE_BUDGET", 0)) or PLANE_BUDGET
+    if Y * X <= budget:
+        return Y
+    best = None
+    for by in range(32, Y, 32):
+        if Y % by == 0 and by * X <= budget:
+            best = by
+    return best
+
+
 def pallas_supported(shape: Tuple[int, int, int], config: StepConfig) -> bool:
     Z, Y, X = shape
     # f16/fp16c storages run through software bit codecs (uint16 patterns);
-    # all storages ride the pallas tier.  Full-plane blocks (C, 1, Y, X)
-    # legalize for ANY Y, X: Mosaic allows unaligned block dims when they
-    # equal the whole array dims (verified on v5e at 45x44 and 333x250).
-    # The plane working set must still fit VMEM.
-    return Z >= 3 and Y >= 8 and X >= 8 and Y * X <= 262144
+    # all storages ride the pallas tier.  Any plane whose y-tiling fits the
+    # VMEM budget is supported (reference contract: per-cell kernel at any
+    # local domain size, kernel.cpp:1486).
+    return Z >= 3 and Y >= 8 and X >= 8 and tile_plan(Y, X) is not None
 
 
 # ---------------------------------------------------------------------------
@@ -267,6 +305,18 @@ def _roll2(plane, cy: int, cx: int):
     return _shift1(_shift1(plane, 0, cy), 1, cx)
 
 
+def _rollt(tile, below, above, cy: int, cx: int):
+    """Tile-aware roll: result[y, x] = src[y-cy, x-cx] where the rows
+    entering from outside the tile come from `below` / `above` (1, X)."""
+    if cy > 0:
+        p = jnp.concatenate([below, tile[:-1]], 0)
+    elif cy < 0:
+        p = jnp.concatenate([tile[1:], above], 0)
+    else:
+        p = tile
+    return _shift1(p, 1, cx)
+
+
 def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int, int],
                      halo_mode: bool = False, *, vertical_comp: int = 2,
                      sponge_axis: str = "z"):
@@ -285,9 +335,10 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     if not pallas_supported(shape, config):
         raise NotImplementedError(f"pallas tier unsupported for shape {shape}")
     assert sponge_axis in ("z", "y")
-    if halo_mode:
-        # the sharded runner always operates in canonical orientation
-        assert sponge_axis == "z" and vertical_comp == 2
+
+    By = tile_plan(Y, X)
+    J = Y // By
+    tiled = J > 1
 
     storage = config.storage
     thermal = config.thermal
@@ -297,32 +348,40 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     nudge_vertical = forcing.nudge_vertical
     dec, enc = _make_codec(storage)
 
-    NPROG = Z + 2  # two warm-up programs fill the plane-carry scratch
+    NPROG = Z + 2  # two warm-up programs fill the plane-carry scratch (per tile)
+
+    # packed neighbor-row slot layout (tiled path): per (tile, z) one (NR, X)
+    # slab; slot base + 2k (below) / base + 2k + 1 (above) per channel k
+    S_F0, S_FP, S_FM, S_SOL = 0, 18, 28, 38
+    S_G0, S_GP, S_GM = 44, 54, 56
+    NROWS = 58 if thermal else 44
+    NR = -(-NROWS // 16) * 16          # sublane-pad (16-bit storage dtypes)
 
     # ---------------- kernel ----------------
 
     def kernel(*refs):
         it = iter(refs)
-        f0_ref = next(it)      # (9,1,Y,X) @ z          (own plane)
-        fp_ref = next(it)      # (5,1,Y,X) @ z          (own; z-1 from scratch)
-        fm_ref = next(it)      # (5,1,Y,X) @ z+1        (stream; own from scratch)
-        fl_ref = next(it)      # (1,Y,X) flags @ z+1    (z, z-1 from scratch)
+        f0_ref = next(it)      # (9,1,By,X) @ z          (own plane)
+        fp_ref = next(it)      # (5,1,By,X) @ z          (own; z-1 from scratch)
+        fm_ref = next(it)      # (5,1,By,X) @ z+1        (stream; own from scratch)
+        fl_ref = next(it)      # (1,By,X) flags @ z+1    (z, z-1 from scratch)
+        rows_ref = next(it) if tiled else None   # (1,1,NR,X) neighbor rows
         dyn_ref = next(it)     # (1,8) SMEM
         if has_forcing:
-            nsig_ref = next(it)   # (1,Y,X)
-            nface_ref = next(it)  # (1,Y,X) uint8
-            uw_ref = next(it)     # (1,3,Y)  z-leading layout for tiling rules
+            nsig_ref = next(it)   # (1,By,X)
+            nface_ref = next(it)  # (1,By,X) uint8
+            uw_ref = next(it)     # (1,3,By)  z-leading layout for tiling rules
             ue_ref = next(it)
             us_ref = next(it)     # (1,3,X)
             un_ref = next(it)
-            ut_ref = next(it)     # (3,Y,X) static top target (fetched once)
-            ub_ref = next(it)     # (3,Y,X)
-            ssig_ref = next(it)   # axis z: (Z,1) SMEM profile; axis y: (Y,X) VMEM
+            ut_ref = next(it)     # (3,By,X) static top target
+            ub_ref = next(it)     # (3,By,X)
+            ssig_ref = next(it)   # axis z: (Z,1) SMEM profile; axis y: (By,X) VMEM
         if thermal:
-            g0_ref = next(it)     # (5,1,Y,X) @ z
-            gp_ref = next(it)     # (1,1,Y,X) @ z
-            gm_ref = next(it)     # (1,1,Y,X) @ z+1
-            tt_ref = next(it)     # axis z: (Y,X) top T; axis y: (1,X) north row
+            g0_ref = next(it)     # (5,1,By,X) @ z
+            gp_ref = next(it)     # (1,1,By,X) @ z
+            gm_ref = next(it)     # (1,1,By,X) @ z+1
+            tt_ref = next(it)     # axis z: (By,X) top T; axis y: (1,X) north row
         # outputs
         f0_out = next(it)
         fp_out = next(it)
@@ -331,15 +390,24 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             g0_out = next(it)
             gp_out = next(it)
             gm_out = next(it)
-        # scratch (plane carry across sequential grid programs)
-        fp_scr = next(it)      # (5,Y,X) storage bits: fp @ z-1
-        fm_scr = next(it)      # (5,Y,X): fm @ z
-        fl_scr = next(it)      # (2,Y,X) uint8: [z-1, z]
+        # scratch (plane carry across sequential grid programs, DECODED f32 —
+        # the bit codecs run once per fetched plane)
+        fp_scr = next(it)      # (5,By,X) f32: fp @ z-1
+        fm_scr = next(it)      # (5,By,X) f32: fm @ z
+        fl_scr = next(it)      # (2,By,X) uint8: [z-1, z]
         if thermal:
-            gp_scr = next(it)  # (1,Y,X): gp @ z-1
-            gm_scr = next(it)  # (1,Y,X): gm @ z
+            gp_scr = next(it)  # (1,By,X) f32: gp @ z-1
+            gm_scr = next(it)  # (1,By,X) f32: gm @ z
 
-        q = pl.program_id(0)
+        q = pl.program_id(1)
+
+        # own fp / stream fm planes decoded once per program: used for the
+        # own-value opposites now AND written decoded into the carry scratch
+        dfp = dec(fp_ref[:, 0])
+        dfm = dec(fm_ref[:, 0])
+        if thermal:
+            dgp = dec(gp_ref[:, 0])
+            dgm = dec(gm_ref[:, 0])
 
         @pl.when(q >= 2)
         def _compute():
@@ -360,35 +428,55 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             def blend(mask_f, a, b):
                 return a * mask_f + b * (1.0 - mask_f)
 
-            # pull-source planes per group: group0 own z, group+ z-1, group- z+1
-            stream_src = (
-                lambda k: dec(f0_ref[k, 0]),
-                lambda k: dec(fp_scr[k]),
-                lambda k: dec(fm_ref[k, 0]),
-            )
-            # own-plane values per group (for bounce-back opposites and the
-            # TYPE_E equilibrium freeze)
-            own_src = (
-                lambda k: dec(f0_ref[k, 0]),
-                lambda k: dec(fp_ref[k, 0]),
-                lambda k: dec(fm_scr[k]),
-            )
-            solid_src = (
-                ((fl_scr[1].astype(jnp.int32) & TYPE_S) != 0).astype(jnp.float32),
-                ((fl_scr[0].astype(jnp.int32) & TYPE_S) != 0).astype(jnp.float32),
-                ((fl_ref[0].astype(jnp.int32) & TYPE_S) != 0).astype(jnp.float32),
-            )
+            # every plane decoded exactly once; stream group0 = own group0
+            own_f0 = [dec(f0_ref[k, 0]) for k in range(9)]
+            own_fp = [dfp[k] for k in range(5)]
+            own_fm = [fm_scr[k] for k in range(5)]       # carried f32
+            st_fp = [fp_scr[k] for k in range(5)]        # carried f32
+            st_fm = [dfm[k] for k in range(5)]
 
-            # decode every own plane exactly once (Python-level reuse — the
-            # opposite lookups below index this list, so the f16/fp16c bit
-            # codecs don't run twice per plane)
-            own = [own_src[_D2G[d][0]](_D2G[d][1]) for d in range(19)]
+            sol_m1 = ((fl_scr[0].astype(jnp.int32) & TYPE_S) != 0).astype(jnp.float32)
+            sol_p1 = ((fl_ref[0].astype(jnp.int32) & TYPE_S) != 0).astype(jnp.float32)
+
+            # neighbor rows (tiled): decoded lazily, once per used slot
+            row_cache = {}
+
+            def row(s):
+                if s not in row_cache:
+                    row_cache[s] = dec(rows_ref[0, 0, s:s + 1, :])
+                return row_cache[s]
+
+            def src(g, k):
+                """(tile, below, above) of the STREAM source for group g."""
+                tile = (own_f0, st_fp, st_fm)[g][k]
+                if tiled:
+                    base = (S_F0, S_FP, S_FM)[g] + 2 * k
+                    return tile, row(base), row(base + 1)
+                return tile, tile[-1:], tile[:1]
+
+            # group -> z-kind of its solid-mask source: g0 @ z, g+ @ z-1,
+            # g- @ z+1 (slot order in S_SOL is z-1, z, z+1)
+            _SOLK = (1, 0, 2)
+
+            def solsrc(g):
+                tile = (solid_f, sol_m1, sol_p1)[g]
+                if tiled:
+                    base = S_SOL + 2 * _SOLK[g]
+                    return tile, row(base), row(base + 1)
+                return tile, tile[-1:], tile[:1]
+
+            # own-plane values per direction (bounce-back opposites and the
+            # TYPE_E equilibrium freeze)
+            own = [(own_f0, own_fp, own_fm)[_D2G[d][0]][_D2G[d][1]]
+                   for d in range(19)]
             f = [None] * 19
             for d in range(19):
                 cx, cy, cz = (int(v) for v in C19[d])
                 g, k = _D2G[d]
-                shifted = _roll2(stream_src[g](k), cy, cx)
-                src_solid_f = _roll2(solid_src[g], cy, cx)
+                tile, bel, abv = src(g, k)
+                shifted = _rollt(tile, bel, abv, cy, cx)
+                stile, sbel, sabv = solsrc(g)
+                src_solid_f = _rollt(stile, sbel, sabv, cy, cx)
                 opp_plane = own[int(OPP19[d])]
                 f[d] = opp_plane * src_solid_f + shifted * (1.0 - src_solid_f)
 
@@ -417,16 +505,16 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             not_e_f = 1.0 - eqbc_f
             if has_forcing:
                 face = nface_ref[0].astype(jnp.int32)
-                u_w = uw_ref[0][:, :, None]               # (3,Y,1)
+                u_w = uw_ref[0][:, :, None]               # (3,By,1)
                 u_e = ue_ref[0][:, :, None]
                 u_s = us_ref[0][:, None, :]               # (3,1,X)
                 u_n = un_ref[0][:, None, :]
-                u_t = ut_ref[:]                           # (3,Y,X)
+                u_t = ut_ref[:]                           # (3,By,X)
                 u_b = ub_ref[:]
-                u_tgt = jnp.broadcast_to(u_w, (3, Y, X))
+                u_tgt = jnp.broadcast_to(u_w, (3, By, X))
                 for fidv, tgt in ((1, u_e), (2, u_s), (3, u_n), (4, u_t), (5, u_b)):
                     m = (face[None] == fidv).astype(jnp.float32)
-                    u_tgt = blend(m, jnp.broadcast_to(tgt, (3, Y, X)), u_tgt)
+                    u_tgt = blend(m, jnp.broadcast_to(tgt, (3, By, X)), u_tgt)
                 sig = nsig_ref[0] * not_e_f
                 Fs = [Fx, Fy, Fz]
                 for a in range(3):
@@ -437,7 +525,7 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                     ssig = ssig_ref[q - 2, 0]
                     sp_tgt = u_t
                 else:
-                    ssig = ssig_ref[:]                     # (Y,X)
+                    ssig = ssig_ref[:]                     # (By,X)
                     sp_tgt = u_n                           # (3,1,X) broadcasts
                 sig_sp = ssig * not_e_f
                 for a in range(3):
@@ -465,27 +553,28 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 inv_rho_own = 1.0 / rho_own
                 un_t = [blend(eqbc_f, mom_own[a] * inv_rho_own, un[a])
                         for a in range(3)]
-                g_stream = (
-                    lambda k: dec(g0_ref[k, 0]),
-                    lambda k: dec(gp_scr[k]),
-                    lambda k: dec(gm_ref[k, 0]),
-                )
-                g_own = (
-                    lambda k: dec(g0_ref[k, 0]),
-                    lambda k: dec(gp_ref[k, 0]),
-                    lambda k: dec(gm_scr[k]),
-                )
-                def _g7_loc(d):
-                    g_id = 0 if int(C7[d, 2]) == 0 else (1 if int(C7[d, 2]) == 1 else 2)
-                    return g_id, d - _G7_BASE[g_id]
+                gown = [dec(g0_ref[k, 0]) for k in range(5)] + [dgp[0], gm_scr[0]]
+                g_st = gown[:5] + [gp_scr[0], dgm[0]]
 
-                gown = [g_own[_g7_loc(d)[0]](_g7_loc(d)[1]) for d in range(7)]
+                def g_src(d):
+                    g_id = 0 if int(C7[d, 2]) == 0 else (1 if int(C7[d, 2]) == 1 else 2)
+                    if g_id == 0:
+                        tile, base = g_st[d], S_G0 + 2 * d
+                    elif g_id == 1:
+                        tile, base = g_st[5], S_GP
+                    else:
+                        tile, base = g_st[6], S_GM
+                    if tiled:
+                        return g_id, tile, row(base), row(base + 1)
+                    return g_id, tile, tile[-1:], tile[:1]
+
                 gpl = [None] * 7
                 for d in range(7):
                     cx, cy, cz = (int(v) for v in C7[d])
-                    g_id, k = _g7_loc(d)
-                    shifted = _roll2(g_stream[g_id](k), cy, cx)
-                    src_solid_f = _roll2(solid_src[g_id], cy, cx)
+                    g_id, tile, bel, abv = g_src(d)
+                    shifted = _rollt(tile, bel, abv, cy, cx)
+                    stile, sbel, sabv = solsrc(g_id)
+                    src_solid_f = _rollt(stile, sbel, sabv, cy, cx)
                     od = (0, 2, 1, 4, 3, 6, 5)[d]
                     opp_plane = gown[od]
                     gpl[d] = opp_plane * src_solid_f + shifted * (1.0 - src_solid_f)
@@ -498,7 +587,7 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 # their own moment IS the prescribed temperature
                 Tn = blend(tfix_f, T_own + 1.0, T_m + 1.0)
                 if has_forcing:
-                    sig_t = (ssig if sponge_axis == "z" else ssig) * not_e_f * (1.0 - tfix_f)
+                    sig_t = ssig * not_e_f * (1.0 - tfix_f)
                     t_tgt = tt_ref[:] if sponge_axis == "z" else tt_ref[0][None, :]
                     Tn = Tn + sig_t * (t_tgt - Tn)
                 # unrolled D3Q7 equilibrium + collision, opposite pairs share cu
@@ -608,64 +697,66 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         # ---- plane-carry scratch rotation (runs every program) -------------
         fl_scr[0] = fl_scr[1]
         fl_scr[1] = fl_ref[0]
-        fp_scr[:] = fp_ref[:, 0]
-        fm_scr[:] = fm_ref[:, 0]
+        fp_scr[:] = dfp
+        fm_scr[:] = dfm
         if thermal:
-            gp_scr[:] = gp_ref[:, 0]
-            gm_scr[:] = gm_ref[:, 0]
+            gp_scr[:] = dgp
+            gm_scr[:] = dgm
 
     # ---------------- specs ----------------
 
     v = partial(pl.BlockSpec, memory_space=pltpu.VMEM)
     sm = partial(pl.BlockSpec, memory_space=pltpu.SMEM)
 
-    def own_map(q):        # plane z = q-2, clamped for warm-ups
+    def zo(q):             # own plane z = q-2, clamped for warm-ups
         return jnp.maximum(q - 2, 0)
 
     if halo_mode:
         # halo-extended inputs: fp_ext[:, e] = fp @ z=e-1 (e=0 is the below-
         # shard halo), fm_ext[:, e] = fm @ z=e (e=Z is the above-shard halo),
         # flags_ext[e] = flags @ z=e-1 (below halo at 0, above halo at Z+1).
-        fp_map = lambda q: (0, jnp.clip(q - 1, 0, Z), 0, 0)
-        fm_map = lambda q: (0, jnp.clip(q - 1, 0, Z), 0, 0)
-        fl_map = lambda q: (jnp.clip(q, 0, Z + 1), 0, 0)
+        zfp = lambda q: jnp.clip(q - 1, 0, Z)
+        zfm = lambda q: jnp.clip(q - 1, 0, Z)
+        zfl = lambda q: jnp.clip(q, 0, Z + 1)
     else:
-        fp_map = lambda q: (0, (q - 2) % Z, 0, 0)
-        fm_map = lambda q: (0, (q - 1) % Z, 0, 0)
-        fl_map = lambda q: ((q - 1) % Z, 0, 0)
+        zfp = lambda q: (q - 2) % Z
+        zfm = lambda q: (q - 1) % Z
+        zfl = lambda q: (q - 1) % Z
 
     sdt = {"f32": jnp.float32, "f16": jnp.uint16, "fp16c": jnp.uint16,
            "bf16": jnp.bfloat16}[storage]
 
     in_specs = [
-        v((9, 1, Y, X), lambda q: (0, own_map(q), 0, 0)),
-        v((5, 1, Y, X), fp_map),
-        v((5, 1, Y, X), fm_map),
-        v((1, Y, X), fl_map),
-        sm((1, 8), lambda q: (0, 0)),
+        v((9, 1, By, X), lambda j, q: (0, zo(q), j, 0)),
+        v((5, 1, By, X), lambda j, q: (0, zfp(q), j, 0)),
+        v((5, 1, By, X), lambda j, q: (0, zfm(q), j, 0)),
+        v((1, By, X), lambda j, q: (zfl(q), j, 0)),
     ]
+    if tiled:
+        in_specs += [v((1, 1, NR, X), lambda j, q: (j, zo(q), 0, 0))]
+    in_specs += [sm((1, 8), lambda j, q: (0, 0))]
     if has_forcing:
         in_specs += [
-            v((1, Y, X), lambda q: (own_map(q), 0, 0)),
-            v((1, Y, X), lambda q: (own_map(q), 0, 0)),
-            v((1, 3, Y), lambda q: (own_map(q), 0, 0)),
-            v((1, 3, Y), lambda q: (own_map(q), 0, 0)),
-            v((1, 3, X), lambda q: (own_map(q), 0, 0)),
-            v((1, 3, X), lambda q: (own_map(q), 0, 0)),
-            v((3, Y, X), lambda q: (0, 0, 0)),   # top plane target (one fetch)
-            v((3, Y, X), lambda q: (0, 0, 0)),   # bottom plane target
+            v((1, By, X), lambda j, q: (zo(q), j, 0)),
+            v((1, By, X), lambda j, q: (zo(q), j, 0)),
+            v((1, 3, By), lambda j, q: (zo(q), 0, j)),
+            v((1, 3, By), lambda j, q: (zo(q), 0, j)),
+            v((1, 3, X), lambda j, q: (zo(q), 0, 0)),
+            v((1, 3, X), lambda j, q: (zo(q), 0, 0)),
+            v((3, By, X), lambda j, q: (0, j, 0)),   # top plane target
+            v((3, By, X), lambda j, q: (0, j, 0)),   # bottom plane target
         ]
         if sponge_axis == "z":
-            in_specs += [sm((Z, 1), lambda q: (0, 0))]
+            in_specs += [sm((Z, 1), lambda j, q: (0, 0))]
         else:
-            in_specs += [v((Y, X), lambda q: (0, 0))]
+            in_specs += [v((By, X), lambda j, q: (j, 0))]
     if thermal:
         in_specs += [
-            v((5, 1, Y, X), lambda q: (0, own_map(q), 0, 0)),
-            v((1, 1, Y, X), fp_map),
-            v((1, 1, Y, X), fm_map),
-            (v((Y, X), lambda q: (0, 0)) if sponge_axis == "z"
-             else v((1, X), lambda q: (own_map(q), 0))),
+            v((5, 1, By, X), lambda j, q: (0, zo(q), j, 0)),
+            v((1, 1, By, X), lambda j, q: (0, zfp(q), j, 0)),
+            v((1, 1, By, X), lambda j, q: (0, zfm(q), j, 0)),
+            (v((By, X), lambda j, q: (j, 0)) if sponge_axis == "z"
+             else v((1, X), lambda j, q: (zo(q), 0))),
         ]
 
     out_shapes = [
@@ -674,9 +765,9 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         jax.ShapeDtypeStruct((5, Z, Y, X), sdt),
     ]
     out_specs = [
-        v((9, 1, Y, X), lambda q: (0, own_map(q), 0, 0)),
-        v((5, 1, Y, X), lambda q: (0, own_map(q), 0, 0)),
-        v((5, 1, Y, X), lambda q: (0, own_map(q), 0, 0)),
+        v((9, 1, By, X), lambda j, q: (0, zo(q), j, 0)),
+        v((5, 1, By, X), lambda j, q: (0, zo(q), j, 0)),
+        v((5, 1, By, X), lambda j, q: (0, zo(q), j, 0)),
     ]
     if thermal:
         out_shapes += [
@@ -685,29 +776,30 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             jax.ShapeDtypeStruct((1, Z, Y, X), sdt),
         ]
         out_specs += [
-            v((5, 1, Y, X), lambda q: (0, own_map(q), 0, 0)),
-            v((1, 1, Y, X), lambda q: (0, own_map(q), 0, 0)),
-            v((1, 1, Y, X), lambda q: (0, own_map(q), 0, 0)),
+            v((5, 1, By, X), lambda j, q: (0, zo(q), j, 0)),
+            v((1, 1, By, X), lambda j, q: (0, zo(q), j, 0)),
+            v((1, 1, By, X), lambda j, q: (0, zo(q), j, 0)),
         ]
 
     scratch = [
-        pltpu.VMEM((5, Y, X), sdt),
-        pltpu.VMEM((5, Y, X), sdt),
-        pltpu.VMEM((2, Y, X), jnp.uint8),
+        pltpu.VMEM((5, By, X), jnp.float32),
+        pltpu.VMEM((5, By, X), jnp.float32),
+        pltpu.VMEM((2, By, X), jnp.uint8),
     ]
     if thermal:
-        scratch += [pltpu.VMEM((1, Y, X), sdt), pltpu.VMEM((1, Y, X), sdt)]
+        scratch += [pltpu.VMEM((1, By, X), jnp.float32),
+                    pltpu.VMEM((1, By, X), jnp.float32)]
 
     import os
 
     call = pl.pallas_call(
         kernel,
-        grid=(NPROG,),
+        grid=(J, NPROG),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch,
-        # large (Y, X) planes need more than the 16 MiB default scoped VMEM
+        # large (By, X) planes need more than the 16 MiB default scoped VMEM
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=120 * 1024 * 1024),
         interpret=bool(os.environ.get("LUW_PALLAS_INTERPRET")),
     )
@@ -747,6 +839,57 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         def unbits(a):
             return a
 
+    if tiled:
+        # static boundary-row indices per tile: below = last row of tile j-1,
+        # above = first row of tile j+1 (periodic wrap, matching _rollt)
+        rb = np.array([(t * By - 1) % Y for t in range(J)])
+        ra = np.array([((t + 1) * By) % Y for t in range(J)])
+        ridx = np.stack([rb, ra], axis=1).reshape(-1)        # (2J,)
+
+        def gather_rows(arr):
+            """(C, Zs, Y, X) -> (J, Zs, 2C, X); slot 2k=below, 2k+1=above."""
+            C_, Zs = int(arr.shape[0]), int(arr.shape[1])
+            g = arr[:, :, ridx, :].reshape(C_, Zs, J, 2, X)
+            return g.transpose(2, 1, 0, 3, 4).reshape(J, Zs, 2 * C_, X)
+
+        def enc_host(x):
+            return bits(encode_ddf(x, storage))
+
+        def build_rows(f0b, fpb, fmb, fl_in, g0b=None, gpb=None, gmb=None):
+            """Pack the per-(tile, z) neighbor-row slab consumed by program
+            (j, z+2): f0 @ z, fp @ z-1, fm @ z+1, solid masks @ z-1/z/z+1,
+            thermal g0/gp/gm — slot layout matches the kernel's S_* bases."""
+            r_f0 = gather_rows(f0b)                          # (J, Z, 18, X)
+            if halo_mode:
+                r_fp = gather_rows(fpb)[:, :Z]               # fp @ z-1
+                r_fm = gather_rows(fmb)[:, 1:Z + 1]          # fm @ z+1
+            else:
+                r_fp = jnp.roll(gather_rows(fpb), 1, axis=1)
+                r_fm = jnp.roll(gather_rows(fmb), -1, axis=1)
+            r_fl = gather_rows(fl_in[None])                  # (J, Zf, 2, X)
+            if halo_mode:
+                sol_parts = [r_fl[:, 0:Z], r_fl[:, 1:Z + 1], r_fl[:, 2:Z + 2]]
+            else:
+                sol_parts = [jnp.roll(r_fl, 1, axis=1), r_fl,
+                             jnp.roll(r_fl, -1, axis=1)]
+            sol = jnp.concatenate(sol_parts, axis=2).astype(jnp.int32)
+            r_sol = enc_host(((sol & TYPE_S) != 0).astype(jnp.float32))
+            parts = [r_f0, r_fp, r_fm, r_sol]
+            if thermal:
+                parts.append(gather_rows(g0b))
+                if halo_mode:
+                    parts.append(gather_rows(gpb)[:, :Z])
+                    parts.append(gather_rows(gmb)[:, 1:Z + 1])
+                else:
+                    parts.append(jnp.roll(gather_rows(gpb), 1, axis=1))
+                    parts.append(jnp.roll(gather_rows(gmb), -1, axis=1))
+            rows = jnp.concatenate(parts, axis=2)
+            pad = NR - rows.shape[2]
+            if pad:
+                rows = jnp.concatenate(
+                    [rows, jnp.zeros((J, Z, pad, X), rows.dtype)], axis=2)
+            return rows
+
     def step(s: SplitState, dyn: DynParams, *, fp_halo=None, fm_halo=None,
              flb_halo=None, fla_halo=None, gp_halo=None, gm_halo=None,
              forcing_loc=None) -> SplitState:
@@ -765,7 +908,19 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             fl_in = jnp.concatenate([flb_halo, s.flags, fla_halo], axis=0)
         else:
             fp_in, fm_in, fl_in = s.fp, s.fm, s.flags
-        args = [bits(s.f0), bits(fp_in), bits(fm_in), fl_in, dyn_arr]
+        f0b, fpb, fmb = bits(s.f0), bits(fp_in), bits(fm_in)
+        args = [f0b, fpb, fmb, fl_in]
+        if thermal:
+            if halo_mode:
+                gp_in = jnp.concatenate([gp_halo, s.gp], axis=1)
+                gm_in = jnp.concatenate([s.gm, gm_halo], axis=1)
+            else:
+                gp_in, gm_in = s.gp, s.gm
+            g0b, gpb, gmb = bits(s.g0), bits(gp_in), bits(gm_in)
+        if tiled:
+            args += [build_rows(f0b, fpb, fmb, fl_in,
+                                *( (g0b, gpb, gmb) if thermal else () ))]
+        args += [dyn_arr]
         if has_forcing:
             fl = forcing_loc or {}
             fbc = s.fbc
@@ -779,16 +934,11 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 fl.get("sponge_z", sponge_z),
             ]
         if thermal:
-            if halo_mode:
-                gp_in = jnp.concatenate([gp_halo, s.gp], axis=1)
-                gm_in = jnp.concatenate([s.gm, gm_halo], axis=1)
-            else:
-                gp_in, gm_in = s.gp, s.gm
             if has_forcing:
                 t_tgt = s.fbc.tt
             else:
                 t_tgt = (s.T[-1] if sponge_axis == "z" else s.T[:, -1, :])
-            args += [bits(s.g0), bits(gp_in), bits(gm_in), t_tgt]
+            args += [g0b, gpb, gmb, t_tgt]
         out = call(*args)
         if thermal:
             f0, fp, fm, g0, gp, gm = out

@@ -53,37 +53,94 @@ def _bwd(x, axis_name):
 
 
 def _pad_ghosts(a, gy: int, gx: int, axes=(-2, -1)):
-    """Zero-pad ghost layers on the trailing (y, x) axes."""
+    """Zero-pad ghost layers on the trailing (y, x) axes.
+
+    `gy`/`gx` are the ghost WIDTHS (0 = no ghosts).  Width 1 is the normal
+    halo; the y width grows to 16 when the local plane y-tiles, so the
+    ghost-extended Y stays 32-aligned for the tiled kernel's block specs
+    (only the innermost ghost row is ever exchanged or read — the rest are
+    dead padding whose outputs nothing consumes).
+    """
     if not (gy or gx):
         return a
     pad = [(0, 0)] * a.ndim
     if gy:
-        pad[a.ndim + axes[0]] = (1, 1)
+        pad[a.ndim + axes[0]] = (gy, gy)
     if gx:
-        pad[a.ndim + axes[1]] = (1, 1)
+        pad[a.ndim + axes[1]] = (gx, gx)
     return jnp.pad(a, pad)
 
 
 def _strip_ghosts(a, gy: int, gx: int):
     if gy:
-        a = a[..., 1:-1, :]
+        a = a[..., gy:-gy, :]
     if gx:
-        a = a[..., :, 1:-1]
+        a = a[..., :, gx:-gx]
     return a
+
+
+def _set_row(a, axis: int, index: int, row):
+    """Replace one row/lane of `a` along `axis` (negative-safe) via concat."""
+    n = a.shape[axis]
+    i = index % n
+    pre = jax.lax.slice_in_dim(a, 0, i, axis=axis)
+    post = jax.lax.slice_in_dim(a, i + 1, n, axis=axis)
+    return jnp.concatenate([pre, row, post], axis=axis)
 
 
 def _exchange_ghosts(a, gy: int, gx: int):
-    """Refresh ghost rows/lanes from the neighbors' boundary interiors.
-    x first, then y over the full (x-ghost-extended) width -> corners ok."""
+    """Refresh the innermost ghost row/lane from the neighbors' boundary
+    interiors.  x first, then y over the full (x-ghost-extended) width ->
+    corners ok.  Interior spans [g, n-g); the kernel's unit-shift stencils
+    only ever read ghost rows g-1 and n-g, so wider ghosts stay dead."""
     if gx:
-        from_left = _fwd(a[..., -2:-1], "x")
-        from_right = _bwd(a[..., 1:2], "x")
-        a = jnp.concatenate([from_left, a[..., 1:-1], from_right], axis=-1)
+        from_left = _fwd(a[..., -(gx + 1):-gx], "x")
+        from_right = _bwd(a[..., gx:gx + 1], "x")
+        if gx == 1:
+            a = jnp.concatenate([from_left, a[..., 1:-1], from_right], axis=-1)
+        else:
+            a = _set_row(a, a.ndim - 1, gx - 1, from_left)
+            a = _set_row(a, a.ndim - 1, a.shape[-1] - gx, from_right)
     if gy:
-        from_south = _fwd(a[..., -2:-1, :], "y")
-        from_north = _bwd(a[..., 1:2, :], "y")
-        a = jnp.concatenate([from_south, a[..., 1:-1, :], from_north], axis=-2)
+        from_south = _fwd(a[..., -(gy + 1):-gy, :], "y")
+        from_north = _bwd(a[..., gy:gy + 1, :], "y")
+        if gy == 1:
+            a = jnp.concatenate([from_south, a[..., 1:-1, :], from_north],
+                                axis=-2)
+        else:
+            a = _set_row(a, a.ndim - 2, gy - 1, from_south)
+            a = _set_row(a, a.ndim - 2, a.shape[-2] - gy, from_north)
     return a
+
+
+def ghost_widths(shape: Tuple[int, int, int],
+                 split: Tuple[int, int, int]) -> Tuple[int, int]:
+    """(gy, gx) ghost widths for a (Dx, Dy, Dz) split of `shape`.
+
+    Width 1 unless the ghost-extended local plane must y-tile AND Y+2 has no
+    32-multiple divisor — then the y width grows to 16 so Yg = Y/Dy + 32
+    keeps the tiled kernel's alignment (tile_plan)."""
+    from ..ops.stream_collide import tile_plan
+
+    Z, Y, X = shape
+    dx, dy, dz = split
+    gx = int(dx > 1)
+    gy = int(dy > 1)
+    if gy:
+        xl = X // dx + 2 * gx
+        if tile_plan(Y // dy + 2, xl) is None and \
+                tile_plan(Y // dy + 32, xl) is not None:
+            gy = 16
+    return gy, gx
+
+
+def local_shape_for(shape: Tuple[int, int, int],
+                    split: Tuple[int, int, int]) -> Tuple[int, int, int]:
+    """Ghost-extended per-shard shape the pallas kernel will see."""
+    Z, Y, X = shape
+    dx, dy, dz = split
+    gy, gx = ghost_widths(shape, split)
+    return (Z // dz, Y // dy + 2 * gy, X // dx + 2 * gx)
 
 
 def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
@@ -96,17 +153,18 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
     target values (defaults: taken from the state passed to the first call
     is NOT possible under jit — pass the initialized fields here).
 
-    `pre_step(s, t, z0=..., zl=..., top_on=...)` is the shard-aware DDF
-    inlet hook (bc/vk_inlet.py `.ddf` variant); requires dx == dy == 1.
+    `pre_step(s, t, **shard_kw)` is the shard-aware DDF inlet hook
+    (bc/vk_inlet.py `.ddf` variant); shard_kw carries the shard offsets
+    (z0/y0/x0), local extents, ghost widths and face-ownership flags, so the
+    inlet runs under ANY (Dx, Dy, Dz) split (the reference builds per-domain
+    point buffers for the same purpose, setup.cpp:886-976).
     """
     Z, Y, X = shape
     nz, ny, nx = mesh.shape["z"], mesh.shape["y"], mesh.shape["x"]
     if Z % nz or Y % ny or X % nx:
         raise ValueError(f"grid {shape} not divisible by mesh ({nz},{ny},{nx})")
-    if pre_step is not None and (ny > 1 or nx > 1):
-        raise ValueError("the VK inlet pre-step supports z-only sharding")
     zl, yl, xl = Z // nz, Y // ny, X // nx
-    gy, gx = int(ny > 1), int(nx > 1)
+    gy, gx = ghost_widths(shape, (nx, ny, nz))
     local_shape = (zl, yl + 2 * gy, xl + 2 * gx)
     _, Yg, Xg = local_shape
     thermal = config.thermal
@@ -181,8 +239,19 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
                 fl_loc["nudge_face"] = _pad_ghosts(nface, gy, gx)
 
         zi = jax.lax.axis_index("z")
-        z0 = zi * zl
-        top_on = (zi == nz - 1).astype(jnp.float32)
+        yi = jax.lax.axis_index("y")
+        xi = jax.lax.axis_index("x")
+        # shard geometry for the inlet hook: offsets, local extents, ghost
+        # widths, and face ownership (which shard holds each physical face)
+        shard_kw = dict(
+            z0=zi * zl, zl=zl, y0=yi * yl, yl=yl, x0=xi * xl, xl=xl,
+            gy=gy, gx=gx,
+            top_on=(zi == nz - 1).astype(jnp.float32),
+            west_on=(xi == 0).astype(jnp.float32),
+            east_on=(xi == nx - 1).astype(jnp.float32),
+            south_on=(yi == 0).astype(jnp.float32),
+            north_on=(yi == ny - 1).astype(jnp.float32),
+        )
         t0_ = jnp.asarray(t0, jnp.int32)
         if pre_step is not None and hasattr(pre_step, "init_aux"):
             s = s._replace(aux=pre_step.init_aux(s, t0_))
@@ -196,7 +265,7 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
                 # post-step: the equilibria written now are what neighbors
                 # stream during step i+1 (matches the reference timing —
                 # see lbm/stepper.py loop docstring)
-                st = pre_step(st, t0_ + i, z0=z0, zl=zl, top_on=top_on)
+                st = pre_step(st, t0_ + i, **shard_kw)
             return st
 
         out = jax.lax.fori_loop(0, n_steps, inner, s)
@@ -252,28 +321,28 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
     T0 = jnp.asarray(init_T) if (thermal and init_T is not None) else None
     fbc0 = build_face_bc(u0, T0)
 
-    def pad_axis(a, axis, n_split):
-        if n_split <= 1:
+    def pad_axis(a, axis, n_split, width):
+        if n_split <= 1 or width == 0:
             return a
-        idx_lo = [slice(None)] * a.ndim
-        idx_lo[axis] = slice(0, 1)
         # replicate the shard-edge values into ghosts: pad each SHARD slice.
         # Implemented by reshaping to (n_split, local) and edge-padding.
         moved = jnp.moveaxis(a, axis, 0)
         n = moved.shape[0]
         loc = n // n_split
         parts = moved.reshape(n_split, loc, *moved.shape[1:])
-        parts = jnp.pad(parts, [(0, 0), (1, 1)] + [(0, 0)] * (parts.ndim - 2),
+        parts = jnp.pad(parts,
+                        [(0, 0), (width, width)] + [(0, 0)] * (parts.ndim - 2),
                         mode="edge")
-        out = parts.reshape(n_split * (loc + 2), *moved.shape[1:])
+        out = parts.reshape(n_split * (loc + 2 * width), *moved.shape[1:])
         return jnp.moveaxis(out, 0, axis)
 
     fbc0 = FaceBC(
-        uw=pad_axis(fbc0.uw, 2, ny), ue=pad_axis(fbc0.ue, 2, ny),
-        us=pad_axis(fbc0.us, 2, nx), un=pad_axis(fbc0.un, 2, nx),
-        ut=pad_axis(pad_axis(fbc0.ut, 1, ny), 2, nx),
-        ub=pad_axis(pad_axis(fbc0.ub, 1, ny), 2, nx),
-        tt=None if fbc0.tt is None else pad_axis(pad_axis(fbc0.tt, 0, ny), 1, nx),
+        uw=pad_axis(fbc0.uw, 2, ny, gy), ue=pad_axis(fbc0.ue, 2, ny, gy),
+        us=pad_axis(fbc0.us, 2, nx, gx), un=pad_axis(fbc0.un, 2, nx, gx),
+        ut=pad_axis(pad_axis(fbc0.ut, 1, ny, gy), 2, nx, gx),
+        ub=pad_axis(pad_axis(fbc0.ub, 1, ny, gy), 2, nx, gx),
+        tt=None if fbc0.tt is None else pad_axis(
+            pad_axis(fbc0.tt, 0, ny, gy), 1, nx, gx),
     )
     # the FaceBC is loop- AND chunk-carried: VK refreshes it in-loop and the
     # carried value persists across run() calls (never reverts to init)

@@ -128,14 +128,15 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
 
         if len(jax.devices()) >= ndev:
             from ..parallel import domain_mesh
+            from ..parallel.halo import local_shape_for
 
             mesh = domain_mesh(tuple(case.ngpu))
             dx, dy, dz = case.ngpu
-            local = (shape[0] // dz, shape[1] // dy + 2 * (dy > 1),
-                     shape[2] // dx + 2 * (dx > 1))
-            vk_ok = case.pre_step is None or (
-                dx == 1 and dy == 1
-                and getattr(case.pre_step, "ddf", None) is not None)
+            local = local_shape_for(shape, (dx, dy, dz))
+            # the DDF inlet hook is shard-aware for any (Dx, Dy, Dz) split
+            # (bc/vk_inlet.py _ddf_apply shard kwargs)
+            vk_ok = (case.pre_step is None
+                     or getattr(case.pre_step, "ddf", None) is not None)
             use_sharded_pallas = (
                 shape[0] % dz == 0 and shape[1] % dy == 0 and shape[2] % dx == 0
                 and vk_ok
@@ -174,7 +175,7 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         from ..lbm.fields import update_fields
 
         def refresh(st: LBMState) -> LBMState:
-            return update_fields(st, case.config, case.dyn)
+            return update_fields(st, case.config, case.dyn, donate=True)
     else:
         def refresh(st: LBMState) -> LBMState:
             return st

@@ -84,6 +84,25 @@ def test_pallas_bf16_matches_reference():
     _check_pallas_matches_reference(False, (8, 32, 128), "bf16", atol=2e-4)
 
 
+@pytest.mark.parametrize("thermal", [False, True])
+@pytest.mark.parametrize("shape,storage", [
+    ((8, 64, 128), "f32"),     # By=32, J=2 under the shrunken budget
+    ((7, 96, 45), "f32"),      # J=3, unaligned X
+    ((8, 64, 128), "fp16c"),   # rows ride the bit codec
+])
+def test_pallas_tiled_matches_reference(monkeypatch, thermal, shape, storage):
+    """y-tiled kernel (J > 1): cross-tile streaming through the packed
+    neighbor-row slabs must be exact.  The VMEM plane budget is shrunk so
+    tiling engages on CI-sized grids; production engages it when Y*X exceeds
+    the real budget (tile_plan)."""
+    from latticeurbanwind_tpu.ops import stream_collide as sc
+
+    monkeypatch.setattr(sc, "PLANE_BUDGET", 4096)
+    assert sc.tile_plan(shape[1], shape[2]) not in (None, shape[1])
+    atol = 6e-6 if storage == "f32" else 2e-5
+    _check_pallas_matches_reference(thermal, shape, storage, atol=atol)
+
+
 def _check_pallas_matches_reference(thermal, shape, storage, atol):
     import jax
 
@@ -151,6 +170,8 @@ def test_pallas_support_gate():
     from latticeurbanwind_tpu.lbm import StepConfig
     from latticeurbanwind_tpu.ops.stream_collide import pallas_supported
 
+    from latticeurbanwind_tpu.ops.stream_collide import PLANE_BUDGET, tile_plan
+
     cfg = StepConfig(omega=1.0)
     assert pallas_supported((8, 32, 128), cfg)
     # unaligned planes legalize as full-dim blocks (verified on v5e)
@@ -158,4 +179,16 @@ def test_pallas_support_gate():
     assert pallas_supported((31, 250, 333), cfg)
     assert not pallas_supported((2, 32, 128), cfg)     # too few planes
     assert not pallas_supported((8, 4, 128), cfg)      # degenerate plane
-    assert not pallas_supported((8, 1024, 1024), cfg)  # plane exceeds VMEM
+    # planes beyond the VMEM budget y-tile (reference contract: any local
+    # size, kernel.cpp:1486) — (1024, 1024) tiles at By=256
+    assert pallas_supported((8, 1024, 1024), cfg)
+    assert tile_plan(1024, 1024) == 256
+    # the SCALING.md billion-cell slab: 4096 x 3906 plane tiles at By=64
+    assert tile_plan(4096, 3906) == 64
+    assert pallas_supported((63, 4096, 3906), cfg)
+    # no 32-multiple divisor of Y -> unsupported (falls back to jnp tier)
+    assert tile_plan(1026, 1024) is None
+    assert not pallas_supported((8, 1026, 1024), cfg)
+    # untiled planes keep By = Y
+    assert tile_plan(250, 333) == 250
+    assert PLANE_BUDGET == 262144

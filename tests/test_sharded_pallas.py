@@ -107,10 +107,13 @@ def test_sharded_with_forcing_matches_single(split):
     np.testing.assert_allclose(np.asarray(fs.rho), np.asarray(f1.rho), atol=1e-6)
 
 
-def test_sharded_vk_inlet_matches_single():
-    """The synthetic-turbulence inlet under z-sharding: the DDF pre-step
-    localizes its face slab writes by shard z offset (VERDICT item 3 —
-    production urban runs keep the fast tier with the inlet active)."""
+@pytest.mark.parametrize("split", [(1, 1, 2), (2, 2, 1), (2, 1, 2)])
+def test_sharded_vk_inlet_matches_single(split):
+    """The synthetic-turbulence inlet under ANY decomposition: the DDF
+    pre-step slices its face slab writes to the shard's box and masks by
+    face ownership (VERDICT r2 item 3 — production urban runs keep the fast
+    tier with the inlet active under y/x splits too; reference analog
+    setup.cpp:886-976 per-domain point buffers)."""
     from latticeurbanwind_tpu.bc.vk_inlet import (
         VkConfig, build_vk_runtime, make_vk_pre_step,
     )
@@ -127,8 +130,35 @@ def test_sharded_vk_inlet_matches_single():
     def sharded_pre(s, t, **kw):
         return pre.ddf(s, t, **kw)
 
-    sharded = _sharded(cfg, state, forcing, dyn, 4, (1, 1, 2),
+    sharded = _sharded(cfg, state, forcing, dyn, 4, split,
                        pre_step=sharded_pre)
+    np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("split,shape", [
+    ((1, 1, 2), (8, 64, 256)),    # z split: local plane 64x256 y-tiles (J=2)
+    ((2, 2, 1), (6, 128, 256)),   # ghost split: y ghosts widen to 16 so the
+                                  # tiled local Y stays 32-aligned (J=3)
+])
+def test_sharded_tiled_local_plane_matches_single(monkeypatch, split, shape):
+    """Sharded runner composed with the y-TILED kernel: the LOCAL plane
+    exceeds the (shrunken) VMEM budget, so each shard marches J > 1 y-tiles
+    with packed neighbor rows — the configuration that lets billion-cell
+    wide-flat slabs ride the fast tier multi-chip (VERDICT r2 item 1;
+    reference contract: any local_N, lbm.cpp:1125)."""
+    from latticeurbanwind_tpu.ops import stream_collide as sc
+    from latticeurbanwind_tpu.parallel.halo import ghost_widths, local_shape_for
+
+    monkeypatch.setattr(sc, "PLANE_BUDGET", 8192)
+    local = local_shape_for(shape, split)
+    assert local[1] * local[2] > 8192   # the old gate would have refused this
+    assert sc.tile_plan(local[1], local[2]) not in (None, local[1])
+    if split[1] > 1:
+        assert ghost_widths(shape, split)[0] == 16
+    cfg, state, forcing, dyn = _case(shape=shape, with_forcing=True, seed=4)
+    single = _single(cfg, state, forcing, dyn, 3)
+    sharded = _sharded(cfg, state, forcing, dyn, 3, split)
     np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
                                atol=1e-6)
 
