@@ -528,27 +528,38 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
                        y0=None, yl=None, x0=None, xl=None, gy=0, gx=0,
                        west_on=None, east_on=None, south_on=None,
                        north_on=None):
-            from ..lbm.state import decode_ddf, encode_ddf
+            """Refresh the FaceBC face-velocity targets with the perturbed
+            realization at step t.
 
+            The inlet equilibria are applied IN-KERNEL from these targets
+            (ops/stream_collide.py vk sites — the kernel writes every
+            boundary plane anyway, so the application is free; the previous
+            design's post-step lane/row scatter writes into the DDF volumes
+            cost ~6x the whole step in XLA dynamic-update-slices).  The fbc
+            arrays are also the nudge targets, preserving the old coupling.
+            """
             sharded = z0 is not None
             if sharded and permuted:
                 raise NotImplementedError(
                     "sharded VK inlet runs in canonical orientation only")
             fbc = s.fbc
-            own_of = {WEST: west_on, EAST: east_on, SOUTH: south_on,
-                      NORTH: north_on, TOP: top_on}
+            if fbc is None:
+                raise ValueError("VK inlet needs the FaceBC carried targets "
+                                 "(SplitState.fbc) — build with with_fbc=True")
             for f_i, (fid, axis, index, mask, base, sig, trig) in enumerate(faces):
                 if q_faces is not None:   # pre-lerped anchor realization
                     newf = base + sig[None] * q_faces[f_i]
                 else:
                     newf = face_velocity(fid, trig, mask.shape, base, sig, t)
                 m = mask
-                idx = index
                 if sharded:
                     # slice the global face grid to this shard's box.  Rows:
                     # z for w/e/s/n faces, y for top; cols: y for w/e, x for
                     # s/n/top.  Split axes get ghost-edge padding so slices
-                    # line up with the ghost-extended local slabs.
+                    # line up with the ghost-extended local fbc arrays.
+                    # Updates are UNMASKED by ownership: shards that do not
+                    # own a face hold replicated fbc copies, and identical
+                    # math keeps the replicas consistent.
                     _, _, rs, cs = FACE_DEF[fid]
                     row = (z0, zl, 0) if rs == "z" else (y0, yl, gy)
                     col = (y0, yl, gy) if cs == "y" else (x0, xl, gx)
@@ -558,50 +569,35 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
                     if col[0] is not None:
                         m = _slice_pad(m, 1, *col)
                         newf = _slice_pad(newf, 2, *col)
-                    # boundary slab index shifts past the ghost layers
-                    if axis == 3:
-                        idx = gx if index == 0 else -(gx + 1)
-                    elif axis == 2:
-                        idx = gy if index == 0 else -(gy + 1)
-                # fbc targets update UNMASKED (they are replicated across
-                # shards that do not own the face — identical math keeps the
-                # replicas consistent); the DDF write is ownership-masked
-                m_fbc = m
-                own = own_of[fid]
-                if sharded and own is not None:
-                    m = m * own
-                q0, qp, qm = feq19(newf)
-                for arr_name, qv in (("f0", q0), ("fp", qp), ("fm", qm)):
-                    arr = getattr(s, arr_name)
-                    if axis == 1:
-                        cur = decode_ddf(arr[:, idx], storage)
-                        upd = encode_ddf(m[None] * qv + (1.0 - m[None]) * cur,
-                                         storage)
-                        arr = arr.at[:, idx].set(upd)
-                    elif axis == 2:
-                        cur = decode_ddf(arr[:, :, idx], storage)
-                        upd = encode_ddf(m[None] * qv + (1.0 - m[None]) * cur,
-                                         storage)
-                        arr = arr.at[:, :, idx].set(upd)
-                    else:
-                        cur = decode_ddf(arr[:, :, :, idx], storage)
-                        upd = encode_ddf(m[None] * qv + (1.0 - m[None]) * cur,
-                                         storage)
-                        arr = arr.at[:, :, :, idx].set(upd)
-                    s = s._replace(**{arr_name: arr})
-                if fbc is not None:
-                    field = FBC_FIELD[(axis, index if index >= 0 else -1)]
-                    cur = getattr(fbc, field)
-                    if axis == 1:       # ut/ub hold (3, R, C) directly
-                        upd = m_fbc[None] * newf + (1.0 - m_fbc[None]) * cur
-                    else:               # z-leading (R, 3, C) face layout
-                        upd = (m_fbc[:, None] * newf.swapaxes(0, 1)
-                               + (1.0 - m_fbc[:, None]) * cur)
-                    fbc = fbc._replace(**{field: upd})
-            if fbc is not None:
-                s = s._replace(fbc=fbc)
-            return s
+                field = FBC_FIELD[(axis, index if index >= 0 else -1)]
+                cur = getattr(fbc, field)
+                if axis == 1:       # ut/ub hold (3, R, C) directly
+                    upd = m[None] * newf + (1.0 - m[None]) * cur
+                else:               # z-leading (R, 3, C) face layout
+                    upd = (m[:, None] * newf.swapaxes(0, 1)
+                           + (1.0 - m[:, None]) * cur)
+                fbc = fbc._replace(**{field: upd})
+            return s._replace(fbc=fbc)
 
+        # --- kernel site spec: where/how the pallas kernel applies the ----
+        # --- inlet equilibria from the FaceBC targets ---------------------
+        SITE_OF = {(3, 0): "lane0", (3, -1): "laneL", (2, 0): "row0",
+                   (2, -1): "rowL", (1, -1): "planeL", (1, 0): "plane0"}
+        sites = []
+        site_masks = {}
+        for fid, axis, index, mask, base, sig, trig in faces:
+            kind = SITE_OF[(axis, index if index >= 0 else -1)]
+            field = FBC_FIELD[(axis, index if index >= 0 else -1)]
+            m = np.asarray(mask)
+            # lane/row masks reshape to (Z', 1, Y'/X') so their kernel
+            # blocks legalize (second-minor dim 1 equals the full dim)
+            site_masks[field] = m if kind in ("planeL", "plane0") \
+                else m[:, None, :]
+            sites.append((kind, field))
+        ddf_pre_step.kernel_spec = {
+            "sites": tuple(sites),
+            "masks": {k: jnp.asarray(v) for k, v in site_masks.items()},
+        }
         ddf_pre_step.init_aux = init_aux
         pre_step.ddf_variant = ddf_pre_step
         return pre_step

@@ -56,12 +56,12 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
     import jax.numpy as jnp
 
     def loop(step_fn, state0, dyn, t0, n_steps, hook=pre_step, post=False):
-        """post=False: hook runs before each step (reference tier — the VK
-        hook presets the u field the kernel reads).  post=True: hook runs
-        after each step (pure-DDF tiers — the inlet equilibria written at the
-        end of step t are what neighbors stream during step t+1, matching
-        the reference timing where stream_collide converts the pre-set u
-        into post-collision feq only at the END of its own step)."""
+        """post=False: hook runs before each step — the reference tier's VK
+        hook presets the u field the kernel reads, and the pallas tiers' ddf
+        hook refreshes the FaceBC targets the kernel's in-kernel inlet sites
+        consume (the kernel at step t then emits feq(realization t), which
+        neighbors stream during t+1 — reference timing, setup.cpp:4869).
+        post=True is retained for hooks that rewrite state after a step."""
         def body(i, st):
             t = t0 + i
             if hook is not None and not post:
@@ -95,18 +95,24 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
             build_face_bc, make_pallas_step, merge_state, split_state,
         )
 
-        step = make_pallas_step(config, forcing, shape)
+        vk_spec = getattr(pre_step_ddf, "kernel_spec", None)
+        step = make_pallas_step(config, forcing, shape, vk=vk_spec)
 
         def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc):
             s = split_state(state)._replace(fbc=fbc)
+            if step.uses_rows:   # y-tiled kernel: seed the carried rows
+                rl, rh = step.init_rows(s)
+                s = s._replace(rows_lo=rl, rows_hi=rh)
             if pre_step_ddf is not None and hasattr(pre_step_ddf, "init_aux"):
                 s = s._replace(aux=pre_step_ddf.init_aux(s, t0))
             out = loop(step, s, dyn, jnp.asarray(t0, jnp.int32), n_steps,
-                       hook=pre_step_ddf, post=True)
+                       hook=pre_step_ddf, post=False)
             return merge_state(out), out.fbc
 
         def init_fbc(state: LBMState):
-            return build_face_bc(state.u, state.T) if has_forcing else None
+            if not (has_forcing or vk_spec):
+                return None
+            return build_face_bc(state.u, state.T)
 
         impl_name = "pallas"
     elif use_permuted:
@@ -116,18 +122,22 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
         )
         from ..ops.stream_collide import build_face_bc, merge_state, split_state
 
-        step = make_permuted_pallas_step(config, forcing, shape)
+        vk_spec_p = getattr(pre_step_pddf, "kernel_spec", None)
+        step = make_permuted_pallas_step(config, forcing, shape, vk=vk_spec_p)
 
         def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc):
             s = split_state(permute_state(state))._replace(fbc=fbc)
+            if step.uses_rows:   # y-tiled kernel: seed the carried rows
+                rl, rh = step.init_rows(s)
+                s = s._replace(rows_lo=rl, rows_hi=rh)
             if pre_step_pddf is not None and hasattr(pre_step_pddf, "init_aux"):
                 s = s._replace(aux=pre_step_pddf.init_aux(s, t0))
             out = loop(step, s, permute_dyn(dyn), jnp.asarray(t0, jnp.int32),
-                       n_steps, hook=pre_step_pddf, post=True)
+                       n_steps, hook=pre_step_pddf, post=False)
             return unpermute_state(merge_state(out)), out.fbc
 
         def init_fbc(state: LBMState):
-            if not has_forcing:
+            if not (has_forcing or vk_spec_p):
                 return None
             p = permute_state(state)
             return build_face_bc(p.u, p.T, sponge_axis="y")

@@ -107,17 +107,19 @@ def permute_forcing(forcing: Forcing) -> Forcing:
     )
 
 
-def make_permuted_pallas_step(config, forcing: Forcing, shape):
+def make_permuted_pallas_step(config, forcing: Forcing, shape, *, vk=None):
     """Pallas step operating on PERMUTED-layout SplitStates.
 
     `shape` is the CANONICAL grid shape; the returned step expects/returns
     split states in the transposed (Y, Z, X) orientation.  The stepper
     (lbm/stepper.py) permutes once per scan chunk — outside the step loop —
-    so the per-step cost is identical to the canonical kernel.
+    so the per-step cost is identical to the canonical kernel.  `vk` is the
+    PERMUTED inlet kernel spec (the VK hook's ddf_permuted.kernel_spec —
+    its sites/masks are already expressed in the transposed frame).
     """
     from .stream_collide import make_pallas_step
 
     return make_pallas_step(
         config, permute_forcing(forcing), permute_shape(shape),
-        vertical_comp=1, sponge_axis="y",
+        vertical_comp=1, sponge_axis="y", vk=vk,
     )

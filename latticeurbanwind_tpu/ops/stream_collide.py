@@ -135,6 +135,11 @@ class SplitState(NamedTuple):
     T: Optional[jnp.ndarray] = None
     fbc: Optional[FaceBC] = None
     aux: Optional[tuple] = None   # hook-carried state (e.g. VK anchor fields)
+    # y-tiled kernels carry each (tile, z)'s boundary rows (first row in
+    # rows_lo, last in rows_hi, layout R_* slots) — written by the kernel as
+    # extra outputs, so cross-tile shifts never re-gather rows from HBM
+    rows_lo: Optional[jnp.ndarray] = None   # (J, Z, NRh, X) storage bits
+    rows_hi: Optional[jnp.ndarray] = None
 
 
 def build_face_bc(u: jnp.ndarray, T: Optional[jnp.ndarray] = None,
@@ -319,7 +324,8 @@ def _rollt(tile, below, above, cy: int, cx: int):
 
 def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int, int],
                      halo_mode: bool = False, *, vertical_comp: int = 2,
-                     sponge_axis: str = "z"):
+                     sponge_axis: str = "z", vk=None,
+                     vk_offsets: Tuple[int, int] = (0, 0)):
     """Build `step(split_state, dyn) -> split_state` for a fixed grid shape.
 
     halo_mode=True builds the per-shard variant used under shard_map: the
@@ -330,6 +336,19 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     (ops/permute.py): under the z<->y transposition the physically-vertical
     velocity component is index 1 and the top-sponge profile runs along the
     sublane (y) axis with the permuted north face as its reference plane.
+
+    `vk` is the inlet kernel spec exported by the VK hook
+    (bc/vk_inlet.py ddf_pre_step.kernel_spec): {"sites": ((kind, field),..),
+    "masks": {field: array}}.  The kernel then OVERWRITES the listed
+    boundary sites of its outputs with feq(rho=1, FaceBC velocity) blended
+    by the static masks — the inlet application rides the kernel's existing
+    boundary-plane writes instead of post-hoc XLA scatter updates (which
+    cost multiples of a whole step in minor-dim dynamic-update-slices).
+    The VK hook must then run PRE-step: the kernel at step t emits
+    feq(realization t), which neighbors stream during t+1 — the same timing
+    as the reference's vk_inlet_apply before run(1) (setup.cpp:4869-4880).
+    `vk_offsets` = (gy, gx) ghost widths shift the lane/row site indices
+    under the ghost-sharded runner.
     """
     Z, Y, X = shape
     if not pallas_supported(shape, config):
@@ -345,17 +364,28 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     has_nudge = forcing.nudge_sigma is not None
     has_sponge = forcing.sponge_sigma_z is not None
     has_forcing = has_nudge or has_sponge
+    has_faces = has_forcing or vk is not None
+    vk_sites = tuple(vk["sites"]) if vk else ()
+    # apply full planes first, then rows, then lanes: later sites read the
+    # current output back (dec o enc idempotent at mask 0/1), so overlaps
+    # at corners and the top plane resolve to the owning face's value
+    _SITE_ORDER = {"planeL": 0, "plane0": 0, "row0": 1, "rowL": 1,
+                   "lane0": 2, "laneL": 2}
+    vk_sites = tuple(sorted(vk_sites, key=lambda s: _SITE_ORDER[s[0]]))
+    gyo, gxo = vk_offsets
     nudge_vertical = forcing.nudge_vertical
     dec, enc = _make_codec(storage)
 
     NPROG = Z + 2  # two warm-up programs fill the plane-carry scratch (per tile)
 
-    # packed neighbor-row slot layout (tiled path): per (tile, z) one (NR, X)
-    # slab; slot base + 2k (below) / base + 2k + 1 (above) per channel k
-    S_F0, S_FP, S_FM, S_SOL = 0, 18, 28, 38
-    S_G0, S_GP, S_GM = 44, 54, 56
-    NROWS = 58 if thermal else 44
-    NR = -(-NROWS // 16) * 16          # sublane-pad (16-bit storage dtypes)
+    # carried boundary-row slot layout (tiled path): rows_lo holds row 0 of
+    # each (tile, z), rows_hi holds row By-1 — written by the kernel itself
+    # as extra (1, 1, NRh, X) outputs (a copy of rows it just computed), so
+    # the cross-tile y-shifts cost ~2*NRh/(19*By) extra traffic instead of
+    # the pathological strided XLA row gather (~1 us per row DMA).
+    R_F0, R_FP, R_FM, R_SOL = 0, 9, 14, 19
+    R_G0, R_GP, R_GM = 20, 25, 26
+    NRH = 27 if thermal else 20
 
     # ---------------- kernel ----------------
 
@@ -365,18 +395,25 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         fp_ref = next(it)      # (5,1,By,X) @ z          (own; z-1 from scratch)
         fm_ref = next(it)      # (5,1,By,X) @ z+1        (stream; own from scratch)
         fl_ref = next(it)      # (1,By,X) flags @ z+1    (z, z-1 from scratch)
-        rows_ref = next(it) if tiled else None   # (1,1,NR,X) neighbor rows
+        if tiled:
+            # neighbor tiles' carried boundary rows @ z+1 (z, z-1 arrive
+            # through the rows scratch rotation, like the flags planes)
+            rlo_ref = next(it)   # (1,1,NRh,X): tile j+1's row 0 ("above")
+            rhi_ref = next(it)   # (1,1,NRh,X): tile j-1's row By-1 ("below")
         dyn_ref = next(it)     # (1,8) SMEM
         if has_forcing:
             nsig_ref = next(it)   # (1,By,X)
             nface_ref = next(it)  # (1,By,X) uint8
+        if has_faces:
             uw_ref = next(it)     # (1,3,By)  z-leading layout for tiling rules
             ue_ref = next(it)
             us_ref = next(it)     # (1,3,X)
             un_ref = next(it)
             ut_ref = next(it)     # (3,By,X) static top target
             ub_ref = next(it)     # (3,By,X)
+        if has_forcing:
             ssig_ref = next(it)   # axis z: (Z,1) SMEM profile; axis y: (By,X) VMEM
+        vk_mask_refs = [next(it) for _ in vk_sites]
         if thermal:
             g0_ref = next(it)     # (5,1,By,X) @ z
             gp_ref = next(it)     # (1,1,By,X) @ z
@@ -390,6 +427,9 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             g0_out = next(it)
             gp_out = next(it)
             gm_out = next(it)
+        if tiled:
+            rlo_out = next(it)   # (1,1,NRh,X) this tile's row 0 @ z
+            rhi_out = next(it)   # (1,1,NRh,X) this tile's row By-1 @ z
         # scratch (plane carry across sequential grid programs, DECODED f32 —
         # the bit codecs run once per fetched plane)
         fp_scr = next(it)      # (5,By,X) f32: fp @ z-1
@@ -398,8 +438,12 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         if thermal:
             gp_scr = next(it)  # (1,By,X) f32: gp @ z-1
             gm_scr = next(it)  # (1,By,X) f32: gm @ z
+        if tiled:
+            rlo_scr = next(it)  # (2,NRh,X) storage bits: rows_lo @ [z-1, z]
+            rhi_scr = next(it)  # (2,NRh,X)
 
         q = pl.program_id(1)
+        jprog = pl.program_id(0)
 
         # own fp / stream fm planes decoded once per program: used for the
         # own-value opposites now AND written decoded into the carry scratch
@@ -438,31 +482,42 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             sol_m1 = ((fl_scr[0].astype(jnp.int32) & TYPE_S) != 0).astype(jnp.float32)
             sol_p1 = ((fl_ref[0].astype(jnp.int32) & TYPE_S) != 0).astype(jnp.float32)
 
-            # neighbor rows (tiled): decoded lazily, once per used slot
+            # neighbor rows (tiled): below = tile j-1's row By-1 (rows_hi),
+            # above = tile j+1's row 0 (rows_lo); z-1/z planes from the
+            # scratch rotation, z+1 from this program's fetch.  Decoded
+            # lazily, once per used (side, zkind, slot).
             row_cache = {}
 
-            def row(s):
-                if s not in row_cache:
-                    row_cache[s] = dec(rows_ref[0, 0, s:s + 1, :])
-                return row_cache[s]
+            def row(side, zk, slot):
+                key = (side, zk, slot)
+                if key not in row_cache:
+                    scr = (rhi_scr, rlo_scr)[side]
+                    ref = (rhi_ref, rlo_ref)[side]
+                    if zk == 2:
+                        r = ref[0, 0, slot:slot + 1, :]
+                    else:
+                        r = scr[zk, slot:slot + 1, :]     # 0: z-1, 1: z
+                    row_cache[key] = dec(r)
+                return row_cache[key]
+
+            # group -> z-kind of its stream source: g0 @ z (1), g+ @ z-1
+            # (0), g- @ z+1 (2)
+            _GZK = (1, 0, 2)
 
             def src(g, k):
                 """(tile, below, above) of the STREAM source for group g."""
                 tile = (own_f0, st_fp, st_fm)[g][k]
                 if tiled:
-                    base = (S_F0, S_FP, S_FM)[g] + 2 * k
-                    return tile, row(base), row(base + 1)
+                    slot = (R_F0, R_FP, R_FM)[g] + k
+                    zk = _GZK[g]
+                    return tile, row(0, zk, slot), row(1, zk, slot)
                 return tile, tile[-1:], tile[:1]
-
-            # group -> z-kind of its solid-mask source: g0 @ z, g+ @ z-1,
-            # g- @ z+1 (slot order in S_SOL is z-1, z, z+1)
-            _SOLK = (1, 0, 2)
 
             def solsrc(g):
                 tile = (solid_f, sol_m1, sol_p1)[g]
                 if tiled:
-                    base = S_SOL + 2 * _SOLK[g]
-                    return tile, row(base), row(base + 1)
+                    zk = _GZK[g]
+                    return tile, row(0, zk, R_SOL), row(1, zk, R_SOL)
                 return tile, tile[-1:], tile[:1]
 
             # own-plane values per direction (bounce-back opposites and the
@@ -559,13 +614,14 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 def g_src(d):
                     g_id = 0 if int(C7[d, 2]) == 0 else (1 if int(C7[d, 2]) == 1 else 2)
                     if g_id == 0:
-                        tile, base = g_st[d], S_G0 + 2 * d
+                        tile, slot = g_st[d], R_G0 + d
                     elif g_id == 1:
-                        tile, base = g_st[5], S_GP
+                        tile, slot = g_st[5], R_GP
                     else:
-                        tile, base = g_st[6], S_GM
+                        tile, slot = g_st[6], R_GM
                     if tiled:
-                        return g_id, tile, row(base), row(base + 1)
+                        zk = _GZK[g_id]
+                        return g_id, tile, row(0, zk, slot), row(1, zk, slot)
                     return g_id, tile, tile[-1:], tile[:1]
 
                 gpl = [None] * 7
@@ -694,6 +750,102 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 gp_out[0, 0] = enc(g_post[5])
                 gm_out[0, 0] = enc(g_post[6])
 
+            # ---- VK inlet sites: overwrite boundary outputs with --------
+            # ---- feq(rho=1, FaceBC velocity), mask-blended --------------
+            if vk_sites:
+                def feq_vk(ux, uy, uz):
+                    """DDF-shifted D3Q19 equilibria at rho=1 (matches the
+                    inlet contract: boundary density pinned at 1)."""
+                    c3v = -3.0 * (ux * ux + uy * uy + uz * uz)
+                    fe = [None] * 19
+                    fe[0] = (1.0 / 3.0) * (0.5 * c3v)
+                    for d in range(1, 19, 2):
+                        cx, cy, cz = (int(v) for v in C19[d])
+                        w = float(W19[d])
+                        od = int(OPP19[d])
+                        cu = 3.0 * ((cx * ux if cx else 0.0)
+                                    + (cy * uy if cy else 0.0)
+                                    + (cz * uz if cz else 0.0))
+                        b = w * (0.5 * (cu * cu + c3v))
+                        fe[d] = b + w * cu
+                        fe[od] = b - w * cu
+                    return fe
+
+                def out_of(d):
+                    g, k = _D2G[d]
+                    return (f0_out, fp_out, fm_out)[g], k
+
+                def blend_writes(fe, m, sl_y, sl_x):
+                    # read the CURRENT output back so overlapping sites
+                    # compose (masks are exactly 0/1; dec(enc(x)) -> enc(x))
+                    for d in range(19):
+                        oref, k = out_of(d)
+                        cur = dec(oref[k, 0, sl_y, sl_x])
+                        oref[k, 0, sl_y, sl_x] = enc(
+                            m * fe[d] + (1.0 - m) * cur)
+
+                for si, (kind, field) in enumerate(vk_sites):
+                    mref = vk_mask_refs[si]
+                    if kind in ("lane0", "laneL"):
+                        lane = gxo if kind == "lane0" else X - 1 - gxo
+                        uv = (uw_ref if field == "uw" else ue_ref)[0]
+                        m = mref[0, 0][:, None]                  # (By, 1)
+                        fe = feq_vk(uv[0][:, None], uv[1][:, None],
+                                    uv[2][:, None])
+                        blend_writes(fe, m, slice(None), slice(lane, lane + 1))
+                    elif kind in ("row0", "rowL"):
+                        t_idx = 0 if kind == "row0" else J - 1
+                        r = gyo if kind == "row0" else By - 1 - gyo
+                        uv = (us_ref if field == "us" else un_ref)[0]
+                        m = mref[0, 0][None, :]                  # (1, X)
+                        fe = feq_vk(uv[0][None, :], uv[1][None, :],
+                                    uv[2][None, :])
+
+                        def _row_site(fe=fe, m=m, r=r, t_idx=t_idx):
+                            blend_writes(fe, m, slice(r, r + 1), slice(None))
+
+                        pl.when(jprog == t_idx)(_row_site)
+                    else:                                        # plane sites
+                        qsite = NPROG - 1 if kind == "planeL" else 2
+                        uv = (ut_ref if field == "ut" else ub_ref)[:]
+                        m = mref[:]                              # (By, X)
+                        fe = feq_vk(uv[0], uv[1], uv[2])
+
+                        def _plane_site(fe=fe, m=m):
+                            blend_writes(fe, m, slice(None), slice(None))
+
+                        pl.when(q == qsite)(_plane_site)
+
+            if tiled:
+                # carry this tile's boundary rows for the next step — encoded
+                # copies of the final outputs (including inlet overwrites)
+                for k in range(9):
+                    rlo_out[0, 0, R_F0 + k:R_F0 + k + 1, :] = \
+                        f0_out[k, 0, 0:1, :]
+                    rhi_out[0, 0, R_F0 + k:R_F0 + k + 1, :] = \
+                        f0_out[k, 0, By - 1:By, :]
+                for k in range(5):
+                    rlo_out[0, 0, R_FP + k:R_FP + k + 1, :] = \
+                        fp_out[k, 0, 0:1, :]
+                    rhi_out[0, 0, R_FP + k:R_FP + k + 1, :] = \
+                        fp_out[k, 0, By - 1:By, :]
+                    rlo_out[0, 0, R_FM + k:R_FM + k + 1, :] = \
+                        fm_out[k, 0, 0:1, :]
+                    rhi_out[0, 0, R_FM + k:R_FM + k + 1, :] = \
+                        fm_out[k, 0, By - 1:By, :]
+                rlo_out[0, 0, R_SOL:R_SOL + 1, :] = enc(solid_f[0:1])
+                rhi_out[0, 0, R_SOL:R_SOL + 1, :] = enc(solid_f[By - 1:By])
+                if thermal:
+                    for k in range(5):
+                        rlo_out[0, 0, R_G0 + k:R_G0 + k + 1, :] = \
+                            g0_out[k, 0, 0:1, :]
+                        rhi_out[0, 0, R_G0 + k:R_G0 + k + 1, :] = \
+                            g0_out[k, 0, By - 1:By, :]
+                    rlo_out[0, 0, R_GP:R_GP + 1, :] = gp_out[0, 0, 0:1, :]
+                    rhi_out[0, 0, R_GP:R_GP + 1, :] = gp_out[0, 0, By - 1:By, :]
+                    rlo_out[0, 0, R_GM:R_GM + 1, :] = gm_out[0, 0, 0:1, :]
+                    rhi_out[0, 0, R_GM:R_GM + 1, :] = gm_out[0, 0, By - 1:By, :]
+
         # ---- plane-carry scratch rotation (runs every program) -------------
         fl_scr[0] = fl_scr[1]
         fl_scr[1] = fl_ref[0]
@@ -702,6 +854,11 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         if thermal:
             gp_scr[:] = dgp
             gm_scr[:] = dgm
+        if tiled:
+            rlo_scr[0] = rlo_scr[1]
+            rlo_scr[1] = rlo_ref[0, 0]
+            rhi_scr[0] = rhi_scr[1]
+            rhi_scr[1] = rhi_ref[0, 0]
 
     # ---------------- specs ----------------
 
@@ -733,12 +890,20 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         v((1, By, X), lambda j, q: (zfl(q), j, 0)),
     ]
     if tiled:
-        in_specs += [v((1, 1, NR, X), lambda j, q: (j, zo(q), 0, 0))]
+        # carried rows @ z+1 enter per program (z/z-1 via scratch rotation,
+        # same cadence as the flags planes — zfl covers all three)
+        in_specs += [
+            v((1, 1, NRH, X), lambda j, q: ((j + 1) % J, zfl(q), 0, 0)),
+            v((1, 1, NRH, X), lambda j, q: ((j - 1) % J, zfl(q), 0, 0)),
+        ]
     in_specs += [sm((1, 8), lambda j, q: (0, 0))]
     if has_forcing:
         in_specs += [
             v((1, By, X), lambda j, q: (zo(q), j, 0)),
             v((1, By, X), lambda j, q: (zo(q), j, 0)),
+        ]
+    if has_faces:
+        in_specs += [
             v((1, 3, By), lambda j, q: (zo(q), 0, j)),
             v((1, 3, By), lambda j, q: (zo(q), 0, j)),
             v((1, 3, X), lambda j, q: (zo(q), 0, 0)),
@@ -746,9 +911,17 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             v((3, By, X), lambda j, q: (0, j, 0)),   # top plane target
             v((3, By, X), lambda j, q: (0, j, 0)),   # bottom plane target
         ]
+    if has_forcing:
         if sponge_axis == "z":
             in_specs += [sm((Z, 1), lambda j, q: (0, 0))]
         else:
+            in_specs += [v((By, X), lambda j, q: (j, 0))]
+    for kind, _field in vk_sites:
+        if kind in ("lane0", "laneL"):       # mask (Z, 1, Y)
+            in_specs += [v((1, 1, By), lambda j, q: (zo(q), 0, j))]
+        elif kind in ("row0", "rowL"):       # mask (Z, 1, X)
+            in_specs += [v((1, 1, X), lambda j, q: (zo(q), 0, 0))]
+        else:                                # mask (Y, X)
             in_specs += [v((By, X), lambda j, q: (j, 0))]
     if thermal:
         in_specs += [
@@ -780,6 +953,9 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             v((1, 1, By, X), lambda j, q: (0, zo(q), j, 0)),
             v((1, 1, By, X), lambda j, q: (0, zo(q), j, 0)),
         ]
+    if tiled:
+        out_shapes += [jax.ShapeDtypeStruct((J, Z, NRH, X), sdt)] * 2
+        out_specs += [v((1, 1, NRH, X), lambda j, q: (j, zo(q), 0, 0))] * 2
 
     scratch = [
         pltpu.VMEM((5, By, X), jnp.float32),
@@ -789,6 +965,9 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     if thermal:
         scratch += [pltpu.VMEM((1, By, X), jnp.float32),
                     pltpu.VMEM((1, By, X), jnp.float32)]
+    if tiled:
+        scratch += [pltpu.VMEM((2, NRH, X), sdt),
+                    pltpu.VMEM((2, NRH, X), sdt)]
 
     import os
 
@@ -840,63 +1019,50 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             return a
 
     if tiled:
-        # static boundary-row indices per tile: below = last row of tile j-1,
-        # above = first row of tile j+1 (periodic wrap, matching _rollt)
-        rb = np.array([(t * By - 1) % Y for t in range(J)])
-        ra = np.array([((t + 1) * By) % Y for t in range(J)])
-        ridx = np.stack([rb, ra], axis=1).reshape(-1)        # (2J,)
-
-        def gather_rows(arr):
-            """(C, Zs, Y, X) -> (J, Zs, 2C, X); slot 2k=below, 2k+1=above."""
-            C_, Zs = int(arr.shape[0]), int(arr.shape[1])
-            g = arr[:, :, ridx, :].reshape(C_, Zs, J, 2, X)
-            return g.transpose(2, 1, 0, 3, 4).reshape(J, Zs, 2 * C_, X)
-
         def enc_host(x):
             return bits(encode_ddf(x, storage))
 
-        def build_rows(f0b, fpb, fmb, fl_in, g0b=None, gpb=None, gmb=None):
-            """Pack the per-(tile, z) neighbor-row slab consumed by program
-            (j, z+2): f0 @ z, fp @ z-1, fm @ z+1, solid masks @ z-1/z/z+1,
-            thermal g0/gp/gm — slot layout matches the kernel's S_* bases."""
-            r_f0 = gather_rows(f0b)                          # (J, Z, 18, X)
-            if halo_mode:
-                r_fp = gather_rows(fpb)[:, :Z]               # fp @ z-1
-                r_fm = gather_rows(fmb)[:, 1:Z + 1]          # fm @ z+1
-            else:
-                r_fp = jnp.roll(gather_rows(fpb), 1, axis=1)
-                r_fm = jnp.roll(gather_rows(fmb), -1, axis=1)
-            r_fl = gather_rows(fl_in[None])                  # (J, Zf, 2, X)
-            if halo_mode:
-                sol_parts = [r_fl[:, 0:Z], r_fl[:, 1:Z + 1], r_fl[:, 2:Z + 2]]
-            else:
-                sol_parts = [jnp.roll(r_fl, 1, axis=1), r_fl,
-                             jnp.roll(r_fl, -1, axis=1)]
-            sol = jnp.concatenate(sol_parts, axis=2).astype(jnp.int32)
-            r_sol = enc_host(((sol & TYPE_S) != 0).astype(jnp.float32))
-            parts = [r_f0, r_fp, r_fm, r_sol]
-            if thermal:
-                parts.append(gather_rows(g0b))
-                if halo_mode:
-                    parts.append(gather_rows(gpb)[:, :Z])
-                    parts.append(gather_rows(gmb)[:, 1:Z + 1])
-                else:
-                    parts.append(jnp.roll(gather_rows(gpb), 1, axis=1))
-                    parts.append(jnp.roll(gather_rows(gmb), -1, axis=1))
-            rows = jnp.concatenate(parts, axis=2)
-            pad = NR - rows.shape[2]
-            if pad:
-                rows = jnp.concatenate(
-                    [rows, jnp.zeros((J, Z, pad, X), rows.dtype)], axis=2)
-            return rows
+        def _edge_rows(arr, r):
+            """(C, Z, Y, X) -> (J, Z, C, X): row r of every y-tile."""
+            C_ = int(arr.shape[0])
+            v = arr.reshape(C_, Z, J, By, X)[:, :, :, r, :]
+            return v.transpose(2, 1, 0, 3)
+
+        def init_rows(s: SplitState):
+            """(rows_lo, rows_hi) for the CURRENT split state — the slow
+            strided extraction, paid once per chunk (the kernel maintains
+            the rows as extra outputs afterwards).  Own-plane layout: slot
+            z of tile j holds that tile's boundary rows at plane z."""
+            solb = enc_host(((s.flags.astype(jnp.int32) & TYPE_S) != 0)
+                            .astype(jnp.float32))[None]
+
+            def side(r):
+                parts = [_edge_rows(bits(s.f0), r), _edge_rows(bits(s.fp), r),
+                         _edge_rows(bits(s.fm), r), _edge_rows(solb, r)]
+                if thermal:
+                    parts += [_edge_rows(bits(s.g0), r),
+                              _edge_rows(bits(s.gp), r),
+                              _edge_rows(bits(s.gm), r)]
+                return jnp.concatenate(parts, axis=2)
+
+            return side(0), side(By - 1)
+    else:
+        init_rows = None
+
+    vk_masks = dict(vk["masks"]) if vk else {}
 
     def step(s: SplitState, dyn: DynParams, *, fp_halo=None, fm_halo=None,
              flb_halo=None, fla_halo=None, gp_halo=None, gm_halo=None,
-             forcing_loc=None) -> SplitState:
+             rlo_hb=None, rlo_ha=None, rhi_hb=None, rhi_ha=None,
+             forcing_loc=None, vk_loc=None) -> SplitState:
         """`forcing_loc` (sharded path): dict overriding the closure forcing
         with per-shard slices — keys nudge_sigma (zs,Y,X), nudge_face,
         sponge_z (zs,1).  Face targets always come from s.fbc when forcing
-        is active (build_face_bc)."""
+        or the VK inlet is active (build_face_bc).  `vk_loc` overrides the
+        closure inlet masks with per-shard sliced/ownership-masked ones.
+        Tiled kernels additionally consume/produce the carried boundary-row
+        arrays (s.rows_lo/rows_hi — seed with step.init_rows once per
+        chunk); rlo_hb/... are their z-halo planes under z-sharding."""
         dyn_arr = jnp.concatenate([
             dyn.force.astype(jnp.float32),
             dyn.omega_coriolis.astype(jnp.float32),
@@ -918,33 +1084,55 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 gp_in, gm_in = s.gp, s.gm
             g0b, gpb, gmb = bits(s.g0), bits(gp_in), bits(gm_in)
         if tiled:
-            args += [build_rows(f0b, fpb, fmb, fl_in,
-                                *( (g0b, gpb, gmb) if thermal else () ))]
+            if s.rows_lo is None:
+                raise ValueError("tiled kernel needs the carried rows — seed "
+                                 "the split state via step.init_rows")
+            if halo_mode:
+                rlo_in = jnp.concatenate([rlo_hb, s.rows_lo, rlo_ha], axis=1)
+                rhi_in = jnp.concatenate([rhi_hb, s.rows_hi, rhi_ha], axis=1)
+            else:
+                rlo_in, rhi_in = s.rows_lo, s.rows_hi
+            args += [rlo_in, rhi_in]
         args += [dyn_arr]
-        if has_forcing:
-            fl = forcing_loc or {}
+        fl = forcing_loc or {}
+        if has_faces:
             fbc = s.fbc
             if fbc is None:
-                raise ValueError("forcing is active but SplitState.fbc is None "
-                                 "— build the split state with with_fbc=True")
+                raise ValueError("forcing/inlet is active but SplitState.fbc "
+                                 "is None — build the split state with "
+                                 "with_fbc=True")
+        if has_forcing:
             args += [
                 fl.get("nudge_sigma", nudge_sigma),
                 fl.get("nudge_face", nudge_face),
-                fbc.uw, fbc.ue, fbc.us, fbc.un, fbc.ut, fbc.ub,
-                fl.get("sponge_z", sponge_z),
             ]
+        if has_faces:
+            args += [fbc.uw, fbc.ue, fbc.us, fbc.un, fbc.ut, fbc.ub]
+        if has_forcing:
+            args += [fl.get("sponge_z", sponge_z)]
+        if vk_sites:
+            vl = vk_loc or {}
+            args += [vl.get(field, vk_masks[field]) for _k, field in vk_sites]
         if thermal:
             if has_forcing:
                 t_tgt = s.fbc.tt
             else:
                 t_tgt = (s.T[-1] if sponge_axis == "z" else s.T[:, -1, :])
             args += [g0b, gpb, gmb, t_tgt]
-        out = call(*args)
+        out = list(call(*args))
+        rep = {}
+        if tiled:
+            rep["rows_hi"] = out.pop()
+            rep["rows_lo"] = out.pop()
         if thermal:
             f0, fp, fm, g0, gp, gm = out
-            return s._replace(f0=unbits(f0), fp=unbits(fp), fm=unbits(fm),
-                              g0=unbits(g0), gp=unbits(gp), gm=unbits(gm))
-        f0, fp, fm = out
-        return s._replace(f0=unbits(f0), fp=unbits(fp), fm=unbits(fm))
+            rep.update(f0=unbits(f0), fp=unbits(fp), fm=unbits(fm),
+                       g0=unbits(g0), gp=unbits(gp), gm=unbits(gm))
+        else:
+            f0, fp, fm = out
+            rep.update(f0=unbits(f0), fp=unbits(fp), fm=unbits(fm))
+        return s._replace(**rep)
 
+    step.uses_rows = tiled
+    step.init_rows = init_rows
     return step

@@ -180,8 +180,17 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
         nudge_vertical=forcing.nudge_vertical,
         sponge_sigma_z=(jnp.zeros(zl, jnp.float32) if has_sponge else None),
     )
+    # inlet kernel spec (bc/vk_inlet.py): sites compiled into the kernel,
+    # global masks sliced per shard (ownership-scaled) through vk_loc
+    vk_spec = getattr(pre_step, "kernel_spec", None) if pre_step else None
+    if pre_step is not None and vk_spec is None:
+        raise ValueError(
+            "pre_step has no .kernel_spec — pass the VK ddf hook itself "
+            "(bc/vk_inlet.py make_vk_pre_step(...).ddf), not a wrapper: the "
+            "inlet equilibria are applied in-kernel from its site spec")
     step_local = make_pallas_step(config, placeholder, local_shape,
-                                  halo_mode=True)
+                                  halo_mode=True, vk=vk_spec,
+                                  vk_offsets=(gy, gx))
 
     # global forcing arrays, sharded into the body (ghosts padded inside)
     nsig_g = (jnp.asarray(forcing.nudge_sigma, jnp.float32) if has_nudge
@@ -199,6 +208,12 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
         if s.g0 is not None:
             rep.update({k: _exchange_ghosts(getattr(s, k), gy, gx)
                         for k in ("g0", "gp", "gm")})
+        if s.rows_lo is not None and gx:
+            # carried rows span the full local X incl. ghost lanes; refresh
+            # their boundary lane from the x-neighbor (y-ghost rows never
+            # coincide with tile-boundary rows since ghost width < By)
+            rep["rows_lo"] = _exchange_ghosts(s.rows_lo, 0, gx)
+            rep["rows_hi"] = _exchange_ghosts(s.rows_hi, 0, gx)
         return s._replace(**rep)
 
     def z_halos(s: SplitState) -> dict:
@@ -209,6 +224,11 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
         if s.gp is not None:
             halos["gp_halo"] = _fwd(s.gp[:, -1:], "z")
             halos["gm_halo"] = _bwd(s.gm[:, :1], "z")
+        if s.rows_lo is not None:
+            halos["rlo_hb"] = _fwd(s.rows_lo[:, -1:], "z")
+            halos["rlo_ha"] = _bwd(s.rows_lo[:, :1], "z")
+            halos["rhi_hb"] = _fwd(s.rows_hi[:, -1:], "z")
+            halos["rhi_ha"] = _bwd(s.rows_hi[:, :1], "z")
         return halos
 
     def body(state: LBMState, dyn: DynParams, t0, n_steps,
@@ -230,6 +250,9 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
         s = s._replace(flags=flags_g)
         flb = _fwd(flags_g[-1:], "z")
         fla = _bwd(flags_g[:1], "z")
+        if step_local.uses_rows:   # y-tiled local planes: seed carried rows
+            rl, rh = step_local.init_rows(s)
+            s = s._replace(rows_lo=rl, rows_hi=rh)
 
         fl_loc = {}
         if has_forcing:
@@ -252,20 +275,55 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
             south_on=(yi == 0).astype(jnp.float32),
             north_on=(yi == ny - 1).astype(jnp.float32),
         )
+
+        def _slice_pad(a, axis, start, length, g):
+            """a[start : start+length] along `axis`, zero-padded g wide on
+            each side (lines up with the ghost-extended local arrays; ghost
+            mask entries stay zero, so inlet blends never touch ghosts)."""
+            out = jax.lax.dynamic_slice_in_dim(a, start, length, axis)
+            if g:
+                pad = [(0, 0)] * a.ndim
+                pad[axis] = (g, g)
+                out = jnp.pad(out, pad)
+            return out
+
+        vk_loc = None
+        if vk_spec:
+            own_scal = {
+                "lane0": shard_kw["west_on"], "laneL": shard_kw["east_on"],
+                "row0": shard_kw["south_on"], "rowL": shard_kw["north_on"],
+                "planeL": shard_kw["top_on"],
+                "plane0": (zi == 0).astype(jnp.float32),
+            }
+            vk_loc = {}
+            for kind, field in vk_spec["sites"]:
+                m = vk_spec["masks"][field]
+                if kind in ("lane0", "laneL"):        # (Z, 1, Y)
+                    ml = _slice_pad(m, 0, shard_kw["z0"], zl, 0)
+                    ml = _slice_pad(ml, 2, shard_kw["y0"], yl, gy)
+                elif kind in ("row0", "rowL"):        # (Z, 1, X)
+                    ml = _slice_pad(m, 0, shard_kw["z0"], zl, 0)
+                    ml = _slice_pad(ml, 2, shard_kw["x0"], xl, gx)
+                else:                                 # (Y, X)
+                    ml = _slice_pad(m, 0, shard_kw["y0"], yl, gy)
+                    ml = _slice_pad(ml, 1, shard_kw["x0"], xl, gx)
+                vk_loc[field] = ml * own_scal[kind]
+
         t0_ = jnp.asarray(t0, jnp.int32)
         if pre_step is not None and hasattr(pre_step, "init_aux"):
             s = s._replace(aux=pre_step.init_aux(s, t0_))
 
         def inner(i, st):
+            if pre_step is not None:
+                # PRE-step: the hook refreshes the FaceBC targets; the
+                # kernel's in-kernel inlet sites then emit feq(realization
+                # at t0+i), streamed by neighbors during the next step —
+                # reference timing (see lbm/stepper.py loop docstring)
+                st = pre_step(st, t0_ + i, **shard_kw)
             st = exchange_state(st)
             halos = z_halos(st)
             st = step_local(st, dyn, flb_halo=flb, fla_halo=fla,
-                            forcing_loc=fl_loc, **halos)
-            if pre_step is not None:
-                # post-step: the equilibria written now are what neighbors
-                # stream during step i+1 (matches the reference timing —
-                # see lbm/stepper.py loop docstring)
-                st = pre_step(st, t0_ + i, **shard_kw)
+                            forcing_loc=fl_loc, vk_loc=vk_loc, **halos)
             return st
 
         out = jax.lax.fori_loop(0, n_steps, inner, s)

@@ -40,11 +40,11 @@ def ensure_distributed() -> bool:
         "COORDINATOR_ADDRESS")
     if not coord:
         return False
-    try:
-        if jax.process_count() > 1:
-            return True
-    except RuntimeError:
-        pass
+    # probe initialization WITHOUT jax.process_count(): that call would
+    # initialize the XLA backend, after which jax.distributed.initialize
+    # refuses to run (caught by tests/test_distributed.py)
+    if jax.distributed.is_initialized():
+        return jax.process_count() > 1
     kw = {"coordinator_address": coord}
     if os.environ.get("LUW_NUM_PROCESSES"):
         kw["num_processes"] = int(os.environ["LUW_NUM_PROCESSES"])

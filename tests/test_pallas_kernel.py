@@ -116,11 +116,20 @@ def _check_pallas_matches_reference(thermal, shape, storage, atol):
     cfg, state, forcing, dyn = _mk_case(thermal, shape=shape, storage=storage)
     ref_step = jax.jit(ref_step_f(cfg, forcing))
     pstep = make_pallas_step(cfg, forcing, state.rho.shape)
-    pal = jax.jit(lambda st, d: merge_state(pstep(split_state(st, with_fbc=True), d)))
-    r = p = state
+
+    def pal_run(st, d):
+        s = split_state(st, with_fbc=True)
+        if pstep.uses_rows:     # y-tiled: seed once, then the kernel's own
+            rl, rh = pstep.init_rows(s)   # row outputs carry across steps
+            s = s._replace(rows_lo=rl, rows_hi=rh)
+        for _ in range(5):
+            s = pstep(s, d)
+        return merge_state(s)
+
+    r = state
     for _ in range(5):
         r = ref_step(r, dyn)
-        p = pal(p, dyn)
+    p = jax.jit(pal_run)(state, dyn)
     np.testing.assert_allclose(np.asarray(decode_ddf(p.fi, storage)),
                                np.asarray(decode_ddf(r.fi, storage)),
                                atol=atol)

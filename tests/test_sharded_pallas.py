@@ -57,14 +57,18 @@ def _single(cfg, state, forcing, dyn, n_steps, pre_step=None):
 
     has_forcing = (forcing.nudge_sigma is not None
                    or forcing.sponge_sigma_z is not None)
-    pstep = make_pallas_step(cfg, forcing, state.rho.shape)
+    vk_spec = getattr(pre_step, "kernel_spec", None)
+    pstep = make_pallas_step(cfg, forcing, state.rho.shape, vk=vk_spec)
 
     def advance(st, d):
-        s = split_state(st, with_fbc=has_forcing)
+        s = split_state(st, with_fbc=has_forcing or vk_spec is not None)
+        if pstep.uses_rows:            # y-tiled: seed the carried rows
+            rl, rh = pstep.init_rows(s)
+            s = s._replace(rows_lo=rl, rows_hi=rh)
         for t in range(n_steps):
-            s = pstep(s, d)
-            if pre_step is not None:   # post-step (see lbm/stepper.py loop)
+            if pre_step is not None:   # pre-step (see lbm/stepper.py loop)
                 s = pre_step(s, t)
+            s = pstep(s, d)
         return merge_state(s)
 
     return jax.jit(advance)(state, dyn)
@@ -126,12 +130,9 @@ def test_sharded_vk_inlet_matches_single(split):
     pre = make_vk_pre_step(vk_cfg, rt, storage=cfg.storage)
 
     single = _single(cfg, state, forcing, dyn, 4, pre_step=pre.ddf)
-
-    def sharded_pre(s, t, **kw):
-        return pre.ddf(s, t, **kw)
-
-    sharded = _sharded(cfg, state, forcing, dyn, 4, split,
-                       pre_step=sharded_pre)
+    # pass the hook itself (NOT a wrapper): the runner reads its
+    # .kernel_spec to compile the in-kernel inlet sites
+    sharded = _sharded(cfg, state, forcing, dyn, 4, split, pre_step=pre.ddf)
     np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
                                atol=1e-6)
 
