@@ -43,7 +43,7 @@ def main() -> None:
 
     from latticeurbanwind_tpu.lbm import (
         DynParams, StepConfig, TYPE_E, TYPE_S,
-        make_initial_state, omega_from_nu,
+        equilibrium_state, omega_from_nu,
     )
     from latticeurbanwind_tpu.lbm.stepper import make_bench_runner
 
@@ -58,18 +58,21 @@ def main() -> None:
     config = StepConfig(omega=omega_from_nu(1e-4), collision="srt",
                         subgrid=True, storage=storage)
 
-    # urban-run-shaped case: ground solid, lateral+top equilibrium boundaries
-    flags = np.zeros(shape, dtype=np.uint8)
-    flags[0] = TYPE_S
-    flags[-1] = TYPE_E
-    flags[:, 0, :] = TYPE_E
-    flags[:, -1, :] = TYPE_E
-    flags[:, :, 0] = TYPE_E
-    flags[:, :, -1] = TYPE_E
-    u = np.zeros((3, Z, Y, X), dtype=np.float32)
-    u[0] = 0.05
+    # urban-run-shaped case: ground solid, lateral+top equilibrium boundaries.
+    # Built entirely in-trace: through the hosted TPU tunnel a host-side init
+    # would pay minutes of numpy + a ~38 B/cell upload at 100M+ cells.
+    def build_state():
+        flags = jnp.zeros(shape, jnp.uint8)
+        flags = flags.at[0].set(TYPE_S)
+        flags = flags.at[-1].set(TYPE_E)
+        flags = flags.at[:, 0, :].set(TYPE_E)
+        flags = flags.at[:, -1, :].set(TYPE_E)
+        flags = flags.at[:, :, 0].set(TYPE_E)
+        flags = flags.at[:, :, -1].set(TYPE_E)
+        u = jnp.zeros((3, Z, Y, X), jnp.float32).at[0].set(0.05)
+        return equilibrium_state(shape, config=config, u=u, flags=flags)
 
-    state = make_initial_state(shape, config=config, u=u, flags=flags)
+    state = jax.jit(build_state)()
     dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3))
 
     run, impl_used = make_bench_runner(config, shape=shape, n_inner=steps, impl=impl)
@@ -95,9 +98,16 @@ def main() -> None:
         t += steps
 
     mlups = n_cells * steps / best / 1e6
-    from latticeurbanwind_tpu.lbm.fields import update_fields
+    from latticeurbanwind_tpu.lbm import decode_ddf
+    from latticeurbanwind_tpu.lbm.reference import moments
 
-    umax = float(jnp.max(jnp.abs(update_fields(state, config, dyn).u)))
+    # stability check on a central z-slab (full-grid update_fields would
+    # need another f32 field set — OOM at 10^8 cells next to the live state)
+    def slab_umax(s):
+        _, u_s = moments(decode_ddf(s.fi[:, Z // 2:Z // 2 + 1], storage))
+        return jnp.max(jnp.abs(u_s))
+
+    umax = float(jax.jit(slab_umax)(state))
     assert np.isfinite(umax), "benchmark produced non-finite velocities"
 
     result = {
@@ -116,7 +126,7 @@ def main_mesh(split_arg: str = "") -> None:
 
     from latticeurbanwind_tpu.lbm import (
         DynParams, Forcing, StepConfig, TYPE_E, TYPE_S,
-        make_initial_state, omega_from_nu,
+        equilibrium_state, omega_from_nu,
     )
     from latticeurbanwind_tpu.parallel import domain_mesh, shard_state
     from latticeurbanwind_tpu.parallel.halo import make_sharded_pallas_runner
@@ -135,16 +145,19 @@ def main_mesh(split_arg: str = "") -> None:
     shape = (zl * dz, Y * dy, X * dx)
     Z = shape[0]
     config = StepConfig(omega=omega_from_nu(1e-4), subgrid=True, storage=storage)
-    flags = np.zeros(shape, np.uint8)
-    flags[0] = TYPE_S
-    flags[-1] = TYPE_E
-    flags[:, 0, :] = TYPE_E
-    flags[:, -1, :] = TYPE_E
-    flags[:, :, 0] = TYPE_E
-    flags[:, :, -1] = TYPE_E
-    u = np.zeros((3, *shape), np.float32)
-    u[0] = 0.05
-    state = make_initial_state(shape, config=config, u=u, flags=flags)
+
+    def build_state():
+        flags = jnp.zeros(shape, jnp.uint8)
+        flags = flags.at[0].set(TYPE_S)
+        flags = flags.at[-1].set(TYPE_E)
+        flags = flags.at[:, 0, :].set(TYPE_E)
+        flags = flags.at[:, -1, :].set(TYPE_E)
+        flags = flags.at[:, :, 0].set(TYPE_E)
+        flags = flags.at[:, :, -1].set(TYPE_E)
+        u = jnp.zeros((3, *shape), jnp.float32).at[0].set(0.05)
+        return equilibrium_state(shape, config=config, u=u, flags=flags)
+
+    state = jax.jit(build_state)()
     dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3))
     mesh = domain_mesh((dx, dy, dz))
     run = make_sharded_pallas_runner(config, Forcing(), shape, mesh,

@@ -31,7 +31,8 @@ from .lattice import (
 from .state import (
     DynParams, Forcing, LBMState, StepConfig,
     TYPE_E, TYPE_F, TYPE_S, TYPE_T,
-    decode_ddf, encode_ddf, make_initial_state, storage_dtype,
+    decode_ddf, encode_ddf, equilibrium_state, make_initial_state,
+    storage_dtype,
 )
 from .reference import (
     equilibrium_f, equilibrium_g, make_multi_step, make_step, moments,
@@ -43,7 +44,8 @@ __all__ = [
     "check_lattice_integrity", "omega_from_nu", "omega_t_from_alpha", "tau_from_nu",
     "DynParams", "Forcing", "LBMState", "StepConfig",
     "TYPE_E", "TYPE_F", "TYPE_S", "TYPE_T",
-    "decode_ddf", "encode_ddf", "make_initial_state", "storage_dtype",
+    "decode_ddf", "encode_ddf", "equilibrium_state", "make_initial_state",
+    "storage_dtype",
     "equilibrium_f", "equilibrium_g", "make_multi_step", "make_step", "moments",
     "NudgeSpec", "SpongeSpec", "build_forcing",
 ]

@@ -238,3 +238,68 @@ def make_initial_state(
         gi=gi,
         T=T_a,
     )
+
+
+def equilibrium_state(
+    shape,  # (Z, Y, X)
+    *,
+    config: StepConfig,
+    rho=None,
+    u=None,
+    flags=None,
+    T=None,
+) -> LBMState:
+    """Traceable `make_initial_state`: equilibrium DDFs built ON DEVICE.
+
+    Same math as make_initial_state (reference initialize kernel,
+    kernel.cpp:1370) expressed in jnp so it can run under `jax.jit`.  Through
+    the hosted TPU tunnel this matters enormously: the host path pays ~70 s
+    of numpy at 33M cells plus a full 19-channel DDF upload (~38 B/cell over
+    a ~35 MB/s link); this path uploads only the (rho, u, flags[, T]) inputs
+    (~17 B/cell — or nothing when they are built in-trace) and computes feq
+    on the chip.  XLA fuses each direction's feq into its encode, so the
+    transient footprint stays one fp32 lattice per direction.
+    """
+    from .lattice import C19, C7, W19, W7
+
+    shape = tuple(int(v) for v in shape)
+    rho_j = (jnp.ones(shape, jnp.float32) if rho is None
+             else jnp.asarray(rho, jnp.float32))
+    u_j = (jnp.zeros((3, *shape), jnp.float32) if u is None
+           else jnp.asarray(u, jnp.float32))
+    flags_j = (jnp.zeros(shape, jnp.uint8) if flags is None
+               else jnp.asarray(flags, jnp.uint8))
+
+    rhom1 = rho_j - 1.0
+    c3 = -3.0 * (u_j[0] ** 2 + u_j[1] ** 2 + u_j[2] ** 2)
+    fis = []
+    for d in range(19):
+        cx, cy, cz = (int(v) for v in C19[d])
+        w = float(W19[d])
+        if cx == 0 and cy == 0 and cz == 0:
+            feq = w * (rhom1 + rho_j * (0.5 * c3))
+        else:
+            cu = 3.0 * (cx * u_j[0] + cy * u_j[1] + cz * u_j[2])
+            feq = w * (rhom1 + rho_j * (0.5 * (cu * cu + c3) + cu))
+        fis.append(encode_ddf(feq, config.storage))
+    fi = jnp.stack(fis)
+
+    gi = None
+    T_a = None
+    if config.thermal:
+        T_j = (jnp.ones(shape, jnp.float32) if T is None
+               else jnp.asarray(T, jnp.float32))
+        gis = []
+        for d in range(7):
+            cx, cy, cz = (int(v) for v in C7[d])
+            w = float(W7[d])
+            if d == 0:
+                geq = w * (T_j - 1.0)
+            else:
+                cu = cx * u_j[0] + cy * u_j[1] + cz * u_j[2]
+                geq = w * (T_j - 1.0) + 4.0 * w * T_j * cu
+            gis.append(encode_ddf(geq, config.storage))
+        gi = jnp.stack(gis)
+        T_a = T_j
+
+    return LBMState(fi=fi, rho=rho_j, u=u_j, flags=flags_j, gi=gi, T=T_a)

@@ -323,3 +323,35 @@ def test_storage_drift_fp16c_beats_fp16s_low_velocity():
     assert err["fp16c"] < 0.02, err
     # bf16 (8-bit mantissa) drifts more; it must still stay bounded
     assert err["bf16"] < 0.2, err
+
+
+@pytest.mark.parametrize("storage", ["f32", "bf16", "f16", "fp16c"])
+def test_equilibrium_state_matches_host_init(storage):
+    """equilibrium_state (traced, on-device) tracks make_initial_state
+    (numpy) to within one storage ULP (XLA's FMA fusion reassociates the
+    feq polynomial, so last-ULP f32 differences can flip a code point),
+    including the thermal lattice and every storage codec."""
+    from latticeurbanwind_tpu.lbm import decode_ddf, equilibrium_state
+
+    shape = (5, 8, 9)
+    config = StepConfig(omega=1.2, storage=storage, thermal=True,
+                        omega_t=omega_t_from_alpha(1e-3))
+    rng = np.random.default_rng(7)
+    rho = 1.0 + 0.05 * rng.standard_normal(shape).astype(np.float32)
+    u = 0.08 * rng.standard_normal((3, *shape)).astype(np.float32)
+    T = 1.0 + 0.1 * rng.standard_normal(shape).astype(np.float32)
+    flags = rng.integers(0, 4, size=shape).astype(np.uint8)
+
+    host = make_initial_state(shape, config=config, rho=rho, u=u,
+                              flags=flags, T=T)
+    dev = jax.jit(lambda r, uu, fl, tt: equilibrium_state(
+        shape, config=config, rho=r, u=uu, flags=fl, T=tt))(rho, u, flags, T)
+
+    atol = {"f32": 1e-6, "bf16": 3e-3, "f16": 6e-4, "fp16c": 4e-4}[storage]
+    for name in ("fi", "gi"):
+        a = np.asarray(decode_ddf(jnp.asarray(getattr(host, name)), storage))
+        b = np.asarray(decode_ddf(jnp.asarray(getattr(dev, name)), storage))
+        np.testing.assert_allclose(a, b, atol=atol, rtol=0)
+    np.testing.assert_array_equal(np.asarray(host.flags), np.asarray(dev.flags))
+    np.testing.assert_allclose(np.asarray(host.u), np.asarray(dev.u))
+    np.testing.assert_allclose(np.asarray(host.T), np.asarray(dev.T))
