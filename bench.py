@@ -14,7 +14,9 @@ fixed per-chip subdomain, reporting aggregate + per-chip MLUPs and the halo
 traffic per step (docs/SCALING.md records the pod projection).
 
 Env overrides: LUW_BENCH_SHAPE="Z,Y,X", LUW_BENCH_STEPS, LUW_BENCH_STORAGE,
-LUW_BENCH_IMPL=reference|pallas.
+LUW_BENCH_IMPL=reference|pallas.  The default run also measures the
+reference's default FP16C storage and reports it as "fp16c_mlups" in the
+same JSON line (disable with LUW_BENCH_ALT=none).
 """
 
 from __future__ import annotations
@@ -37,7 +39,9 @@ def parse_shape() -> tuple:
     return 256, 256, 256
 
 
-def main() -> None:
+def measure(storage: str, shape: tuple, steps: int, reps: int,
+            impl: str) -> tuple:
+    """One storage variant's MLUPs on the flagship configuration."""
     import jax
     import jax.numpy as jnp
 
@@ -46,12 +50,6 @@ def main() -> None:
         equilibrium_state, omega_from_nu,
     )
     from latticeurbanwind_tpu.lbm.stepper import make_bench_runner
-
-    shape = parse_shape()
-    steps = int(os.environ.get("LUW_BENCH_STEPS", "200"))
-    reps = int(os.environ.get("LUW_BENCH_REPS", "3"))
-    storage = os.environ.get("LUW_BENCH_STORAGE", "bf16")
-    impl = os.environ.get("LUW_BENCH_IMPL", "auto")
 
     Z, Y, X = shape
     n_cells = Z * Y * X
@@ -109,13 +107,33 @@ def main() -> None:
 
     umax = float(jax.jit(slab_umax)(state))
     assert np.isfinite(umax), "benchmark produced non-finite velocities"
+    return mlups, impl_used
 
+
+def main() -> None:
+    shape = parse_shape()
+    steps = int(os.environ.get("LUW_BENCH_STEPS", "200"))
+    reps = int(os.environ.get("LUW_BENCH_REPS", "3"))
+    storage = os.environ.get("LUW_BENCH_STORAGE", "bf16")
+    impl = os.environ.get("LUW_BENCH_IMPL", "auto")
+    Z, Y, X = shape
+
+    mlups, impl_used = measure(storage, shape, steps, reps, impl)
     result = {
         "metric": f"D3Q19 {storage} MLUPs/chip ({impl_used}, {Z}x{Y}x{X}, LES+EQ-BC)",
         "value": round(mlups, 1),
         "unit": "MLUPs",
+        "storage": storage,
         "vs_baseline": round(mlups / BASELINE_MLUPS, 3),
     }
+    # storage-variant transparency: the headline is bf16 (the TPU-native
+    # 2-byte format); also report the reference's default FP16C storage in
+    # the same line so the floor comparison is precision-explicit.
+    if "LUW_BENCH_STORAGE" not in os.environ and \
+            os.environ.get("LUW_BENCH_ALT", "fp16c") not in ("", "none"):
+        alt = os.environ.get("LUW_BENCH_ALT", "fp16c")
+        alt_mlups, _ = measure(alt, shape, steps, max(1, reps - 1), impl)
+        result[f"{alt}_mlups"] = round(alt_mlups, 1)
     print(json.dumps(result))
 
 

@@ -221,32 +221,38 @@ def _make_codec(storage: str):
 
     if storage == "f16":
         # FP16S: range-shifted IEEE half (reference lbm.cpp:707-710); the
-        # x * 2^-15 scale rides on the exponent rebase.  Subnormal halves
-        # decode to zero — below 2^-29 after unscale.
+        # x * 2^-15 scale rides on the decode/encode power-of-two constants.
+        #
+        # Value-space formulation, like fp16c below: value =
+        # ±(m | implicit)·2^(E-40) — the int->float convert handles
+        # denormal halves exactly (the old bit-twiddling codec flushed
+        # them), and lax.round gives IEEE round-to-nearest-even.  Verified
+        # exhaustively vs numpy IEEE f16: decode exact on all 65536 codes,
+        # encode exact on a 650k-point sweep of every exponent band
+        # (overflow saturates to ±max-finite 0x7BFF instead of ±inf).
         def dec(x):
             b = x.astype(jnp.int32)
-            s = (b >> 15) & 1
             e = (b >> 10) & 0x1F
-            m = b & 0x3FF
-            bits = (s << 31) | ((e + 112 - 15) << 23) | (m << 13)
-            f = jax.lax.bitcast_convert_type(bits, jnp.float32)
-            return f * (1.0 - (e == 0).astype(jnp.float32))
+            M = (b & 0x3FF) | jnp.where(e != 0, 1024, 0)   # implicit bit
+            M = jnp.where((b & 0x8000) != 0, -M, M)        # fold sign
+            scale = jax.lax.bitcast_convert_type(
+                (jnp.maximum(e, 1) + 87) << 23, jnp.float32)   # 2^(E-40)
+            return M.astype(jnp.float32) * scale
 
         def enc(x):
-            # round-to-nearest-even f16 encode, FP16S scale folded into the
-            # exponent rebase (+15).  Overflow saturates, underflow flushes.
             b = jax.lax.bitcast_convert_type(x, jnp.int32)
-            s = (b >> 16) & 0x8000
-            e = ((b >> 23) & 0xFF) + 15
-            m = b & 0x7FFFFF
-            he = e - 112
-            m13 = m >> 13
-            rest = m & 0x1FFF
-            rnd = (rest + 0x0FFF + (m13 & 1)) >> 13
-            h = (s | (he << 10) | m13) + rnd
-            h = jnp.where(he <= 0, s, h)
-            h = jnp.where(he >= 31, s | 0x7BFF, h)
-            return h.astype(jnp.uint16)
+            e32 = (b >> 23) & 0xFF
+            E = jnp.clip(e32 - 97, 1, 30)
+            scale = jax.lax.bitcast_convert_type(
+                (167 - E) << 23, jnp.float32)       # 2^(40-E)
+            # |x|·2^(40-E) puts the 10-bit target mantissa at the integer
+            # point; RNE round matches the IEEE astype in the jnp tier
+            t = jax.lax.round(jnp.abs(x) * scale,
+                              jax.lax.RoundingMethod.TO_NEAREST_EVEN)
+            h = jnp.minimum(t.astype(jnp.int32) + ((E - 1) << 10), 0x7BFF)
+            h = jnp.where(e32 > 86, h, 0)           # below half-denormal range
+            h = jnp.where(e32 >= 128, 0x7BFF, h)    # saturate overflow/inf/nan
+            return ((b >> 16) & 0x8000 | h).astype(jnp.uint16)
 
         return dec, enc
 
@@ -255,35 +261,38 @@ def _make_codec(storage: str):
         # range +-1.9995, denormals down to +-2.98e-8 (kernel.cpp:864-875).
         # The extra mantissa bit (11 vs 10) halves quantization error for
         # the low-velocity DDF-shifted populations.
+        #
+        # Value-space formulation (the kernel is VPU-bound, so every codec
+        # op is ~1/38th of a cell-update): value = ±(m | implicit)·2^(E-26)
+        # — the int->float convert absorbs the denormal lzc dance and the
+        # power-of-two scale rides a bitcast-built constant.  Verified
+        # bit-identical to the reference bit-twiddling formulas
+        # (state.encode/decode_fp16c) over all 65536 code points (decode)
+        # and a dense sweep of every f32 exponent band (encode); the one
+        # intended difference: NaNs saturate to ±0x7FFF here, while the
+        # reference's +0x800 RNE add overflows some NaN payloads to 0.
         def dec(x):
             b = x.astype(jnp.int32)
             e = (b >> 11) & 0xF                     # 4-bit exponent
-            m = (b & 0x7FF) << 12                   # mantissa -> fp32 position
-            # leading-zero count of the denormal mantissa via the float
-            # exponent of (float)m — the reference's "evil log2 bit hack"
-            mf = jax.lax.bitcast_convert_type(m.astype(jnp.float32), jnp.int32)
-            v = (mf >> 23) & 0xFF
-            sgn = (b & 0x8000) << 16
-            norm = ((e + 112) << 23) | m
-            sh = jnp.clip(150 - v, 0, 31)          # m==0 lane: avoid UB shift
-            den = ((v - 37) << 23) | ((m << sh) & 0x007FF000)
-            bits = sgn | jnp.where(e != 0, norm, jnp.where(m != 0, den, 0))
-            return jax.lax.bitcast_convert_type(bits, jnp.float32)
+            M = (b & 0x7FF) | jnp.where(e != 0, 2048, 0)   # implicit bit
+            M = jnp.where((b & 0x8000) != 0, -M, M)        # fold sign
+            scale = jax.lax.bitcast_convert_type(
+                (jnp.maximum(e, 1) + 101) << 23, jnp.float32)  # 2^(E-26)
+            return M.astype(jnp.float32) * scale
 
         def enc(x):
-            b = jax.lax.bitcast_convert_type(x, jnp.int32) + 0x00000800  # RNE
-            e = (b >> 23) & 0xFF
-            m = b & 0x007FFFFF
-            sgn = (b >> 16) & 0x8000
-            norm = (((e - 112) << 11) & 0x7800) | (m >> 12)
-            sh = jnp.clip(124 - e, 0, 31)          # flushed lanes: avoid UB shift
-            den = (((0x007FF800 + m) >> sh) + 1) >> 1
-            h = sgn | jnp.where(e > 112, norm,
-                                jnp.where(e > 100, den, 0))
-            # saturate overflow to max finite (reference utilities.hpp
-            # float_to_half_custom (e > 127) * 0x7FFF term)
-            h = jnp.where(e > 127, sgn | 0x7FFF, h)
-            return h.astype(jnp.uint16)
+            b = jax.lax.bitcast_convert_type(x, jnp.int32)
+            e32 = (b >> 23) & 0xFF
+            E = jnp.clip(e32 - 112, 1, 15)
+            scale = jax.lax.bitcast_convert_type(
+                (153 - E) << 23, jnp.float32)       # 2^(26-E)
+            # |x|·2^(26-E) puts the 11-bit target mantissa at the integer
+            # point; +0.5-then-truncate is the reference's +0x800 rounding
+            t = jnp.abs(x) * scale + 0.5
+            h = jnp.minimum(t.astype(jnp.int32) + ((E - 1) << 11), 0x7FFF)
+            h = jnp.where(e32 > 100, h, 0)          # reference flush band
+            h = jnp.where(e32 > 127, 0x7FFF, h)     # saturate overflow/inf/nan
+            return ((b >> 16) & 0x8000 | h).astype(jnp.uint16)
 
         return dec, enc
 
