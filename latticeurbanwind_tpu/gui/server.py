@@ -32,6 +32,69 @@ from urllib.parse import parse_qs, urlparse
 APP_HTML = Path(__file__).with_name("app.html")
 PROGRESS_TAG = "[[LUW_PROGRESS]]"
 
+# interactive renders decimate to this many cells: parsing + marching a
+# production avg VTK (100M+ cells) per playback frame is what the
+# reference's dedicated streamcenter viewer exists to avoid
+# (streamcenter/ViewerWidget.cpp); a 2M-cell preview keeps frames sub-second
+MAX_RENDER_CELLS = 2_000_000
+
+
+class _VtkCache:
+    """Parsed-VTK LRU keyed by (path, mtime_ns, size).
+
+    Playback re-requests the same files once per slider tick; the parse of a
+    multi-GB legacy binary VTK dominates the frame time, so cache the
+    (meta, fields) tuples and invalidate on file change."""
+
+    def __init__(self, capacity: int = 6):
+        self.capacity = capacity
+        self._lock = threading.Lock()
+        self._entries: Dict = {}     # key -> (order, meta, fields)
+        self._tick = 0
+
+    def get(self, path: Path):
+        from ..io.vtk import read_structured_points
+
+        st = path.stat()
+        key = (str(path), st.st_mtime_ns, st.st_size)
+        with self._lock:
+            hit = self._entries.get(key)
+            if hit is not None:
+                self._tick += 1
+                self._entries[key] = (self._tick, hit[1], hit[2])
+                return hit[1], hit[2]
+        meta, fields = read_structured_points(path)
+        with self._lock:
+            self._tick += 1
+            self._entries[key] = (self._tick, meta, fields)
+            stale = [k for k in self._entries if k[0] == str(path) and k != key]
+            for k in stale:
+                del self._entries[k]
+            while len(self._entries) > self.capacity:
+                oldest = min(self._entries, key=lambda k: self._entries[k][0])
+                del self._entries[oldest]
+        return meta, fields
+
+
+def _decimate(arr: np.ndarray, in_plane_only: bool = False):
+    """Stride-subsample a (Z,Y,X) or (3,Z,Y,X) field to <= MAX_RENDER_CELLS.
+
+    Returns (array, stride).  `in_plane_only` keeps the z axis intact so
+    slice indices stay valid."""
+    spatial = arr.shape[-3:]
+    cells = int(np.prod(spatial))
+    if cells <= MAX_RENDER_CELLS:
+        return arr, 1
+    if in_plane_only:
+        s = int(np.ceil(np.sqrt(spatial[1] * spatial[2]
+                                / (MAX_RENDER_CELLS / spatial[0]))))
+        sl = (..., slice(None), slice(None, None, s), slice(None, None, s))
+    else:
+        s = int(np.ceil((cells / MAX_RENDER_CELLS) ** (1.0 / 3.0)))
+        sl = (..., slice(None, None, s), slice(None, None, s),
+              slice(None, None, s))
+    return arr[sl], s
+
 # commands the Run panel may launch (mirrors cli/dispatch.py COMMANDS)
 ALLOWED_COMMANDS = (
     "makeluw", "runluw", "luwbc", "luwcut", "luwvox", "luwval", "cdfinspect",
@@ -90,6 +153,7 @@ class Studio:
     def __init__(self, root: Path):
         self.root = root.resolve()
         self.jobs: Dict[int, Job] = {}
+        self.vtk_cache = _VtkCache()
 
     # ---------------- path safety ----------------
     def resolve(self, raw: str) -> Path:
@@ -268,15 +332,23 @@ class Studio:
         the analog of the reference's streamcenter 3-D volume viewer.
         field=Q: virtual Q-criterion field derived from the velocity
         (run/snapshots.q_criterion, same stencil as the reference renderer).
-        """
-        from ..io.vtk import read_structured_points
 
+        Parsed VTKs are served from an mtime-keyed LRU and fields above
+        MAX_RENDER_CELLS are stride-decimated, so playback over production
+        volumes stays interactive (the streamcenter design goal).
+        """
         path = self.resolve(q["path"][0])
-        meta, fields = read_structured_points(path)
+        meta, fields = self.vtk_cache.get(path)
         name = q.get("field", [None])[0]
         mode = q.get("mode", ["slice"])[0]
         axis = {"z": 0, "y": 1, "x": 2}.get(q.get("axis", ["z"])[0], 0)
         z = int(q.get("z", ["0"])[0])
+        stride = 1
+        if q.get("full", ["0"])[0] != "1":
+            dec = {k: _decimate(v, in_plane_only=(mode == "slice"))
+                   for k, v in fields.items()}
+            stride = max((s for _, s in dec.values()), default=1)
+            fields = {k: v for k, (v, _) in dec.items()}
 
         if mode == "3d":
             import tempfile
@@ -308,7 +380,7 @@ class Studio:
             with tempfile.TemporaryDirectory() as td:
                 out = render_scene(
                     solid, vec, Path(td) / "f.png", q=qf, q_threshold=thr,
-                    cam=cam, title=path.name,
+                    cam=cam, title=path.name + (f" [decimated x{stride}]" if stride > 1 else ""),
                     streamlines=q.get("sl", ["1"])[0] != "0")
                 return out.read_bytes()
 
@@ -330,6 +402,7 @@ class Studio:
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        dtag = f" [decimated x{stride}]" if stride > 1 else ""
         fig, ax = plt.subplots(figsize=(7.2, 6))
         quiver = None
         if mode == "mip":
@@ -338,7 +411,7 @@ class Studio:
             im = ax.imshow(img, origin="lower",
                            cmap="inferno" if name == "Q" else "turbo")
             label = f"max |{name}| along {'zyx'[axis]}"
-            title = f"{path.name} — {name} MIP/{'zyx'[axis]}"
+            title = f"{path.name} — {name} MIP/{'zyx'[axis]}{dtag}"
         elif arr.ndim == 4:       # vector slice: speed + quiver
             z = min(max(z, 0), arr.shape[1] - 1)
             sp = (arr[:, z] ** 2).sum(axis=0) ** 0.5
@@ -348,13 +421,13 @@ class Studio:
                       list(range(0, arr.shape[2], st)),
                       arr[0, z, ::st, ::st], arr[1, z, ::st, ::st])
             label = f"|{name}|"
-            title = f"{path.name} — {name} @ z={z}"
+            title = f"{path.name} — {name} @ z={z}{dtag}"
         else:
             z = min(max(z, 0), arr.shape[0] - 1)
             im = ax.imshow(arr[z], origin="lower",
                            cmap="inferno" if name == "Q" else "viridis")
             label = name
-            title = f"{path.name} — {name} @ z={z}"
+            title = f"{path.name} — {name} @ z={z}{dtag}"
         if quiver is not None:
             ax.quiver(*quiver, color="white", width=0.003)
         fig.colorbar(im, ax=ax, label=label)
@@ -365,14 +438,142 @@ class Studio:
         return buf.getvalue()
 
     def api_vtk_info(self, q) -> dict:
-        from ..io.vtk import read_structured_points
-
         path = self.resolve(q["path"][0])
-        meta, fields = read_structured_points(path)
+        meta, fields = self.vtk_cache.get(path)
         return {
             "fields": {k: list(v.shape) for k, v in fields.items()},
             "spacing": meta.get("spacing"), "origin": meta.get("origin"),
         }
+
+    def api_spectra(self, q) -> bytes:
+        """Wavenumber panel (reference gui/src/ wavenumber panel): per-layer
+        horizontal kx-ky spectra of the VTK's velocity field on the
+        ~every-50m layer ladder, shared log color scale, plus the radial
+        E(k) with the k^-5/3 guide — rendered live from the cached parse."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ..post.les_spectra import (
+            horizontal_spectrum, layer_ladder, robust_log_limits, spectrum_3d,
+        )
+
+        path = self.resolve(q["path"][0])
+        meta, fields = self.vtk_cache.get(path)
+        vec = next((v for v in fields.values() if v.ndim == 4), None)
+        if vec is None:
+            raise ValueError("spectra need a vector field")
+        vec, stride = _decimate(vec)
+        sp = float(meta["spacing"][0]) * stride
+        u = np.asarray(vec[0], np.float64)
+        fluid = fields.get("fluid")
+        if fluid is not None and stride > 1:
+            fluid = fluid[::stride, ::stride, ::stride]
+        dz = float(q.get("dz", ["50"])[0])
+        ladder = layer_ladder(u.shape[0], sp, meta["origin"][2], dz)
+
+        spectra = []
+        for k, h in ladder[:9]:
+            lay = u[k]
+            valid = (fluid[k] > 0.5) if fluid is not None else (lay != 0)
+            if float(valid.mean()) < 0.05:
+                continue
+            fill = lay[valid].mean() if valid.any() else 0.0
+            kx, ky, E = horizontal_spectrum(np.where(valid, lay, fill), sp)
+            spectra.append((h, kx, ky, E))
+        if not spectra:
+            raise ValueError("no layers with enough fluid cells")
+        vmin, vmax = robust_log_limits([s[3] for s in spectra])
+
+        n = len(spectra) + 1                      # +1 for the radial E(k)
+        cols = min(3, n)
+        rows = (n + cols - 1) // cols
+        fig, axes = plt.subplots(rows, cols, figsize=(4.6 * cols, 3.8 * rows),
+                                 squeeze=False)
+        for ax in axes.ravel():
+            ax.set_axis_off()
+        for ax, (h, kx, ky, E) in zip(axes.ravel(), spectra):
+            ax.set_axis_on()
+            pm = ax.pcolormesh(kx, ky, np.log10(np.maximum(E, 1e-300)),
+                               vmin=vmin, vmax=vmax, shading="auto",
+                               cmap="magma")
+            ax.set_title(f"{h:.0f} m", fontsize=10)
+        fig.colorbar(pm, ax=axes.ravel().tolist(), label="log10 E",
+                     shrink=0.8)
+        axr = axes.ravel()[len(spectra)]
+        axr.set_axis_on()
+        kc, Ek = spectrum_3d(u, sp)
+        good = Ek > 0
+        axr.loglog(kc[good], Ek[good], lw=1.2, label="E(k)")
+        if good.any():
+            kref = kc[good]
+            axr.loglog(kref, Ek[good][0] * (kref / kref[0]) ** (-5.0 / 3.0),
+                       "--", lw=0.9, label="k$^{-5/3}$")
+        axr.set_xlabel("k (1/m)")
+        axr.legend(fontsize=8)
+        axr.set_title("radial E(k)", fontsize=10)
+        fig.suptitle(f"{path.name} — horizontal spectra"
+                     + (f" [decimated x{stride}]" if stride > 1 else ""))
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return buf.getvalue()
+
+    def api_buildingscale(self, q) -> bytes:
+        """Building-scale panel (reference gui/src/ building panel): urban
+        canopy morphology from the VTK's solid mask — built-height map,
+        height histogram, and the lambda_p / lambda_f metrics
+        (post/buildingscale.morphology_stats)."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ..post.buildingscale import morphology_stats
+
+        path = self.resolve(q["path"][0])
+        meta, fields = self.vtk_cache.get(path)
+        fluid = fields.get("fluid")
+        if fluid is not None:
+            solid = np.asarray(fluid) < 0.5
+        else:
+            vec = next((v for v in fields.values() if v.ndim == 4), None)
+            if vec is None:
+                raise ValueError("building-scale needs a fluid or vector field")
+            solid = np.abs(np.asarray(vec)).sum(axis=0) == 0.0
+            solid[-1] = False
+        solid, stride = _decimate(solid)
+        cell = float(meta["spacing"][0]) * stride
+        ground_k = max(1, int(q.get("ground", ["1"])[0]))
+        stats = morphology_stats(solid, cell, ground_k)
+        heights = solid[ground_k:].sum(axis=0) * cell
+
+        fig, axes = plt.subplots(1, 3, figsize=(15, 4.6))
+        im = axes[0].imshow(heights, origin="lower", cmap="cividis")
+        axes[0].set_title("built height (m)")
+        fig.colorbar(im, ax=axes[0], shrink=0.85)
+        built = heights[heights > 0]
+        if built.size:
+            axes[1].hist(built, bins=min(30, max(5, int(built.max() / cell))),
+                         color="#46627f")
+        axes[1].set_xlabel("building height (m)")
+        axes[1].set_ylabel("columns")
+        axes[1].set_title(f"height histogram (mean "
+                          f"{stats['mean_height_m']:.1f} m)")
+        keys = ["lambda_p", "lambda_f_x", "lambda_f_y"]
+        axes[2].bar(keys, [stats[k] for k in keys], color="#7f5a46")
+        for i, k in enumerate(keys):
+            axes[2].text(i, stats[k], f"{stats[k]:.3f}", ha="center",
+                         va="bottom", fontsize=9)
+        axes[2].set_title(f"canopy densities ({stats['built_columns']} "
+                          "built columns)")
+        fig.suptitle(f"{path.name} — urban morphology (cell {cell:.1f} m)"
+                     + (f" [decimated x{stride}]" if stride > 1 else ""))
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return buf.getvalue()
 
     def api_env(self, q) -> dict:
         """Startup diagnostics (reference StartupDiagnostics.cpp)."""
@@ -434,6 +635,10 @@ def make_handler(studio: Studio):
                     self._json(studio.api_series(q))
                 elif u.path == "/api/boundary":
                     self._send(200, studio.api_boundary(q), "image/png")
+                elif u.path == "/api/spectra":
+                    self._send(200, studio.api_spectra(q), "image/png")
+                elif u.path == "/api/buildingscale":
+                    self._send(200, studio.api_buildingscale(q), "image/png")
                 elif u.path == "/api/env":
                     self._json(studio.api_env(q))
                 elif u.path == "/api/file":

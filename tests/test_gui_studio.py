@@ -149,3 +149,60 @@ def test_studio_boundary_panel(studio):
     assert any("SurfData" in c for c in r["csvs"])
     ctype, png = _get(base + "/api/boundary?path=proj_temp/SurfData_20250101.csv")
     assert ctype == "image/png" and len(png) > 5000
+
+
+def test_studio_spectra_and_morphology_panels(studio):
+    """The two reference GUI panels added in round 3: wavenumber spectra
+    (gui/src wavenumber panel analog, les_spectra-backed) and urban
+    morphology (building-scale panel analog, buildingscale-backed)."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+
+    base, case = studio
+    rng = np.random.default_rng(7)
+    u = rng.normal(3.0, 0.5, (3, 8, 24, 32)).astype(np.float32)
+    fluid = np.ones((8, 24, 32), np.float32)
+    fluid[:4, 5:9, 6:12] = 0.0           # one building block
+    fluid[:6, 14:18, 20:26] = 0.0        # a taller one
+    u[:, fluid == 0.0] = 0.0
+    write_structured_points(case / "RESULTS" / "vtk" / "city_avg-000000030.vtk",
+                            {"u_avg": u, "fluid": fluid}, spacing=4.0)
+
+    ctype, png = _get(base + "/api/spectra?path=RESULTS/vtk/city_avg-000000030.vtk")
+    assert ctype == "image/png" and png[:4] == b"\x89PNG"
+    ctype, png = _get(
+        base + "/api/buildingscale?path=RESULTS/vtk/city_avg-000000030.vtk")
+    assert ctype == "image/png" and png[:4] == b"\x89PNG"
+
+
+def test_vtk_cache_and_decimation(tmp_path):
+    """Playback support: parsed VTKs are served from the mtime-keyed LRU
+    (identical object on re-request) and oversized fields stride-decimate
+    to the interactive budget."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.gui.server import _VtkCache, _decimate
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+
+    p = tmp_path / "a-000000010.vtk"
+    write_structured_points(p, {"rho": np.ones((4, 5, 6), np.float32)})
+    cache = _VtkCache(capacity=2)
+    _, f1 = cache.get(p)
+    _, f2 = cache.get(p)
+    assert f1 is f2                       # served from cache
+    # touching the file invalidates the entry
+    import os
+    write_structured_points(p, {"rho": np.full((4, 5, 6), 2.0, np.float32)})
+    os.utime(p, ns=(1, 10**18))           # force a different mtime_ns
+    _, f3 = cache.get(p)
+    assert f3 is not f2 and float(f3["rho"][0, 0, 0]) == 2.0
+
+    big = np.zeros((3, 40, 600, 600), np.float32)     # 14.4M cells
+    dec, s = _decimate(big)
+    assert s > 1 and int(np.prod(dec.shape[-3:])) <= 2_000_000
+    dec2, s2 = _decimate(big, in_plane_only=True)
+    assert dec2.shape[-3] == 40 and s2 > 1
+    assert int(np.prod(dec2.shape[-3:])) <= 2_000_000
+    small = np.zeros((10, 20, 30), np.float32)
+    assert _decimate(small)[1] == 1
