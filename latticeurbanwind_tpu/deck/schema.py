@@ -194,11 +194,15 @@ FIELDS: Tuple[FieldSpec, ...] = (
               "Treat the downstream face as an open outlet."),
     FieldSpec("run_nstep", "integer", "cfd", "Run steps override", "Override solver run length in steps."),
     FieldSpec("lbm_storage", "enum", "cfd", "DDF storage codec",
-              "DDF precision: bf16 (TPU-native, default), f16 (FP16S analog), f32.",
-              ("bf16", "f16", "f32")),
+              "DDF precision: bf16 (TPU-native, default), fp16c (the "
+              "reference's 1-4-11 custom float), f16 (FP16S analog), f32.",
+              ("bf16", "fp16c", "f16", "f32")),
     FieldSpec("research_output", "integer", "cfd", "Research output stride", "Research snapshot cadence."),
     # Output & Probes
     FieldSpec("unsteady_output", "integer", "output", "Unsteady output stride", "Write unsteady VTK every N steps."),
+    FieldSpec("frame_output", "integer", "output", "Video frame stride",
+              "Render a perspective 3-D PNG frame every N steps "
+              "(ffmpeg-ready sequence in proj_temp/frames)."),
     FieldSpec("probes_output", "integer", "output", "Probe output stride", "Probe sampling interval."),
     FieldSpec("purge_avg", "integer", "output", "Average purge stride", "Number of final steps averaged."),
     FieldSpec("purge_avg_stride", "integer", "output", "Average purge sub-stride", "Averaging subsample stride."),

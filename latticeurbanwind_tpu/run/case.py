@@ -132,4 +132,5 @@ def run_settings_from_deck(deck: DeckDocument):
         purge_avg=deck.get_int("purge_avg", 0) or 0,
         purge_avg_stride=deck.get_int("purge_avg_stride", 1) or 1,
         output_fields=fields,
+        frame_output=deck.get_int("frame_output", 0) or 0,
     )

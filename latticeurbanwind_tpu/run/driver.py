@@ -53,6 +53,7 @@ class RunSettings:
     checkpoint_interval: int = 0       # save state every N steps (0 = off)
     resume: bool = True                # resume from an existing checkpoint
     snapshots: bool = True             # render PNG snapshots at unsteady events
+    frame_output: int = 0              # perspective video frame every N steps
 
 
 @dataclass
@@ -103,6 +104,7 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
     avg_stride = max(1, s.purge_avg_stride)
     avg_start = total_steps - avg_window + 1 if avg_window else total_steps + 1
     unsteady = max(0, s.unsteady_output)
+    frames = max(0, s.frame_output)
     probe_window = avg_window if case.probes else 0
     probe_start = total_steps - probe_window + 1 if probe_window else total_steps + 1
 
@@ -187,6 +189,8 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
     events = set()
     if unsteady:
         events.update(range(unsteady, total_steps + 1, unsteady))
+    if frames:
+        events.update(range(frames, total_steps + 1, frames))
     if avg_window:
         events.update(range(avg_start, total_steps + 1, avg_stride))
     if probe_window:
@@ -309,6 +313,7 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
             (avg_window and t >= avg_start and (t - avg_start) % avg_stride == 0)
             or (case.probes and t >= probe_start and (t - probe_start) % avg_stride == 0)
             or (unsteady and t % unsteady == 0 and t > 0 and t != last_unsteady_t)
+            or (frames and t % frames == 0 and t > 0)
             or (ckpt_path is not None and s.checkpoint_interval > 0
                 and t % s.checkpoint_interval == 0 and t > resume_t)
             or t == total_steps)
@@ -331,6 +336,16 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
             cols = np.asarray(state.u[:, :, ys, xs])     # (3, Z, P)
             for pi, p in enumerate(case.probes):
                 p.sample_column(cols[:, :, pi], t * dt_si, u_factor)
+        if frames and t % frames == 0 and t > 0:
+            # per-event video frame (reference setup.cpp:4843-4861) —
+            # PNG only, ffmpeg-ready numbering, perspective camera
+            from .snapshots import write_frame
+
+            frame = case.parent / "proj_temp" / "frames" / (
+                f"{case.vtk_prefix}{case.datetime}_{t // frames:06d}.png")
+            files.append(write_frame(
+                state, frame, nz_out=case.nz_out,
+                title=f"{case.vtk_prefix}{case.datetime} step {t}"))
         if unsteady and t % unsteady == 0 and t > 0 and t != last_unsteady_t:
             write_raw("u", np.asarray(state.u) * u_factor, t)
             last_unsteady_t = t

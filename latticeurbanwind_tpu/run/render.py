@@ -25,13 +25,19 @@ import numpy as np
 
 @dataclass(frozen=True)
 class Camera:
-    """Orthographic camera: azimuth/elevation in degrees, image size."""
+    """Camera: azimuth/elevation in degrees, image size.
+
+    fov = 0 gives the orthographic projection; fov > 0 (degrees, horizontal)
+    switches to a perspective pinhole at the distance where the grid's
+    bounding sphere fills the field of view — the reference's default
+    interactive camera (graphics.cpp set_camera, fov 100 clamped <180)."""
 
     azimuth: float = 225.0       # degrees from +x toward +y
     elevation: float = 35.0      # degrees above the horizon
     width: int = 960
     height: int = 720
     zoom: float = 1.0
+    fov: float = 0.0             # 0 = orthographic; else horizontal degrees
 
     def basis(self):
         az = np.radians(self.azimuth)
@@ -44,6 +50,16 @@ class Camera:
         up /= np.linalg.norm(up)
         return d, right, up
 
+    def eye(self, shape):
+        """Perspective eye point: back along -d so the bounding sphere of
+        the grid spans the horizontal FOV at zoom 1."""
+        Z, Y, X = shape
+        center = np.array([X / 2.0, Y / 2.0, Z / 2.0])
+        diag = float(np.linalg.norm([X, Y, Z]))
+        d, _, _ = self.basis()
+        dist = (diag / 2.0) / np.tan(np.radians(min(self.fov, 179.0)) / 2.0)
+        return center - d * (dist / self.zoom + diag / 2.0)
+
 
 def _smooth_occupancy(mask: np.ndarray) -> np.ndarray:
     """3-wide box blur of the binary mask (for surface normals)."""
@@ -54,11 +70,25 @@ def _smooth_occupancy(mask: np.ndarray) -> np.ndarray:
 
 
 def _camera_rays(shape, cam: Camera):
-    """(origins (N,3), d (3,), extent) pixel-ray setup covering the grid."""
+    """(origins (N,3), dirs (3,) or (N,3), extent) pixel-ray setup.
+
+    Orthographic (fov=0): parallel rays, shared direction.  Perspective:
+    every pixel's ray fans out from the eye point (per-ray directions)."""
     Z, Y, X = shape
     d, right, up = cam.basis()
     center = np.array([X / 2.0, Y / 2.0, Z / 2.0])
     diag = float(np.linalg.norm([X, Y, Z]))
+    if cam.fov > 0.0:
+        eye = cam.eye(shape)
+        f = 0.5 / np.tan(np.radians(min(cam.fov, 179.0)) / 2.0)
+        xs = np.linspace(-0.5, 0.5, cam.width) * (cam.width / cam.height)
+        ys = np.linspace(0.5, -0.5, cam.height)
+        px, py = np.meshgrid(xs, ys)
+        dirs = (d[None, :] * f + px.reshape(-1, 1) * right[None, :]
+                + py.reshape(-1, 1) * up[None, :])
+        dirs /= np.linalg.norm(dirs, axis=1, keepdims=True)
+        origins = np.broadcast_to(eye, dirs.shape).copy()
+        return origins.astype(np.float32), dirs.astype(np.float32), diag
     # fit the grid's bounding sphere into the image
     span = diag / cam.zoom
     xs = np.linspace(-0.5, 0.5, cam.width) * span * (cam.width / cam.height)
@@ -73,22 +103,26 @@ def _camera_rays(shape, cam: Camera):
 def _march(mask: np.ndarray, origins, d, length, *, step: float = 0.7):
     """First-hit ray march: returns (hit (N,), t_hit (N,), pos (N,3)).
 
-    Rays fast-forward to their grid-bbox entry (slab test) and die at exit,
-    so the cost is proportional to the in-grid path only."""
+    `d` is one shared direction (3,) for orthographic rays or per-ray
+    directions (N, 3) for perspective.  Rays fast-forward to their grid-bbox
+    entry (slab test) and die at exit, so the cost is proportional to the
+    in-grid path only."""
     Z, Y, X = mask.shape
     n = len(origins)
+    per_ray = np.ndim(d) == 2
+    dv = d if per_ray else d[None, :]
     dims = np.array([X, Y, Z], np.float32)
     # slab test: t range where the ray is inside [0, dim-1] on every axis
     with np.errstate(divide="ignore", invalid="ignore"):
-        inv = np.where(np.abs(d) > 1e-12, 1.0 / d, np.inf)
-        t0 = (0.0 - origins) * inv[None, :]
-        t1 = (dims[None, :] - 1.0 - origins) * inv[None, :]
+        inv = np.where(np.abs(dv) > 1e-12, 1.0 / dv, np.inf)
+        t0 = (0.0 - origins) * inv
+        t1 = (dims[None, :] - 1.0 - origins) * inv
     t_lo = np.minimum(t0, t1).max(axis=1)
     t_hi = np.maximum(t0, t1).min(axis=1)
     t = np.maximum(t_lo, 0.0).astype(np.float32)
     active = t_hi > t_lo
     hit = np.zeros(n, bool)
-    pos = origins + t[:, None] * d[None, :]
+    pos = origins + t[:, None] * dv
     n_steps = int(np.nanmax(np.where(active, t_hi - t, 0.0)) / step) + 2
     idx_cap = np.array([X - 1, Y - 1, Z - 1])
     for _ in range(n_steps):
@@ -103,7 +137,7 @@ def _march(mask: np.ndarray, origins, d, length, *, step: float = 0.7):
         active[newly] = False
         done = act_idx[t[act_idx] > t_hi[act_idx]]
         active[done] = False
-        pos[active] += d * step
+        pos[active] += (dv[active] if per_ray else d) * step
         t[active] += step
     return hit, t, pos
 
@@ -211,6 +245,19 @@ def project_points(points, shape, cam: Camera):
     d, right, up = cam.basis()
     center = np.array([X / 2.0, Y / 2.0, Z / 2.0])
     diag = float(np.linalg.norm([X, Y, Z]))
+    if cam.fov > 0.0:
+        f = 0.5 / np.tan(np.radians(min(cam.fov, 179.0)) / 2.0)
+        rel = points - cam.eye(shape)[None, :]
+        depth = rel @ d                   # along the view axis (projection)
+        safe = np.maximum(depth, 1e-6)
+        px = (rel @ right) * f / safe
+        py = (rel @ up) * f / safe
+        col = (px / (cam.width / cam.height) + 0.5) * (cam.width - 1)
+        row = (0.5 - py) * (cam.height - 1)
+        # t = distance from the eye along the ray — comparable with the
+        # march's depth buffer (per-ray unit directions)
+        t = np.linalg.norm(rel, axis=1) * np.sign(depth)
+        return col, row, t
     span = diag / cam.zoom
     rel = points - center[None, :]
     px = rel @ right
@@ -225,10 +272,17 @@ def render_scene(flags_solid: np.ndarray, u: Optional[np.ndarray],
                  out_path: Path, *, q: Optional[np.ndarray] = None,
                  q_threshold: Optional[float] = None,
                  cam: Optional[Camera] = None, title: str = "",
-                 streamlines: bool = True, u_factor: float = 1.0) -> Path:
+                 streamlines: bool = True, u_factor: float = 1.0,
+                 max_cells: int = 8_000_000) -> Path:
     """One composite 3-D frame: raytraced solid geometry, optional
     Q-criterion isosurface, and velocity streamlines (reference snapshot
-    set, setup.cpp:4843-4861)."""
+    set, setup.cpp:4843-4861).
+
+    Grids above `max_cells` stride-decimate before marching: the numpy
+    marcher's cost is rays x in-grid path, so a 100M-cell grid would take
+    minutes per frame while stride 3 renders visually-identical geometry in
+    seconds (the reference renders in-device, kernel.cpp:2642-3200 — CPU
+    frames must shrink the problem instead)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -236,6 +290,12 @@ def render_scene(flags_solid: np.ndarray, u: Optional[np.ndarray],
     from matplotlib.collections import LineCollection
 
     cam = cam or Camera()
+    cells = int(np.prod(flags_solid.shape))
+    if cells > max_cells:
+        s = int(np.ceil((cells / max_cells) ** (1.0 / 3.0)))
+        flags_solid = flags_solid[::s, ::s, ::s]
+        u = u[:, ::s, ::s, ::s] if u is not None else None
+        q = q[::s, ::s, ::s] if q is not None else None
     shape = flags_solid.shape
     layers = [(flags_solid, (0.55, 0.55, 0.6))]
     if q is not None and q_threshold is not None:

@@ -100,6 +100,32 @@ def write_snapshot(state: LBMState, out_path: Path, *, u_factor: float = 1.0,
     return out_path
 
 
+def write_frame(state: LBMState, out_path: Path, *, nz_out: int = 0,
+                title: str = "", fov: float = 70.0) -> Path:
+    """One perspective video frame (no VTK dump): raytraced geometry +
+    Q isosurface + streamlines through the pinhole camera.
+
+    The deck's `frame_output` stride drives these — the analog of the
+    reference's per-event PNG frame writes (setup.cpp:4843-4861, in-device
+    graphics kernels) — with zero-padded numbering so the set is
+    ffmpeg-ready (`ffmpeg -pattern_type glob -i 'frames/*.png' ...`)."""
+    from .render import Camera, render_scene
+
+    u = np.asarray(state.u)
+    flags = np.asarray(state.flags)
+    if nz_out:
+        u = u[:, :nz_out]
+        flags = flags[:nz_out]
+    solid = (flags & TYPE_S) != 0
+    q = q_criterion(u)
+    q[solid] = 0.0
+    q_pos = q[q > 0]
+    thr = float(np.percentile(q_pos, 97.0)) if q_pos.size else None
+    return render_scene(
+        solid, u, out_path, q=q if thr is not None else None,
+        q_threshold=thr, cam=Camera(fov=fov), title=title)
+
+
 def solid_boundary_force(state: LBMState) -> np.ndarray:
     """Momentum-exchange force on solid cells, (3,) total in lattice units.
 

@@ -102,3 +102,88 @@ def test_render_scene_outputs(tmp_path):
 
     out = render_scene(solid, u, tmp_path / "frame.png", cam=cam)
     assert out.exists() and out.stat().st_size > 5000
+
+
+def test_perspective_camera_render(tmp_path):
+    """fov > 0 switches to the pinhole camera (reference graphics.cpp
+    set_camera): per-ray directions, eye-distance depth, and projection
+    consistency — the grid center projects to the image center and nearer
+    objects subtend more pixels than in the orthographic view."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.run.render import (
+        Camera, project_points, raytrace_masks, render_scene,
+    )
+
+    Z, Y, X = 16, 24, 32
+    solid = np.zeros((Z, Y, X), bool)
+    solid[:1] = True
+    solid[:8, 8:12, 10:14] = True
+
+    cam = Camera(width=160, height=120, fov=70.0)
+    img, depth = raytrace_masks((Z, Y, X), [(solid, (0.5, 0.5, 0.5))], cam)
+    assert img.shape == (120, 160, 3)
+    assert np.isfinite(depth).any() and (img < 0.99).any()
+
+    center = np.array([[X / 2.0, Y / 2.0, Z / 2.0]])
+    col, row, t = project_points(center, (Z, Y, X), cam)
+    assert abs(col[0] - (cam.width - 1) / 2) < 1.0
+    assert abs(row[0] - (cam.height - 1) / 2) < 1.0
+    assert t[0] > 0          # center is in front of the eye
+
+    u = np.zeros((3, Z, Y, X), np.float32)
+    u[0] = 0.05
+    u[:, solid] = 0.0
+    out = render_scene(solid, u, tmp_path / "persp.png",
+                       cam=Camera(width=160, height=120, fov=70.0),
+                       title="perspective")
+    assert out.exists() and out.stat().st_size > 5000
+
+
+def test_render_scene_decimates_large_grids(tmp_path, monkeypatch):
+    """Grids above max_cells stride-decimate before marching (the numpy
+    marcher substitute for the reference's in-device rendering)."""
+    import numpy as np
+
+    import latticeurbanwind_tpu.run.render as rr
+
+    Z, Y, X = 24, 48, 64
+    solid = np.zeros((Z, Y, X), bool)
+    solid[:1] = True
+    shapes = []
+    orig = rr.raytrace_masks
+
+    def spy(shape, layers, cam, **kw):
+        shapes.append(shape)
+        return orig(shape, layers, cam, **kw)
+
+    monkeypatch.setattr(rr, "raytrace_masks", spy)
+    rr.render_scene(solid, None, tmp_path / "dec.png", streamlines=False,
+                    max_cells=1000)
+    assert shapes and int(np.prod(shapes[0])) <= 1000 * 8  # ceil stride
+
+
+def test_frame_output_writes_video_frames(tmp_path):
+    """Deck-keyed frame sequence: frame_output=N writes one perspective PNG
+    per N steps into proj_temp/frames with ffmpeg-ready numbering
+    (reference per-event PNG writes, setup.cpp:4843-4861)."""
+    from latticeurbanwind_tpu.run.driver import RunSettings, SolverCase, run_case
+    from latticeurbanwind_tpu.units import Units
+
+    config, state = _channel_with_block()
+    from latticeurbanwind_tpu.lbm import DynParams, Forcing
+    import jax.numpy as jnp
+
+    case = SolverCase(
+        config=config, forcing=Forcing(), state=state,
+        dyn=DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3)),
+        units=Units(), cell_m=1.0,
+        parent=tmp_path, datetime="20260101120000", vtk_prefix="TEST_",
+        settings=RunSettings(run_nstep=6, frame_output=3, snapshots=False),
+    )
+    res = run_case(case, quiet=True)
+    frames = sorted((tmp_path / "proj_temp" / "frames").glob("*.png"))
+    assert [f.name for f in frames] == [
+        "TEST_20260101120000_000001.png", "TEST_20260101120000_000002.png"]
+    assert all(f.stat().st_size > 5000 for f in frames)
+    assert all(f in res.files for f in frames)
