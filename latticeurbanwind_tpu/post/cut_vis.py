@@ -44,7 +44,8 @@ def crop_fields(meta, fields, crop_xy: Optional[Tuple[float, float, float, float
 
 
 def nine_layer_figure(fields, spacing: float, base_h: float, out_path: Path,
-                      kind: str = "wind", dpi: int = 100) -> Path:
+                      kind: str = "wind", dpi: int = 100,
+                      quiver_step: int = 0) -> Path:
     import matplotlib
 
     matplotlib.use("Agg")
@@ -60,7 +61,7 @@ def nine_layer_figure(fields, spacing: float, base_h: float, out_path: Path,
             u, v = fields[uname][0, k], fields[uname][1, k]
             speed = np.hypot(u, v)
             pm = ax.pcolormesh(speed, shading="auto", cmap="viridis")
-            step = max(1, speed.shape[1] // 16)
+            step = quiver_step or max(1, speed.shape[1] // 16)
             ax.quiver(np.arange(speed.shape[1])[::step],
                       np.arange(speed.shape[0])[::step],
                       u[::step, ::step], v[::step, ::step], color="w", width=0.003)
@@ -119,15 +120,18 @@ def discover_crop_inputs(deck, home: Path):
     return []
 
 
-def process_one(deck_path: Path, deck, vtk: Path, crop, dpi: int) -> list:
+def process_one(deck_path: Path, deck, vtk: Path, crop, dpi: int, *,
+                quiver_step: int = 0, export_vtk: bool = True,
+                cropped_vtk_path: Optional[Path] = None,
+                fig_dir: Optional[Path] = None) -> list:
     from ..io.vtk import write_structured_points
 
     meta, fields = read_structured_points(vtk)
     sp = meta["spacing"][0]
     fields, (i0, i1, j0, j1) = crop_fields(meta, fields, crop)
     written = []
-    if crop is not None:
-        out_vtk = vtk.with_name(vtk.stem + "_cropped.vtk")
+    if crop is not None and export_vtk:
+        out_vtk = cropped_vtk_path or vtk.with_name(vtk.stem + "_cropped.vtk")
         origin = (meta["origin"][0] + i0 * sp, meta["origin"][1] + j0 * sp,
                   meta["origin"][2])
         write_structured_points(out_vtk, {k: v.astype(np.float32)
@@ -135,27 +139,66 @@ def process_one(deck_path: Path, deck, vtk: Path, crop, dpi: int) -> list:
                                 spacing=sp, origin=origin)
         written.append(out_vtk)
     base_h = deck.get_float("base_height", 50.0) or 50.0
-    fig_dir = deck_path.parent / "RESULTS" / "figures"
+    fig_dir = fig_dir or deck_path.parent / "RESULTS" / "figures"
     written.append(nine_layer_figure(fields, sp, base_h,
                                      fig_dir / f"{vtk.stem}_wind9.png",
-                                     "wind", dpi=dpi))
+                                     "wind", dpi=dpi, quiver_step=quiver_step))
     if "tke" in fields:
         written.append(nine_layer_figure(fields, sp, base_h,
                                          fig_dir / f"{vtk.stem}_tke9.png",
-                                         "tke", dpi=dpi))
+                                         "tke", dpi=dpi,
+                                         quiver_step=quiver_step))
     return written
 
 
 def main(argv=None) -> int:
-    argv = list(sys.argv[1:] if argv is None else argv)
-    if len(argv) < 1:
-        print("Usage: luwcutvis <deck file> [x0 x1 y0 y1]")
-        return 2
-    deck_path = Path(argv[0]).expanduser().resolve()
-    crop_cli = tuple(float(v) for v in argv[1:5]) if len(argv) >= 5 else None
+    """CLI surface mirrors the reference's cut_vis.py argparse options
+    (tools_core/cut_vis.py:1281-1348): geo lon/lat bounds, local XY bound
+    overrides, quiver/dpi/figure controls, cropped-VTK export gating — all
+    layered over the deck-key defaults (crop_* keys)."""
+    import argparse
+
+    p = argparse.ArgumentParser(
+        prog="luwcutvis",
+        description="Cropped multi-altitude wind quiver + TKE figures")
+    p.add_argument("deck", help="deck file (.luw/.luwdg/.luwpf)")
+    p.add_argument("bounds", nargs="*", type=float,
+                   help="optional local crop: x0 x1 y0 y1 (m)")
+    p.add_argument("--min-lon", type=float, default=None)
+    p.add_argument("--max-lon", type=float, default=None)
+    p.add_argument("--min-lat", type=float, default=None)
+    p.add_argument("--max-lat", type=float, default=None)
+    p.add_argument("--min-x", type=float, default=None,
+                   help="local X min override (m; beats lon/lat bounds)")
+    p.add_argument("--max-x", type=float, default=None)
+    p.add_argument("--min-y", type=float, default=None)
+    p.add_argument("--max-y", type=float, default=None)
+    p.add_argument("--quiver-step", type=int, default=0,
+                   help="arrow downsample step (0 = auto)")
+    p.add_argument("--dpi", type=int, default=0,
+                   help="figure DPI (default: deck crop_vis_dpi or 150)")
+    p.add_argument("--no-cropped-vtk", action="store_true",
+                   help="skip the cropped-VTK export")
+    p.add_argument("--cropped-vtk-path", default=None,
+                   help="cropped VTK output path (single-input runs)")
+    p.add_argument("--output-dir", default=None,
+                   help="figure directory (default RESULTS/figures)")
+    args = p.parse_args(list(sys.argv[1:] if argv is None else argv))
+
+    deck_path = Path(args.deck).expanduser().resolve()
+    crop_cli = tuple(args.bounds[:4]) if len(args.bounds) >= 4 else None
     deck = load_deck(deck_path)
     dt = deck.get_text("datetime") or ""
-    dpi = int(deck.get_float("crop_vis_dpi", 150) or 150)
+    dpi = args.dpi or int(deck.get_float("crop_vis_dpi", 150) or 150)
+
+    # CLI lon/lat bounds override the deck's crop_* keys
+    for key, val in (("crop_min_lon", args.min_lon),
+                     ("crop_max_lon", args.max_lon),
+                     ("crop_min_lat", args.min_lat),
+                     ("crop_max_lat", args.max_lat)):
+        if val is not None:
+            deck.set_float(key, val)
+    xy_override = (args.min_x, args.max_x, args.min_y, args.max_y)
 
     files = discover_crop_inputs(deck, deck_path.parent)
     if not files:
@@ -169,7 +212,20 @@ def main(argv=None) -> int:
     for vtk in files:
         meta, _ = read_structured_points(vtk)
         crop = crop_cli if crop_cli is not None else geo_crop_bounds(deck, meta)
-        for out in process_one(deck_path, deck, vtk, crop, dpi):
+        if any(v is not None for v in xy_override):
+            nx, ny, _ = meta["dims"]
+            sp = meta["spacing"][0]
+            base = crop or (0.0, nx * sp, 0.0, ny * sp)
+            crop = tuple(o if o is not None else b
+                         for o, b in zip(xy_override, base))
+        for out in process_one(
+                deck_path, deck, vtk, crop, dpi,
+                quiver_step=max(0, args.quiver_step),
+                export_vtk=not args.no_cropped_vtk,
+                cropped_vtk_path=(Path(args.cropped_vtk_path)
+                                  if args.cropped_vtk_path
+                                  and len(files) == 1 else None),
+                fig_dir=Path(args.output_dir) if args.output_dir else None):
             print(f"luwcutvis: wrote {out.name}")
             total += 1
     return 0 if total else 1

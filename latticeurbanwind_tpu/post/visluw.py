@@ -110,7 +110,8 @@ def export_netcdf(out_path: Path, lon, lat, heights_m, u, v, w,
 
 def render_layers(deck_path: Path, vtk_path: Path, *, layers=None,
                   sections: int = 9, heights=None, out_dir: Path = None,
-                  write_nc: bool = True) -> list:
+                  write_nc: bool = True, nc_path: Path = None,
+                  crop_lonlat=None) -> list:
     import matplotlib
 
     matplotlib.use("Agg")
@@ -124,6 +125,22 @@ def render_layers(deck_path: Path, vtk_path: Path, *, layers=None,
     uname, vec = pick_vector_field(fields)
     u, v, w = vec
     lon, lat, geographic = _geo_grid(deck, nx, ny, sp)
+
+    if crop_lonlat is not None:
+        # reference --lon-min/--lon-max/--lat-min/--lat-max window
+        # (visluw.py:677-680): clip to grid columns/rows inside the box
+        lo_lon, hi_lon, lo_lat, hi_lat = crop_lonlat
+        inside = ((lon >= lo_lon) & (lon <= hi_lon)
+                  & (lat >= lo_lat) & (lat <= hi_lat))
+        if not inside.any():
+            raise ValueError("visluw: crop window misses the domain")
+        jj, ii = np.nonzero(inside)
+        j0, j1 = int(jj.min()), int(jj.max()) + 1
+        i0, i1 = int(ii.min()), int(ii.max()) + 1
+        lon, lat = lon[j0:j1, i0:i1], lat[j0:j1, i0:i1]
+        u, v, w = u[:, j0:j1, i0:i1], v[:, j0:j1, i0:i1], w[:, j0:j1, i0:i1]
+        fields = {k: a[..., j0:j1, i0:i1] for k, a in fields.items()}
+        ny, nx = lat.shape
 
     base_h = deck.get_float("base_height", 50.0) or 50.0
     if layers is not None:                    # explicit indices (tests)
@@ -159,7 +176,8 @@ def render_layers(deck_path: Path, vtk_path: Path, *, layers=None,
         heights_m = z0 + (np.arange(nz) + 0.5) * sp - (z0 + base_h)
         extra = {n: a for n, a in fields.items()
                  if a.ndim == 3 and n.lower() not in ("fluid", "data_rho")}
-        nc_out = deck_path.parent / "RESULTS" / f"{vtk_path.stem}_visluw.nc"
+        nc_out = nc_path or (
+            deck_path.parent / "RESULTS" / f"{vtk_path.stem}_visluw.nc")
         written.append(export_netcdf(nc_out, lon, lat, heights_m, u, v, w, extra))
         print(f"visluw: NetCDF export -> {nc_out.name}")
     return written
@@ -170,12 +188,22 @@ def main(argv=None) -> int:
 
     ap = argparse.ArgumentParser(prog="visluw")
     ap.add_argument("deck")
-    ap.add_argument("--sections", type=int, default=9,
-                    help="number of height layers to export (default 9)")
+    ap.add_argument("--sections", "--layers", dest="sections", type=int,
+                    default=9,
+                    help="number of height layers to export (default 9; "
+                         "--layers is the reference alias)")
     ap.add_argument("--heights", type=str, default=None,
                     help="explicit section heights in m above base, comma-sep")
     ap.add_argument("--no-nc", action="store_true",
                     help="skip the 3-D NetCDF export")
+    ap.add_argument("--nc-output", default=None,
+                    help="NetCDF output path (reference --nc-output)")
+    ap.add_argument("--output-dir", default=None,
+                    help="section-figure directory (default RESULTS/sections)")
+    ap.add_argument("--lon-min", type=float, default=None)
+    ap.add_argument("--lon-max", type=float, default=None)
+    ap.add_argument("--lat-min", type=float, default=None)
+    ap.add_argument("--lat-max", type=float, default=None)
     args = ap.parse_args(list(sys.argv[1:] if argv is None else argv))
 
     deck_path = Path(args.deck).expanduser().resolve()
@@ -189,8 +217,20 @@ def main(argv=None) -> int:
         return 1
     heights = ([float(h) for h in args.heights.split(",")]
                if args.heights else None)
+    crop = None
+    crop_vals = (args.lon_min, args.lon_max, args.lat_min, args.lat_max)
+    if all(v is not None for v in crop_vals):
+        crop = crop_vals
+    elif any(v is not None for v in crop_vals):
+        print("visluw: need all four of --lon-min/--lon-max/--lat-min/--lat-max")
+        return 2
     written = render_layers(deck_path, preferred[-1], sections=args.sections,
-                            heights=heights, write_nc=not args.no_nc)
+                            heights=heights, write_nc=not args.no_nc,
+                            nc_path=Path(args.nc_output)
+                            if args.nc_output else None,
+                            out_dir=Path(args.output_dir)
+                            if args.output_dir else None,
+                            crop_lonlat=crop)
     figs = sum(1 for p in written if p.suffix == ".png")
     print(f"visluw: wrote {figs} figure(s) to RESULTS/sections")
     return 0

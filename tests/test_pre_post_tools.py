@@ -315,3 +315,54 @@ def test_les_spectra_horizontal_layers(tmp_path):
     k_peak = abs(kx[peak[1]])
     assert abs(k_peak - 4 / (X * sp)) < 1.5 / (X * sp)
     assert len(layer_ladder(10, 10.0, 0.0, 30.0)) == 4
+
+
+def test_cutvis_cli_option_surface(tmp_path):
+    """Reference cut_vis CLI flags (tools_core/cut_vis.py:1281-1348): XY
+    bound overrides beat lon/lat-derived bounds, --no-cropped-vtk gates the
+    export, --output-dir/--dpi/--quiver-step restyle the figures."""
+    from latticeurbanwind_tpu.io.vtk import read_structured_points
+    from latticeurbanwind_tpu.post.cut_vis import main as cutvis_main
+
+    home, vtk, _ = _tiny_avg_case(tmp_path)
+    figdir = tmp_path / "figs"
+    assert cutvis_main([
+        str(home / "conf.luw"), "--min-x", "40", "--max-x", "160",
+        "--min-y", "30", "--max-y", "130", "--dpi", "50",
+        "--quiver-step", "3", "--output-dir", str(figdir)]) == 0
+    cropped = vtk.with_name(vtk.stem + "_cropped.vtk")
+    assert cropped.exists()
+    meta, _ = read_structured_points(cropped)
+    assert meta["dims"][0] <= 13 and meta["dims"][1] <= 11  # 120 x 100 m box
+    assert any("wind9" in f.name for f in figdir.glob("*.png"))
+
+    cropped.unlink()
+    assert cutvis_main([
+        str(home / "conf.luw"), "20", "180", "20", "160",
+        "--no-cropped-vtk", "--dpi", "50",
+        "--output-dir", str(figdir)]) == 0
+    assert not cropped.exists()              # export gated off
+
+
+def test_visluw_cli_crop_and_outputs(tmp_path):
+    """Reference visluw CLI flags (visluw.py:676-684): lon/lat crop window,
+    --layers alias, --output-dir, --nc-output."""
+    from scipy.io import netcdf_file
+
+    from latticeurbanwind_tpu.post.visluw import main as visluw_main
+
+    home, vtk, _ = _tiny_avg_case(tmp_path)
+    figdir = tmp_path / "secfigs"
+    ncout = tmp_path / "crop.nc"
+    rc = visluw_main([
+        str(home / "conf.luw"), "--layers", "2",
+        "--lon-min", "121.3005", "--lon-max", "121.3018",
+        "--lat-min", "31.0999", "--lat-max", "31.1012",
+        "--output-dir", str(figdir), "--nc-output", str(ncout)])
+    assert rc == 0
+    assert len(list(figdir.glob("wind_*m.png"))) == 2
+    with netcdf_file(str(ncout), "r", mmap=False) as nc:
+        u = nc.variables["u"]
+        assert u.shape[0] == 6 and u.shape[1] < 20 and u.shape[2] < 24
+    # partial window is rejected
+    assert visluw_main([str(home / "conf.luw"), "--lon-min", "121.3005"]) == 2
