@@ -330,6 +330,10 @@ class Studio:
         mode=3d: raytraced geometry + Q isosurface + streamlines through
         the orthographic camera (run/render.py; az/el/zoom parameters) —
         the analog of the reference's streamcenter 3-D volume viewer.
+        mode=volume: VIS_FIELD volumetric raycast (graphics_field_rt) of
+        |u| / rho / T (`color=`), opacity `gain=`, optional embedded
+        colored slice plane `splane=z:12` (graphics_field_slice), all
+        composited over the raytraced geometry.
         field=Q: virtual Q-criterion field derived from the velocity
         (run/snapshots.q_criterion, same stencil as the reference renderer).
 
@@ -350,7 +354,7 @@ class Studio:
             stride = max((s for _, s in dec.values()), default=1)
             fields = {k: v for k, (v, _) in dec.items()}
 
-        if mode == "3d":
+        if mode in ("3d", "volume"):
             import tempfile
 
             from ..run.render import Camera, render_scene
@@ -366,12 +370,40 @@ class Studio:
             else:
                 raise ValueError("3d view needs a vector or fluid field")
             qf = thr = None
-            if vec is not None and q.get("q", ["1"])[0] != "0":
+            if (mode == "3d" and vec is not None
+                    and q.get("q", ["1"])[0] != "0"):
                 qf = q_criterion(vec.astype(np.float64)).astype(np.float32)
                 qf[solid] = 0.0
                 pos = qf[qf > 0]
                 if pos.size:
                     thr = float(np.percentile(pos, 97.0))
+            # VIS_FIELD volumetric overlay + embedded slice plane
+            volume = slice_spec = None
+            t_avg = 0.0
+            if mode == "volume":
+                cmode = q.get("color", ["u"])[0]
+                scalar = None
+                if cmode == "u" and vec is not None:
+                    scalar = np.sqrt((vec.astype(np.float32) ** 2).sum(axis=0))
+                elif cmode in ("rho", "T"):
+                    key = next((k for k in fields
+                                if k.split("_")[0].lower() == cmode.lower()
+                                and fields[k].ndim == 3), None)
+                    if key is None:
+                        raise ValueError(f"no {cmode} field in this VTK")
+                    scalar = fields[key].astype(np.float32)
+                    if cmode == "T":
+                        t_avg = float(scalar[~solid].mean()
+                                      if (~solid).any() else scalar.mean())
+                else:
+                    raise ValueError("volume view needs a vector field "
+                                     "(color=u) or a rho/T scalar")
+                volume = (scalar, cmode)
+                spl = q.get("splane", [""])[0]
+                if spl:
+                    ax_s, _, idx_s = spl.partition(":")
+                    axis_n = {"z": 0, "y": 1, "x": 2}.get(ax_s, 0)
+                    slice_spec = (axis_n, int(idx_s or 0), scalar, cmode)
             cam = Camera(
                 azimuth=float(q.get("az", ["225"])[0]),
                 elevation=float(q.get("el", ["35"])[0]),
@@ -381,7 +413,10 @@ class Studio:
                 out = render_scene(
                     solid, vec, Path(td) / "f.png", q=qf, q_threshold=thr,
                     cam=cam, title=path.name + (f" [decimated x{stride}]" if stride > 1 else ""),
-                    streamlines=q.get("sl", ["1"])[0] != "0")
+                    streamlines=(mode == "3d"
+                                 and q.get("sl", ["1"])[0] != "0"),
+                    volume=volume, slice_spec=slice_spec, t_avg=t_avg,
+                    opacity_gain=float(q.get("gain", ["1.0"])[0]))
                 return out.read_bytes()
 
         if name == "Q":
@@ -575,6 +610,78 @@ class Studio:
         plt.close(fig)
         return buf.getvalue()
 
+    def api_batch(self, q) -> dict:
+        """Batch-boundary panel (reference gui/src/BatchBoundaryPanel.cpp):
+        per-mode batch summary — the DG inflow x angle case matrix for
+        .luwdg decks, the PF direction-case table (angle -> unit direction
+        -> ANG_ prefix) plus wind-profile samples for .luwpf, and a mode
+        summary for .luw."""
+        from ..deck import load_deck
+        from ..run.modes import _format_tag
+
+        path = self.resolve(q["path"][0])
+        deck = load_deck(path)
+        mode = path.suffix.lstrip(".")
+        out = {"mode": mode, "casename": deck.get_text("casename", "case")}
+        if mode == "luwdg":
+            inflows = deck.get_float_list("inflow")
+            angles = deck.get_float_list("angle")
+            out["inflows"] = inflows
+            out["angles"] = angles
+            out["matrix"] = [[f"DG_{_format_tag(u)}_{_format_tag(a)}_"
+                              for a in angles] for u in inflows]
+        elif mode == "luwpf":
+            from ..bc.profile import direction_from_angle, load_profile_dat
+
+            angles = deck.get_float_list("angle")
+            cases = []
+            for a in angles:
+                dx, dy = direction_from_angle(a)
+                cases.append({"angle": a, "dir_x": round(float(dx), 4),
+                              "dir_y": round(float(dy), 4),
+                              "case": f"ANG_{_format_tag(a)}_"
+                              if len(angles) > 1 else "(single)"})
+            out["cases"] = cases
+            prof = path.parent / "wind_bc" / "profile.dat"
+            if prof.exists():
+                z, u = load_profile_dat(prof)
+                out["profile"] = [[round(float(zz), 2), round(float(uu), 3)]
+                                  for zz, uu in zip(z, u)]
+        else:
+            out["summary"] = {
+                k: deck.get_text(k, "") for k in
+                ("datetime", "run_nstep", "purge_avg", "n_gpu",
+                 "gpu_memory", "unsteady_output", "frame_output")
+                if deck.get_text(k, "")}
+        return out
+
+    def api_profileplot(self, q) -> bytes:
+        """Profile preview PNG (reference ProfilePlotWidget): U(z) curve +
+        sample markers from wind_bc/profile.dat next to the deck."""
+        import matplotlib
+
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ..bc.profile import load_profile_dat
+
+        path = self.resolve(q["path"][0])
+        prof = path.parent / "wind_bc" / "profile.dat"
+        z, u = load_profile_dat(prof)
+        fig, ax = plt.subplots(figsize=(5, 6))
+        zz = np.linspace(z.min(), z.max(), 200)
+        ax.plot(np.interp(zz, z, u), zz, lw=1.4, color="#46627f")
+        ax.plot(u, z, "o", ms=4, color="#7f5a46", label="samples")
+        ax.set_xlabel("U (m/s)")
+        ax.set_ylabel("z AGL (m)")
+        ax.set_title(f"{prof.parent.parent.name}/wind_bc/profile.dat")
+        ax.grid(alpha=0.3)
+        ax.legend()
+        buf = io.BytesIO()
+        fig.savefig(buf, format="png", dpi=100, bbox_inches="tight")
+        plt.close(fig)
+        return buf.getvalue()
+
     def api_env(self, q) -> dict:
         """Startup diagnostics (reference StartupDiagnostics.cpp)."""
         info = {"python": sys.version.split()[0], "root": str(self.root)}
@@ -637,6 +744,10 @@ def make_handler(studio: Studio):
                     self._send(200, studio.api_boundary(q), "image/png")
                 elif u.path == "/api/spectra":
                     self._send(200, studio.api_spectra(q), "image/png")
+                elif u.path == "/api/batch":
+                    self._json(studio.api_batch(q))
+                elif u.path == "/api/profileplot":
+                    self._send(200, studio.api_profileplot(q), "image/png")
                 elif u.path == "/api/buildingscale":
                     self._send(200, studio.api_buildingscale(q), "image/png")
                 elif u.path == "/api/env":

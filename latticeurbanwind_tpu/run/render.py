@@ -273,7 +273,11 @@ def render_scene(flags_solid: np.ndarray, u: Optional[np.ndarray],
                  q_threshold: Optional[float] = None,
                  cam: Optional[Camera] = None, title: str = "",
                  streamlines: bool = True, u_factor: float = 1.0,
-                 max_cells: int = 8_000_000) -> Path:
+                 max_cells: int = 8_000_000,
+                 volume: Optional[Tuple[np.ndarray, str]] = None,
+                 slice_spec: Optional[Tuple[int, int, np.ndarray, str]] = None,
+                 t_avg: float = 0.0, opacity_gain: float = 1.0,
+                 field_scale: Optional[float] = None) -> Path:
     """One composite 3-D frame: raytraced solid geometry, optional
     Q-criterion isosurface, and velocity streamlines (reference snapshot
     set, setup.cpp:4843-4861).
@@ -282,7 +286,13 @@ def render_scene(flags_solid: np.ndarray, u: Optional[np.ndarray],
     marcher's cost is rays x in-grid path, so a 100M-cell grid would take
     minutes per frame while stride 3 renders visually-identical geometry in
     seconds (the reference renders in-device, kernel.cpp:2642-3200 — CPU
-    frames must shrink the problem instead)."""
+    frames must shrink the problem instead).
+
+    `volume=(scalar, mode)` overlays the VIS_FIELD volumetric raycast
+    (graphics_field_rt, kernel.cpp:2864) of the scalar field (mode 'u'/
+    'rho'/'T' selects weight + colorscale); `slice_spec=(axis, index,
+    scalar, mode)` embeds a colored slice plane depth-tested against the
+    geometry (graphics_field_slice, kernel.cpp:2890)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -291,17 +301,50 @@ def render_scene(flags_solid: np.ndarray, u: Optional[np.ndarray],
 
     cam = cam or Camera()
     cells = int(np.prod(flags_solid.shape))
+    vol_scalar, vol_mode = volume if volume is not None else (None, "u")
+    sl_axis, sl_index, sl_scalar, sl_mode = (
+        slice_spec if slice_spec is not None else (0, 0, None, "u"))
     if cells > max_cells:
         s = int(np.ceil((cells / max_cells) ** (1.0 / 3.0)))
         flags_solid = flags_solid[::s, ::s, ::s]
         u = u[:, ::s, ::s, ::s] if u is not None else None
         q = q[::s, ::s, ::s] if q is not None else None
+        if vol_scalar is not None:
+            vol_scalar = vol_scalar[::s, ::s, ::s]
+        if sl_scalar is not None:
+            sl_scalar = sl_scalar[::s, ::s, ::s]
+            sl_index //= s
     shape = flags_solid.shape
     layers = [(flags_solid, (0.55, 0.55, 0.6))]
     if q is not None and q_threshold is not None:
         q_mask = (q > q_threshold) & ~flags_solid
         layers.append((q_mask, (0.85, 0.3, 0.15)))
     img, depth = raytrace_masks(shape, layers, cam)
+
+    if sl_scalar is not None or vol_scalar is not None:
+        from .fieldvis import raycast_field, slice_plane
+
+        origins, rays_d, _ = _camera_rays(shape, cam)
+        flat_img = img.reshape(-1, 3)
+        flat_depth = depth.reshape(-1)
+        if sl_scalar is not None:
+            sl_index = min(max(sl_index, 0), shape[sl_axis] - 1)
+            hit, t_sl, rgb_sl = slice_plane(
+                sl_scalar, sl_axis, sl_index, origins, rays_d,
+                mode=sl_mode, scale=field_scale, t_avg=t_avg,
+                exclude=flags_solid)
+            vis = hit & (t_sl < flat_depth)
+            flat_img[vis] = rgb_sl[vis]
+            flat_depth[vis] = t_sl[vis]
+        if vol_scalar is not None:
+            rgb_v, alpha = raycast_field(
+                vol_scalar, origins, rays_d, mode=vol_mode,
+                scale=field_scale, t_avg=t_avg, exclude=flags_solid,
+                opacity_gain=opacity_gain, geom_depth=flat_depth)
+            flat_img[:] = (rgb_v * alpha[:, None]
+                           + flat_img * (1.0 - alpha[:, None]))
+        img = flat_img.reshape(cam.height, cam.width, 3)
+        depth = flat_depth.reshape(cam.height, cam.width)
 
     fig, ax = plt.subplots(figsize=(cam.width / 100, cam.height / 100))
     ax.imshow(np.clip(img, 0, 1))

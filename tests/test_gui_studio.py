@@ -206,3 +206,60 @@ def test_vtk_cache_and_decimation(tmp_path):
     assert int(np.prod(dec2.shape[-3:])) <= 2_000_000
     small = np.zeros((10, 20, 30), np.float32)
     assert _decimate(small)[1] == 1
+
+
+def test_studio_batch_panel(studio):
+    """Batch-boundary panel (reference BatchBoundaryPanel.cpp): mode summary
+    for .luw, the DG inflow x angle matrix for .luwdg, PF direction cases +
+    profile preview for .luwpf."""
+    base, case = studio
+
+    b = _json(base + "/api/batch?path=conf.luw")
+    assert b["mode"] == "luw" and b["casename"] == "demo"
+    assert "gpu_memory" in b["summary"]
+
+    (case / "conf.luwdg").write_text(
+        "// LUW deck\n\n// Project\ncasename = demo\n\n"
+        "// Batch\ninflow = [2.0, 5.0]\nangle = [0, 90]\n")
+    b = _json(base + "/api/batch?path=conf.luwdg")
+    assert b["matrix"] == [["DG_2_0_", "DG_2_90_"], ["DG_5_0_", "DG_5_90_"]]
+
+    (case / "wind_bc").mkdir()
+    (case / "wind_bc" / "profile.dat").write_text(
+        "0.0 0.0\n50.0 4.0\n100.0 6.0\n200.0 8.0\n")
+    (case / "conf.luwpf").write_text(
+        "// LUW deck\n\n// Project\ncasename = demo\n\n"
+        "// Batch\nangle = [0, 45]\n")
+    b = _json(base + "/api/batch?path=conf.luwpf")
+    assert [c["case"] for c in b["cases"]] == ["ANG_0_", "ANG_45_"]
+    assert b["profile"][-1] == [200.0, 8.0]
+    ctype, png = _get(base + "/api/profileplot?path=conf.luwpf")
+    assert ctype == "image/png" and png[:4] == b"\x89PNG"
+
+
+def test_studio_volume_field_render(studio):
+    """VIS_FIELD volumetric raycast endpoint (reference graphics_field_rt,
+    kernel.cpp:2864) with rho/T colorscales and the embedded slice plane
+    (graphics_field_slice, kernel.cpp:2890)."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+
+    base, case = studio
+    rng = np.random.default_rng(7)
+    u = rng.normal(2.0, 0.5, (3, 6, 10, 12)).astype(np.float32)
+    rho = (1.0 + rng.normal(0, 0.01, (6, 10, 12))).astype(np.float32)
+    T = (293.0 + rng.normal(0, 2.0, (6, 10, 12))).astype(np.float32)
+    write_structured_points(case / "RESULTS" / "vtk" / "vol_avg-000000010.vtk",
+                            {"u_avg": u, "rho_avg": rho, "T_avg": T},
+                            spacing=5.0)
+    for extra in ("color=u", "color=rho", "color=T&gain=2.5",
+                  "color=u&splane=z:3"):
+        ctype, png = _get(base + "/api/render?path=RESULTS/vtk/"
+                          "vol_avg-000000010.vtk&mode=volume&az=210&el=30&"
+                          + extra)
+        assert ctype == "image/png" and png[:4] == b"\x89PNG", extra
+    # a VTK without T cannot color by temperature -> JSON error, not a 500
+    err = _json(base + "/api/render?path=RESULTS/vtk/demo_avg-000000010.vtk"
+                "&mode=volume&color=T")
+    assert "error" in err
