@@ -57,7 +57,7 @@ def write_structured_points(
     path: Path | str,
     fields: Dict[str, np.ndarray],
     *,
-    spacing: float = 1.0,
+    spacing: float | Sequence[float] = 1.0,   # scalar or (sx, sy, sz)
     origin: Optional[Sequence[float]] = None,
     origin_shift: Sequence[float] = (0.0, 0.0, 0.0),
     nz_write: int = 0,
@@ -73,13 +73,14 @@ def write_structured_points(
     first = next(iter(fields.values()))
     Z, Y, X = first.shape[-3:]
     nz_out = nz_write if 0 < nz_write < Z else Z
+    sp = np.broadcast_to(np.asarray(spacing, np.float64), (3,))  # x, y, z
     ox, oy, oz = (
         origin
         if origin is not None
         else (
-            spacing * (0.5 - 0.5 * X) + origin_shift[0],
-            spacing * (0.5 - 0.5 * Y) + origin_shift[1],
-            spacing * (0.5 - 0.5 * Z) + origin_shift[2],
+            sp[0] * (0.5 - 0.5 * X) + origin_shift[0],
+            sp[1] * (0.5 - 0.5 * Y) + origin_shift[1],
+            sp[2] * (0.5 - 0.5 * Z) + origin_shift[2],
         )
     )
     points = X * Y * nz_out
@@ -88,7 +89,7 @@ def write_structured_points(
         f"# vtk DataFile Version 3.0\n{name}\nBINARY\nDATASET STRUCTURED_POINTS\n"
         f"DIMENSIONS {X} {Y} {nz_out}\n"
         f"ORIGIN {ox:.6f} {oy:.6f} {oz:.6f}\n"
-        f"SPACING {spacing:.6f} {spacing:.6f} {spacing:.6f}\n"
+        f"SPACING {sp[0]:.6f} {sp[1]:.6f} {sp[2]:.6f}\n"
         f"POINT_DATA {points}\n"
     ).encode()
     path.parent.mkdir(parents=True, exist_ok=True)

@@ -173,16 +173,30 @@ def derive_direction_weights(home: Path) -> List[tuple]:
     return out
 
 
-def discover_directional_avgs(home: Path, datetime_tag: str) -> Dict[float, Path]:
-    out: Dict[float, Path] = {}
-    vtk_dir = home / "RESULTS" / "vtk"
-    if not vtk_dir.exists():
-        return out
-    for f in sorted(vtk_dir.glob(f"*{datetime_tag}_avg-*.vtk")):
+def discover_directional_avgs(home: Path, datetime_tag: str, *,
+                              vtk_dir: Optional[Path] = None
+                              ) -> Dict[float, Path]:
+    """Per-angle avg VTKs keyed by case angle.  `vtk_dir` overrides the
+    default RESULTS/vtk source (reference --vtk-dir; relative paths
+    resolve from the project directory, season_average.py:1713-1716).
+    When several steps exist per angle the highest step wins (reference
+    _pick_preferred_file, :707-720)."""
+    out: Dict[float, Tuple[int, Path]] = {}
+    base = (home / vtk_dir if vtk_dir is not None and not vtk_dir.is_absolute()
+            else vtk_dir) or (home / "RESULTS" / "vtk")
+    if not base.exists():
+        return {}
+    step_re = re.compile(r"-(\d+)$")
+    for f in sorted(base.glob(f"*{datetime_tag}_avg-*.vtk")):
         m = _ANGLE_RE.search(f.name)
-        if m:
-            out[float(m.group(1))] = f
-    return out
+        if not m:
+            continue
+        sm = step_re.search(f.stem)
+        step = int(sm.group(1)) if sm else 0
+        a = float(m.group(1))
+        if a not in out or step >= out[a][0]:
+            out[a] = (step, f)
+    return {a: p for a, (_, p) in out.items()}
 
 
 def load_weights(path: Path) -> List[tuple]:
@@ -209,6 +223,43 @@ def _resample(arr: np.ndarray, factor: int) -> np.ndarray:
     return a.mean(axis=(-3, -1))
 
 
+def _axis_lerp(arr: np.ndarray, axis: int, n_out: int, ratio: float):
+    """Linear resample of one axis to n_out samples at spacing ratio
+    out/in (the reference's per-axis index+fraction maps,
+    season_average.py:1319-1341, as one vectorized take+lerp)."""
+    n_in = arr.shape[axis]
+    pos = np.arange(n_out) * ratio
+    i0 = np.clip(np.floor(pos).astype(np.int64), 0, n_in - 1)
+    i1 = np.minimum(i0 + 1, n_in - 1)
+    f = (pos - i0).astype(arr.dtype)
+    shape = [1] * arr.ndim
+    shape[axis] = n_out
+    f = f.reshape(shape)
+    a0 = np.take(arr, i0, axis=axis)
+    a1 = np.take(arr, i1, axis=axis)
+    return a0 * (1 - f) + a1 * f
+
+
+def resample_to_spacing(fields: Dict[str, np.ndarray], in_spacing: float,
+                        out_spacing: Tuple[float, float, float]):
+    """Trilinear resample of every field to the requested meter spacing
+    (reference --output-spacing, season_average.py:1343-1499).  Returns
+    (fields, spacing tuple); the output grid spans the same extent."""
+    sx, sy, sz = out_spacing
+    out: Dict[str, np.ndarray] = {}
+    for name, arr in fields.items():
+        spatial = arr.shape[-3:]
+        n_z = max(2, int(round((spatial[0] - 1) * in_spacing / sz)) + 1)
+        n_y = max(2, int(round((spatial[1] - 1) * in_spacing / sy)) + 1)
+        n_x = max(2, int(round((spatial[2] - 1) * in_spacing / sx)) + 1)
+        a = arr.astype(np.float64)
+        a = _axis_lerp(a, arr.ndim - 3, n_z, sz / in_spacing)
+        a = _axis_lerp(a, arr.ndim - 2, n_y, sy / in_spacing)
+        a = _axis_lerp(a, arr.ndim - 1, n_x, sx / in_spacing)
+        out[name] = a
+    return out, out_spacing
+
+
 def _combine(avgs: Dict[float, Path], triples: List[tuple]):
     """triples: [(case_angle, vel_weight, tke_weight, prob_weight)] summed
     per field with the field-appropriate weight."""
@@ -232,8 +283,11 @@ def _combine(avgs: Dict[float, Path], triples: List[tuple]):
 
 def synthesize(home: Path, datetime_tag: str, weights_path: Optional[Path],
                *, out_name: Optional[str] = None,
-               resample_factor: int = 1) -> Path:
-    avgs = discover_directional_avgs(home, datetime_tag)
+               resample_factor: int = 1,
+               vtk_dir: Optional[Path] = None,
+               output_spacing: Optional[Tuple[float, float, float]] = None,
+               figures: bool = True, dpi: int = 100) -> Path:
+    avgs = discover_directional_avgs(home, datetime_tag, vtk_dir=vtk_dir)
     if not avgs:
         raise FileNotFoundError("no directional averaged VTKs found")
 
@@ -278,34 +332,104 @@ def synthesize(home: Path, datetime_tag: str, weights_path: Optional[Path],
     # fluid mask: cells fluid in all directions
     if "fluid" in acc:
         acc["fluid"] = (acc["fluid"] > 0.999).astype(np.float32)
-    out_fields = {k: _resample(v, resample_factor).astype(np.float32)
-                  for k, v in acc.items()}
-    sp = meta0["spacing"][0] * resample_factor
+    in_sp = float(meta0["spacing"][0])
+    if output_spacing is not None:
+        if resample_factor > 1:
+            print("luwseason: --output-spacing given; ignoring the integer "
+                  "resample factor")
+        out_fields, sp = resample_to_spacing(acc, in_sp, output_spacing)
+        out_fields = {k: v.astype(np.float32) for k, v in out_fields.items()}
+        fig_spacing = sp[0]
+    else:
+        out_fields = {k: _resample(v, resample_factor).astype(np.float32)
+                      for k, v in acc.items()}
+        sp = in_sp * resample_factor
+        fig_spacing = float(sp)
     out = home / "RESULTS" / "vtk" / (out_name or f"SEASON_{datetime_tag}_avg.vtk")
     write_structured_points(out, out_fields, spacing=sp,
                             origin=meta0["origin"])
+
+    # summary (reference write_summary, season_average.py:1631-1691)
+    summary_txt = home / "RESULTS" / "season_summary.txt"
+    lines = [f"season synthesis for datetime {datetime_tag}",
+             f"output: {out.name}",
+             f"sources ({len(avgs)}):"]
+    lines += [f"  angle {a:7.2f} deg  <-  {p.name}"
+              for a, p in sorted(avgs.items())]
+    lines.append("direction weights (angle, velocity, tke, probability):")
+    lines += [f"  {a:7.2f}  {v:.6f}  {t:.6f}  {p:.6f}"
+              for a, v, t, p in triples]
+    if output_spacing is not None:
+        lines.append(f"output spacing: {tuple(sp)} m (input {in_sp} m)")
+    summary_txt.write_text("\n".join(lines) + "\n")
+
+    # 9-layer wind + tke figures (reference plot_scalar_figure grids,
+    # season_average.py:1539-1629; --skip-figures disables)
+    if figures:
+        from .cut_vis import nine_layer_figure
+
+        fig_dir = home / "RESULTS" / "figures"
+        nine_layer_figure(out_fields, fig_spacing, 0.0,
+                          fig_dir / f"season_{datetime_tag}_wind.png",
+                          kind="wind", dpi=dpi)
+        if "tke" in out_fields:
+            nine_layer_figure(out_fields, fig_spacing, 0.0,
+                              fig_dir / f"season_{datetime_tag}_tke.png",
+                              kind="tke", dpi=dpi)
     return out
 
 
 def main(argv=None) -> int:
-    argv = list(sys.argv[1:] if argv is None else argv)
-    if len(argv) < 1:
-        print("Usage: luwseason <deck file> [weights.csv] [resample_factor]")
-        print("  without weights.csv the direction weights derive from")
-        print("  wind_bc/windrose_<H>m.csv x wind_bc/profile.dat")
-        return 2
-    deck_path = Path(argv[0]).expanduser().resolve()
+    import argparse
+
+    parser = argparse.ArgumentParser(
+        prog="luwseason",
+        description="Synthesize the seasonal average wind/tke VTK from "
+                    "directional average VTKs weighted by windrose "
+                    "probabilities (reference season_average.py CLI).")
+    parser.add_argument("deck", help="LUW-family deck (*.luw/.luwdg/.luwpf)")
+    parser.add_argument("extras", nargs="*",
+                        help="optional weights.csv (angle,weight[,scale]) "
+                             "and/or an integer 2-D coarsening factor")
+    parser.add_argument("--vtk-dir", help="directory with source *avg*.vtk "
+                        "files (relative paths resolve from the project dir)")
+    parser.add_argument("--output-spacing", nargs="+", type=float,
+                        metavar="M", help="resample the output VTK to this "
+                        "meter spacing: one value for x/y/z or three x y z")
+    parser.add_argument("--skip-figures", action="store_true",
+                        help="only write VTK + summary, no PNG figures")
+    parser.add_argument("--dpi", type=int, default=100)
+    args = parser.parse_args(list(sys.argv[1:] if argv is None else argv))
+
+    deck_path = Path(args.deck).expanduser().resolve()
     weights = None
     factor = 1
-    for arg in argv[1:]:
+    for arg in args.extras:
         if arg.replace(".", "").isdigit() and "." not in arg:
             factor = int(arg)
         else:
             weights = Path(arg).expanduser().resolve()
+    spacing = None
+    if args.output_spacing:
+        v = args.output_spacing
+        if len(v) == 1:
+            spacing = (v[0], v[0], v[0])
+        elif len(v) == 3:
+            spacing = tuple(v)
+        else:
+            print("luwseason: ERROR: --output-spacing takes 1 or 3 values")
+            return 2
+        if min(spacing) <= 0:
+            print("luwseason: ERROR: --output-spacing must be positive")
+            return 2
     deck = load_deck(deck_path)
     dt = deck.get_text("datetime") or ""
     try:
-        out = synthesize(deck_path.parent, dt, weights, resample_factor=factor)
+        out = synthesize(
+            deck_path.parent, dt, weights, resample_factor=factor,
+            vtk_dir=Path(args.vtk_dir) if args.vtk_dir else None,
+            output_spacing=spacing, figures=not args.skip_figures,
+            dpi=args.dpi)
     except (FileNotFoundError, ValueError) as e:
         print(f"luwseason: ERROR: {e}")
         return 1

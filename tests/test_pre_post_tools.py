@@ -366,3 +366,69 @@ def test_visluw_cli_crop_and_outputs(tmp_path):
         assert u.shape[0] == 6 and u.shape[1] < 20 and u.shape[2] < 24
     # partial window is rejected
     assert visluw_main([str(home / "conf.luw"), "--lon-min", "121.3005"]) == 2
+
+
+def test_season_synthesize_full_surface(tmp_path):
+    """Season synthesis end-to-end with the reference CLI surface: explicit
+    weights, highest-step source picking, --output-spacing trilinear
+    resample, summary + figure artifacts, --vtk-dir override
+    (reference season_average.py:1319-1499 resample, :1631 summary,
+    :1707-1724 CLI)."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.io.vtk import (read_structured_points,
+                                             write_structured_points)
+    from latticeurbanwind_tpu.post.season_average import main as season_main
+
+    home = tmp_path / "case"
+    vtk_dir = home / "RESULTS" / "vtk"
+    vtk_dir.mkdir(parents=True)
+    (home / "conf.luwpf").write_text(
+        "// Project\ncasename = demo\ndatetime = 20260101\n")
+    Z, Y, X = 6, 10, 12
+    for ang, mag in ((0.0, 1.0), (90.0, 3.0)):
+        u = np.full((3, Z, Y, X), mag, np.float32)
+        tke = np.full((Z, Y, X), mag, np.float32)
+        # an older lower-step file that must be ignored
+        write_structured_points(
+            vtk_dir / f"ANG_{ang:g}_20260101_avg-000000005.vtk",
+            {"u_avg": u * 100, "tke": tke * 100}, spacing=5.0)
+        write_structured_points(
+            vtk_dir / f"ANG_{ang:g}_20260101_avg-000000050.vtk",
+            {"u_avg": u, "tke": tke}, spacing=5.0)
+    weights = home / "w.csv"
+    weights.write_text("angle,weight,scale\n0,1,1\n90,3,1\n")
+
+    rc = season_main([str(home / "conf.luwpf"), str(weights),
+                      "--output-spacing", "2.5", "--dpi", "50"])
+    assert rc == 0
+    out = vtk_dir / "SEASON_20260101_avg.vtk"
+    meta, fields = read_structured_points(out)
+    # 5 m -> 2.5 m doubles the grid (extent preserved: 2*(n-1)+1)
+    assert tuple(meta["dims"]) == (2 * (X - 1) + 1, 2 * (Y - 1) + 1,
+                                   2 * (Z - 1) + 1)
+    assert np.allclose(meta["spacing"], [2.5, 2.5, 2.5])
+    # weighted mean of constants: u = 0.25*1 + 0.75*3 = 2.5 exactly
+    # (trilinear resample of a constant stays constant)
+    assert np.allclose(fields["u_avg"], 2.5, atol=1e-5)
+    # tke uses the squared-scale weight; scale=1 -> same 2.5
+    assert np.allclose(fields["tke"], 2.5, atol=1e-5)
+    assert (home / "RESULTS" / "season_summary.txt").exists()
+    figs = list((home / "RESULTS" / "figures").glob("season_*.png"))
+    assert any("wind" in f.name for f in figs)
+    assert any("tke" in f.name for f in figs)
+
+    # --vtk-dir override + --skip-figures: a separate source tree
+    alt = home / "alt_vtk"
+    alt.mkdir()
+    for f in vtk_dir.glob("ANG_*.vtk"):
+        (alt / f.name).write_bytes(f.read_bytes())
+    for f in list((home / "RESULTS" / "figures").glob("season_*.png")):
+        f.unlink()
+    rc = season_main([str(home / "conf.luwpf"), str(weights),
+                      "--vtk-dir", "alt_vtk", "--skip-figures"])
+    assert rc == 0
+    assert not list((home / "RESULTS" / "figures").glob("season_*.png"))
+    meta2, fields2 = read_structured_points(out)
+    assert tuple(meta2["dims"]) == (X, Y, Z)
+    assert np.allclose(fields2["u_avg"], 2.5, atol=1e-5)
