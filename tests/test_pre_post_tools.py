@@ -432,3 +432,43 @@ def test_season_synthesize_full_surface(tmp_path):
     meta2, fields2 = read_structured_points(out)
     assert tuple(meta2["dims"]) == (X, Y, Z)
     assert np.allclose(fields2["u_avg"], 2.5, atol=1e-5)
+
+
+def test_les_spectra_cli_surface(tmp_path):
+    """Reference CLI surface: direct .vtk target, --output-dir,
+    --height-interval/--height-start, --quick-test; isotropic E(k) over the
+    fully-fluid subvolume with CSV (reference les_spectra.py:45-99 CLI,
+    :414-652 isotropic)."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+    from latticeurbanwind_tpu.post.les_spectra import (
+        full_coverage_z_start, main as spectra_main, spectrum_3d)
+
+    rng = np.random.default_rng(3)
+    Z, Y, X = 16, 24, 24
+    u = rng.normal(2.0, 0.4, (3, Z, Y, X)).astype(np.float32)
+    fluid = np.ones((Z, Y, X), np.float32)
+    fluid[:4, 5:9, 5:9] = 0.0           # buildings in the lowest layers
+    vtk = tmp_path / "demo_raw_u-000000100.vtk"
+    write_structured_points(vtk, {"u": u, "fluid": fluid}, spacing=10.0)
+
+    assert full_coverage_z_start(fluid) == 4
+    out_dir = tmp_path / "figs"
+    # default origin centers the box: heights span about -70..80 m
+    rc = spectra_main([str(vtk), "--output-dir", str(out_dir),
+                       "--height-interval", "40", "--height-start", "0",
+                       "--quick-test", "--test-height-count", "2"])
+    assert rc == 0
+    names = {p.name for p in out_dir.iterdir()}
+    assert f"{vtk.stem}_Ek.png" in names and f"{vtk.stem}_Ek.csv" in names
+    # quick-test limits the ladder to 2 heights (+ overview + layer csv)
+    layer_pngs = [n for n in names if "_kxky_" in n and n.endswith("m.png")]
+    assert len(layer_pngs) == 2
+    # ladder respects --height-start: no layer below 0 m
+    assert all(float(n.split("_kxky_")[1][:-5]) >= 0 for n in layer_pngs)
+
+    # Parseval-ish sanity: multi-component E(k) integrates to ~0.5*var sum
+    k, E = spectrum_3d(u, 10.0)
+    var = sum(np.var(u[c]) for c in range(3))
+    assert 0.2 * var < E.sum() * 2 < 5 * var  # loose: binning + windowless
