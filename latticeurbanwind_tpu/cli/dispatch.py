@@ -41,6 +41,7 @@ COMMANDS = {
     "luwutmnc": _lazy("latticeurbanwind_tpu.post.vtk_avg_to_utm_asl_nc", "main"),
     "luwenv": _lazy("latticeurbanwind_tpu.utils.accelerator", "main"),
     "luwtkeviz": _lazy("latticeurbanwind_tpu.post.tke_viz", "main"),
+    "luwvideo": _lazy("latticeurbanwind_tpu.post.video", "main"),
     "luwstudio": _lazy("latticeurbanwind_tpu.gui.server", "main"),
     "visdem": _lazy(".dem_shp_tools", "visdem_main"),
     "shptester": _lazy(".dem_shp_tools", "shptester_main"),
