@@ -472,3 +472,74 @@ def test_les_spectra_cli_surface(tmp_path):
     k, E = spectrum_3d(u, 10.0)
     var = sum(np.var(u[c]) for c in range(3))
     assert 0.2 * var < E.sum() * 2 < 5 * var  # loose: binning + windowless
+
+
+def test_utmnc_single_deck_and_asl(tmp_path):
+    """luwutmnc single-deck mode: pedestal strip + terrain ASL shift +
+    derotated ue/vn on UTM axes (reference vtk_avg_to_utm_asl_nc.py
+    pedestal/ASL semantics + parse_range_asl grammar)."""
+    import numpy as np
+    from scipy.io import netcdf_file
+
+    from latticeurbanwind_tpu.post.vtk_avg_to_utm_asl_nc import (
+        main as utm_main, parse_range_asl)
+
+    home, vtk, fields = _tiny_avg_case(tmp_path)
+    rng_file = tmp_path / "Range.txt"
+    rng_file.write_text("case:\n  terrain_min_asl_m = 120.5\n")
+    rc = utm_main([str(home / "conf.luw"), "--range-file", str(rng_file),
+                   "--pedestal-height", "20", "--overwrite"])
+    assert rc == 0
+    out = home / "RESULTS" / "nc_utm_asl" / (vtk.stem + "_utm_asl.nc")
+    assert out.exists()
+    with netcdf_file(str(out), "r") as nc:
+        z = np.array(nc.variables["z"][:])
+        # spacing 10, pedestal 20 -> k0=2; first kept z-center = 25 - 20
+        # + 120.5 ASL = 125.5
+        assert abs(z[0] - 125.5) < 1e-4
+        assert nc.dimensions["z"] == 4            # 6 layers - 2 pedestal
+        for name in ("ue", "vn", "w", "tke"):
+            assert name in nc.variables
+        easting = np.array(nc.variables["easting"][:])
+        assert easting[0] > 100_000               # true UTM meters
+        assert float(nc.terrain_min_asl_m) == 120.5
+
+    # skip-without-overwrite path
+    rc = utm_main([str(home / "conf.luw"), "--terrain-min-asl", "120.5",
+                   "--pedestal-height", "20"])
+    assert rc == 1       # nothing written (skipped existing)
+
+    # Range.txt alternate grammars
+    alt = tmp_path / "alt.txt"
+    alt.write_text("the beijing domain sits at 43 m\nshanghai:\n  5 m\n")
+    vals = parse_range_asl(alt, ["beijing", "shanghai"])
+    assert vals == {"beijing": 43.0, "shanghai": 5.0}
+
+
+def test_utmnc_multicase_batch(tmp_path):
+    """Batch mode over a case root with per-case Range.txt ASL values and
+    --limit (reference --cases/--input-subdir/--limit surface)."""
+    import numpy as np
+    from scipy.io import netcdf_file
+
+    from latticeurbanwind_tpu.post.vtk_avg_to_utm_asl_nc import (
+        main as utm_main)
+
+    root = tmp_path / "fleet"
+    for name in ("alpha", "beta"):
+        case = root / name
+        _tiny_avg_case(case)                 # creates case/case/...
+        (case / "case").rename(case / "tmp")
+        for p in (case / "tmp").iterdir():
+            p.rename(case / p.name)
+        (case / "tmp").rmdir()
+    rng_file = tmp_path / "Range.txt"
+    rng_file.write_text("alpha: 10 m\nbeta: 20 m\n")
+    rc = utm_main([str(root), "--cases", "alpha", "beta", "--range-file",
+                   str(rng_file), "--limit", "1", "--overwrite"])
+    assert rc == 0
+    for name, asl in (("alpha", 10.0), ("beta", 20.0)):
+        ncs = list((root / name / "RESULTS" / "nc_utm_asl").glob("*.nc"))
+        assert len(ncs) == 1
+        with netcdf_file(str(ncs[0]), "r") as nc:
+            assert float(nc.terrain_min_asl_m) == asl
