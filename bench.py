@@ -31,6 +31,52 @@ import numpy as np
 BASELINE_MLUPS = 2000.0
 
 
+_WATCHDOG = None
+
+
+def _arm_init_watchdog() -> None:
+    """Fail loudly (one JSON line) instead of hanging when the hosted-TPU
+    tunnel is unreachable: backend init blocks inside the PJRT client C
+    call, where neither SIGALRM handlers nor GIL-bound threads can run —
+    so the watchdog is a subprocess sharing our stdout.  After
+    LUW_BENCH_INIT_TIMEOUT seconds (default 600) it prints the error JSON
+    line and SIGKILLs the bench."""
+    global _WATCHDOG
+    import subprocess
+
+    timeout = int(os.environ.get("LUW_BENCH_INIT_TIMEOUT", "600"))
+    if timeout <= 0:
+        return
+    err = {
+        "metric": "D3Q19 MLUPs/chip",
+        "value": 0.0,
+        "unit": "MLUPs",
+        "vs_baseline": 0.0,
+        "error": f"accelerator backend init exceeded {timeout}s "
+                 "(TPU tunnel unreachable?)",
+    }
+    code = (
+        "import json,os,signal,sys,time\n"
+        f"time.sleep({timeout})\n"
+        f"if os.getppid() == {os.getpid()}:\n"   # parent still alive+same
+        f"    print(json.dumps({err!r}))\n"
+        "    sys.stdout.flush()\n"
+        f"    os.kill({os.getpid()}, signal.SIGKILL)\n"
+    )
+    _WATCHDOG = subprocess.Popen([sys.executable, "-c", code])
+    import atexit
+
+    atexit.register(_disarm_init_watchdog)
+
+
+def _disarm_init_watchdog() -> None:
+    global _WATCHDOG
+    if _WATCHDOG is not None:
+        _WATCHDOG.kill()
+        _WATCHDOG.wait()
+        _WATCHDOG = None
+
+
 def parse_shape() -> tuple:
     raw = os.environ.get("LUW_BENCH_SHAPE")
     if raw:
@@ -111,6 +157,11 @@ def measure(storage: str, shape: tuple, steps: int, reps: int,
 
 
 def main() -> None:
+    _arm_init_watchdog()
+    import jax
+
+    jax.devices()                 # backend init is the hang risk
+    _disarm_init_watchdog()
     shape = parse_shape()
     steps = int(os.environ.get("LUW_BENCH_STEPS", "200"))
     reps = int(os.environ.get("LUW_BENCH_REPS", "3"))
@@ -139,8 +190,12 @@ def main() -> None:
 
 def main_mesh(split_arg: str = "") -> None:
     """Weak scaling over the visible devices: per-chip slab held constant."""
+    _arm_init_watchdog()
     import jax
     import jax.numpy as jnp
+
+    jax.devices()
+    _disarm_init_watchdog()
 
     from latticeurbanwind_tpu.lbm import (
         DynParams, Forcing, StepConfig, TYPE_E, TYPE_S,
