@@ -277,7 +277,10 @@ def render_scene(flags_solid: np.ndarray, u: Optional[np.ndarray],
                  volume: Optional[Tuple[np.ndarray, str]] = None,
                  slice_spec: Optional[Tuple[int, int, np.ndarray, str]] = None,
                  t_avg: float = 0.0, opacity_gain: float = 1.0,
-                 field_scale: Optional[float] = None) -> Path:
+                 field_scale: Optional[float] = None,
+                 force_field: Optional[np.ndarray] = None,
+                 force_scale: Optional[float] = None,
+                 max_force_vectors: int = 2000) -> Path:
     """One composite 3-D frame: raytraced solid geometry, optional
     Q-criterion isosurface, and velocity streamlines (reference snapshot
     set, setup.cpp:4843-4861).
@@ -292,7 +295,9 @@ def render_scene(flags_solid: np.ndarray, u: Optional[np.ndarray],
     (graphics_field_rt, kernel.cpp:2864) of the scalar field (mode 'u'/
     'rho'/'T' selects weight + colorscale); `slice_spec=(axis, index,
     scalar, mode)` embeds a colored slice plane depth-tested against the
-    geometry (graphics_field_slice, kernel.cpp:2890)."""
+    geometry (graphics_field_slice, kernel.cpp:2890); `force_field`
+    (3, Z, Y, X) draws iron-colored per-boundary force vectors from solid
+    surface cells (graphics_flags FORCE_FIELD branch, kernel.cpp:2698)."""
     import matplotlib
 
     matplotlib.use("Agg")
@@ -314,6 +319,8 @@ def render_scene(flags_solid: np.ndarray, u: Optional[np.ndarray],
         if sl_scalar is not None:
             sl_scalar = sl_scalar[::s, ::s, ::s]
             sl_index //= s
+        if force_field is not None:
+            force_field = force_field[:, ::s, ::s, ::s]
     shape = flags_solid.shape
     layers = [(flags_solid, (0.55, 0.55, 0.6))]
     if q is not None and q_threshold is not None:
@@ -374,6 +381,36 @@ def render_scene(flags_solid: np.ndarray, u: Optional[np.ndarray],
             if segs:
                 ax.add_collection(LineCollection(segs, colors=colors,
                                                  linewidths=1.0))
+    if force_field is not None:
+        # iron-colored per-boundary force vectors from solid cells
+        # (reference graphics_flags FORCE_FIELD branch, kernel.cpp:2698)
+        from .fieldvis import colorscale_iron
+
+        fmag = np.sqrt((force_field ** 2).sum(axis=0))
+        zi, yi, xi = np.nonzero(fmag > 0)
+        if len(zi):
+            if len(zi) > max_force_vectors:
+                pick = np.linspace(0, len(zi) - 1, max_force_vectors,
+                                   dtype=np.int64)
+                zi, yi, xi = zi[pick], yi[pick], xi[pick]
+            mags = fmag[zi, yi, xi]
+            fs = (force_scale if force_scale is not None
+                  else 3.0 / max(float(mags.max()), 1e-12))
+            p0 = np.stack([xi, yi, zi], axis=1).astype(np.float32)
+            vec = force_field[:, zi, yi, xi].T * fs
+            p1 = p0 + vec
+            c0, r0, t0 = project_points(p0, shape, cam)
+            c1, r1, t1 = project_points(p1, shape, cam)
+            ci = np.clip(c0.astype(np.int64), 0, cam.width - 1)
+            ri = np.clip(r0.astype(np.int64), 0, cam.height - 1)
+            vis = t0 <= depth[ri, ci] + 1.5
+            rgba = colorscale_iron(mags * fs / 3.0)
+            fsegs = [[(c0[i], r0[i]), (c1[i], r1[i])]
+                     for i in np.nonzero(vis)[0]]
+            fcols = [tuple(rgba[i]) + (1.0,) for i in np.nonzero(vis)[0]]
+            if fsegs:
+                ax.add_collection(LineCollection(fsegs, colors=fcols,
+                                                 linewidths=1.2))
     ax.set_axis_off()
     if title:
         ax.set_title(title)

@@ -237,27 +237,34 @@ def write_frame(state: LBMState, out_path: Path, *, nz_out: int = 0,
         q_threshold=thr, cam=Camera(fov=fov), title=title)
 
 
-def solid_boundary_force(state: LBMState) -> np.ndarray:
-    """Momentum-exchange force on solid cells, (3,) total in lattice units.
+def _decode_ddf_np(raw: np.ndarray) -> np.ndarray:
+    """Stored DDFs -> fp32, inferring the storage codec from the dtype
+    (f32/bf16 pass through, float16 is the FP16S range shift, uint16 is
+    the FP16C software format — lbm/state.py codecs)."""
+    if raw.dtype == np.uint16:            # FP16C value-space codec
+        import jax.numpy as jnp
 
-    TPU analog of the reference's FORCE_FIELD extension
-    (update_force_field, kernel.cpp:2031-2130): for every fluid-solid link,
-    the halfway-bounce-back momentum transfer is 2 c_i (f_i + f_opp(i))
-    summed over links.  Computed from the stored DDFs with shifted masks.
-    """
-    import jax.numpy as jnp
+        from ..lbm.state import decode_fp16c
 
-    from ..lbm.lattice import C19, OPP19
-    from ..lbm.state import decode_ddf
-
-    from ..lbm.lattice import W19
-
-    solid = (np.asarray(state.flags) & TYPE_S) != 0
-    raw = np.asarray(state.fi)
+        return np.asarray(decode_fp16c(jnp.asarray(raw)))
     f = raw.astype(np.float32)
     if raw.dtype == np.float16:           # FP16S-style range shift
         f = f * (1.0 / 32768.0)
-    total = np.zeros(3)
+    return f
+
+
+def solid_boundary_force_field(state: LBMState) -> np.ndarray:
+    """Per-cell momentum-exchange force on solid cells, (3, Z, Y, X) in
+    lattice units — the reference's FORCE_FIELD extension
+    (update_force_field, kernel.cpp:2031-2130): every fluid-solid link
+    deposits the halfway-bounce-back transfer 2 c_i (f_i + w_i) onto the
+    solid cell, giving the colored per-boundary force the flags renderer
+    draws (kernel.cpp:2698-2709) and per-object force sums."""
+    from ..lbm.lattice import C19, W19
+
+    solid = (np.asarray(state.flags) & TYPE_S) != 0
+    f = _decode_ddf_np(np.asarray(state.fi))
+    F = np.zeros((3, *solid.shape), np.float64)
     for d in range(1, 19):
         cx, cy, cz = (int(v) for v in C19[d])
         # fluid cell at x with solid neighbor at x + c_d: the post-collision
@@ -266,6 +273,17 @@ def solid_boundary_force(state: LBMState) -> np.ndarray:
         link = (~solid) & nbr_solid
         if not link.any():
             continue
-        mom = (f[d][link] + float(W19[d])).sum()   # undo the DDF shift
-        total += np.array([cx, cy, cz]) * 2.0 * mom
-    return total
+        mom = np.where(link, f[d] + float(W19[d]), 0.0)   # undo the DDF shift
+        # scatter onto the receiving solid cell at x + c_d
+        onto = np.roll(mom, shift=(cz, cy, cx), axis=(0, 1, 2))
+        for c, comp in enumerate((cx, cy, cz)):
+            if comp:
+                F[c] += 2.0 * comp * onto
+    F[:, ~solid] = 0.0
+    return F
+
+
+def solid_boundary_force(state: LBMState) -> np.ndarray:
+    """Total momentum-exchange force on solid cells, (3,) lattice units
+    (the sum of solid_boundary_force_field over cells)."""
+    return solid_boundary_force_field(state).sum(axis=(1, 2, 3))

@@ -187,3 +187,45 @@ def test_frame_output_writes_video_frames(tmp_path):
         "TEST_20260101120000_000001.png", "TEST_20260101120000_000002.png"]
     assert all(f.stat().st_size > 5000 for f in frames)
     assert all(f in res.files for f in frames)
+
+
+def test_force_field_per_cell_and_total_consistency():
+    """Per-cell FORCE_FIELD (reference update_force_field,
+    kernel.cpp:2031-2130): nonzero only on solid cells, front face of the
+    block feels +x push, and the total equals the per-cell sum."""
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.run.snapshots import solid_boundary_force_field
+
+    config, state = _channel_with_block()
+    run = make_multi_step(config, n_inner=100)
+    out = run(state, DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3)))
+    F = solid_boundary_force_field(out)
+    solid = (np.asarray(out.flags) & TYPE_S) != 0
+    assert F.shape == (3, *solid.shape)
+    assert np.all(F[:, ~solid] == 0.0)
+    # upstream (west) face column of the block: net +x force
+    front = F[0, 2:8, 6:10, 10]
+    assert front.sum() > 0
+    # total is exactly the field sum
+    np.testing.assert_allclose(solid_boundary_force(out),
+                               F.sum(axis=(1, 2, 3)))
+
+
+def test_render_scene_force_vectors(tmp_path):
+    """Force-vector overlay renders (graphics_flags FORCE_FIELD branch,
+    kernel.cpp:2698-2709)."""
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.run.render import Camera, render_scene
+    from latticeurbanwind_tpu.run.snapshots import solid_boundary_force_field
+
+    config, state = _channel_with_block()
+    run = make_multi_step(config, n_inner=50)
+    out = run(state, DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3)))
+    F = solid_boundary_force_field(out)
+    solid = (np.asarray(out.flags) & TYPE_S) != 0
+    p = render_scene(solid, np.asarray(out.u), tmp_path / "forces.png",
+                     cam=Camera(width=240, height=180), streamlines=False,
+                     force_field=F)
+    assert p.exists() and p.stat().st_size > 2000
