@@ -42,6 +42,7 @@ COMMANDS = {
     "luwenv": _lazy("latticeurbanwind_tpu.utils.accelerator", "main"),
     "luwtkeviz": _lazy("latticeurbanwind_tpu.post.tke_viz", "main"),
     "luwvideo": _lazy("latticeurbanwind_tpu.post.video", "main"),
+    "luwaij": _lazy("latticeurbanwind_tpu.post.aij_casee", "main"),
     "luwstudio": _lazy("latticeurbanwind_tpu.gui.server", "main"),
     "visdem": _lazy(".dem_shp_tools", "visdem_main"),
     "shptester": _lazy(".dem_shp_tools", "shptester_main"),

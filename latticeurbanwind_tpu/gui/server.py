@@ -100,7 +100,7 @@ ALLOWED_COMMANDS = (
     "makeluw", "runluw", "luwbc", "luwcut", "luwvox", "luwval", "cdfinspect",
     "shpinspect", "cleanluw", "visluw", "vtk2nc", "luwcutvis", "luwspectra",
     "luwseason", "dgprepare", "buildingscale", "luwutmnc", "luwenv",
-    "luwtkeviz", "visdem", "shptester", "luwdem", "luwvideo",
+    "luwtkeviz", "visdem", "shptester", "luwdem", "luwvideo", "luwaij",
 )
 
 
