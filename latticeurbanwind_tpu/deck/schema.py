@@ -197,6 +197,9 @@ FIELDS: Tuple[FieldSpec, ...] = (
               "DDF precision: bf16 (TPU-native, default), fp16c (the "
               "reference's 1-4-11 custom float), f16 (FP16S analog), f32.",
               ("bf16", "fp16c", "f16", "f32")),
+    FieldSpec("case_parallel", "boolean", "cfd", "Case-parallel batches",
+              "TPU extension: run .luwdg/.luwpf batch cases in parallel, "
+              "one case per device over the mesh (run/batch.py)."),
     FieldSpec("research_output", "integer", "cfd", "Research output stride", "Research snapshot cadence."),
     # Output & Probes
     FieldSpec("unsteady_output", "integer", "output", "Unsteady output stride", "Write unsteady VTK every N steps."),

@@ -375,12 +375,45 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
     timing["solver_seconds"] = solver_seconds
     timing["mlups"] = info.mlups()
 
-    # --- finalize ----------------------------------------------------------
-    if last_unsteady_t != t:
-        write_raw("u", np.asarray(state.u) * u_factor, t)
-    write_raw("rho", np.asarray(state.rho) * rho_factor, t)
+    write_final_outputs(case, state, avg, avg_samples, t, files,
+                        skip_raw_u=(last_unsteady_t == t))
+
+    progress.done("Solving CFD", f"{t}/{total_steps} steps")
+    return RunResult(state=state, avg=avg, total_steps=t,
+                     solver_seconds=solver_seconds, files=files, timing=timing)
+
+
+def write_final_outputs(case: SolverCase, state: LBMState,
+                        avg: Optional[AvgState], avg_samples: int, t: int,
+                        files: List[Path], *, skip_raw_u: bool = False,
+                        ) -> List[Path]:
+    """Finalize one case: transient u/rho[/T] VTKs, the `_avg` VTK with
+    u_avg/rho_avg[/T_avg]/fluid + requested tke/TI/TLS, probe CSVs,
+    transform.info (reference setup.cpp:4718-4798, 2513-2683).  Shared by
+    the serial driver and the case-parallel batch runner (run/batch.py)."""
+    s = case.settings
+    u_factor = case.units.si_u(1.0)
+    rho_factor = case.units.si_rho(1.0)
+    dt_si = case.units.si_t(1)
+    vtk_dir = case.parent / "RESULTS" / "vtk"
+    raw_base = f"{case.vtk_prefix}{case.datetime}_raw_"
+
+    def write_raw(name: str, data: np.ndarray, affine_T: bool = False):
+        arr = np.asarray(data)
+        if affine_T:
+            arr = arr * case.units.unit_K + case.units.unit_K_offset
+        path = vtk_dir / vtk_timestep_name(raw_base + name, t)
+        write_structured_points(
+            path, {"data": arr.astype(np.float32)},
+            spacing=case.cell_m, origin_shift=case.origin_shift,
+            nz_write=case.nz_out)
+        files.append(path)
+
+    if not skip_raw_u:
+        write_raw("u", np.asarray(state.u) * u_factor)
+    write_raw("rho", np.asarray(state.rho) * rho_factor)
     if case.thermal_output and state.T is not None:
-        write_raw("T", np.asarray(state.T), t, affine_T=True)
+        write_raw("T", np.asarray(state.T), affine_T=True)
 
     if avg is not None and avg_samples > 0:
         mean_u = np.asarray(avg.mean_u)
@@ -417,7 +450,4 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         info_path.parent.mkdir(parents=True, exist_ok=True)
         info_path.write_text(f"dt = {dt_si:.10f}s\n")
         files.append(info_path)
-
-    progress.done("Solving CFD", f"{t}/{total_steps} steps")
-    return RunResult(state=state, avg=avg, total_steps=t,
-                     solver_seconds=solver_seconds, files=files, timing=timing)
+    return files

@@ -202,6 +202,8 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
 
     shape = (plan.nz, plan.ny, plan.nx)
     single = len(angles) == 1
+    case_parallel = deck.get_bool("case_parallel", False)
+    pending: List[SolverCase] = []
     results: List[RunResult] = []
     for idx, angle in enumerate(angles):
         if max_cases and idx >= max_cases:
@@ -266,8 +268,11 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
             print(f"| Profile case    | {idx + 1}/{len(angles)} angle={angle} deg "
                   f"downstream={downstream} grid={plan.nx}x{plan.ny}x{plan.nz} "
                   f"cell={plan.cell_m:.2f} m")
-        results.append(run_case(case, quiet=quiet))
-    return results
+        if case_parallel:
+            pending.append(case)
+        else:
+            results.append(run_case(case, quiet=quiet))
+    return _flush_case_parallel(pending, results, impl=impl, quiet=quiet)
 
 
 def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
@@ -311,12 +316,15 @@ def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
     omega_cor = coriolis_lbmu(deck, plan.cell_m, si_ref_u)
     shape = (plan.nz, plan.ny, plan.nx)
 
+    case_parallel = deck.get_bool("case_parallel", False)
+    pending: List[SolverCase] = []
     results: List[RunResult] = []
     count = 0
     for inflow in inflows:
         for angle in angles:
             if max_cases and count >= max_cases:
-                return results
+                return _flush_case_parallel(pending, results, impl=impl,
+                                            quiet=quiet)
             count += 1
             dir_x, dir_y = direction_from_angle(angle)
             downstream = downstream_from_direction(dir_x, dir_y)
@@ -350,7 +358,30 @@ def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
             if not quiet:
                 print(f"| DG case         | inflow={inflow} angle={angle} "
                       f"downstream={downstream} grid={plan.nx}x{plan.ny}x{plan.nz}")
+            if case_parallel:
+                pending.append(case)
+            else:
+                results.append(run_case(case, quiet=quiet))
+    return _flush_case_parallel(pending, results, impl=impl, quiet=quiet)
+
+
+def _flush_case_parallel(pending: List[SolverCase], results: List[RunResult],
+                         *, impl: str, quiet: bool) -> List[RunResult]:
+    """Dispatch collected cases to the case-parallel batch runner; fall back
+    to the serial driver (with the reason) when the batch is ineligible."""
+    if not pending:
+        return results
+    from .batch import case_parallel_unsupported, run_cases_case_parallel
+
+    reason = case_parallel_unsupported(pending)
+    if reason is None:
+        results.extend(run_cases_case_parallel(pending, impl=impl, quiet=quiet))
+    else:
+        if not quiet:
+            print(f"| Case-parallel   | falling back to serial: {reason}")
+        for case in pending:
             results.append(run_case(case, quiet=quiet))
+    pending.clear()
     return results
 
 
