@@ -647,6 +647,7 @@ class Studio:
                 z, u = load_profile_dat(prof)
                 out["profile"] = [[round(float(zz), 2), round(float(uu), 3)]
                                   for zz, uu in zip(z, u)]
+            out["has_xls"] = bool(sorted(path.parent.glob("*.xls")))
         else:
             out["summary"] = {
                 k: deck.get_text(k, "") for k in
@@ -681,6 +682,23 @@ class Studio:
         fig.savefig(buf, format="png", dpi=100, bbox_inches="tight")
         plt.close(fig)
         return buf.getvalue()
+
+    def api_aij(self, q) -> bytes:
+        """Wind-tunnel validation panel (luwaij-backed): compare an executed
+        .luwpf batch against the AIJ Case E dataset next to the deck and
+        return the measured-vs-computed scatter figure."""
+        from ..post.aij_casee import validate_deck
+
+        path = self.resolve(q["path"][0])
+        variant = q.get("variant", ["after"])[0]
+        xls = sorted(path.parent.glob("*.xls"))
+        if not xls:
+            raise ValueError("no .xls dataset next to the deck")
+        res = validate_deck(path, xls[0], variant=variant, make_figure=True)
+        png = path.parent / "RESULTS" / f"aij_casee_{variant}.png"
+        if not res["angles"] or not png.exists():
+            raise ValueError("no ANG_*/avg VTKs found — run the deck first")
+        return png.read_bytes()
 
     def api_env(self, q) -> dict:
         """Startup diagnostics (reference StartupDiagnostics.cpp)."""
@@ -750,6 +768,8 @@ def make_handler(studio: Studio):
                     self._send(200, studio.api_profileplot(q), "image/png")
                 elif u.path == "/api/buildingscale":
                     self._send(200, studio.api_buildingscale(q), "image/png")
+                elif u.path == "/api/aij":
+                    self._send(200, studio.api_aij(q), "image/png")
                 elif u.path == "/api/env":
                     self._json(studio.api_env(q))
                 elif u.path == "/api/file":

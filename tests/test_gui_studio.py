@@ -263,3 +263,33 @@ def test_studio_volume_field_render(studio):
     err = _json(base + "/api/render?path=RESULTS/vtk/demo_avg-000000010.vtk"
                 "&mode=volume&color=T")
     assert "error" in err
+
+
+def test_studio_aij_validation_panel(studio):
+    """luwaij-backed wind-tunnel validation endpoint: scatter PNG from a
+    .luwpf workspace holding the AIJ xls + an executed avg VTK."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+
+    xls = Path("/root/reference/examples/example_ProfileResearch_noDEM/"
+               "CaseE(Niigata).xls")
+    if not xls.exists():
+        pytest.skip("reference dataset absent")
+    base, case = studio
+    shutil.copy(xls, case / xls.name)
+    (case / "wind_bc").mkdir(exist_ok=True)
+    (case / "wind_bc" / "profile.dat").write_text(
+        "1.25 2.847\n25 4.36\n250 7.8\n")
+    (case / "conf.luwpf").write_text(
+        "// LUW deck\n\n// Project\ncasename = demo\ndatetime = 1\n\n"
+        "// Domain\nbase_height = 20.0\n\n// Batch\nangle = [0]\n")
+    b = _json(base + "/api/batch?path=conf.luwpf")
+    assert b["has_xls"] is True
+    # single-angle naming: un-prefixed avg; grid centered like io/vtk does
+    u = np.full((3, 20, 60, 60), 2.0, np.float32)
+    fl = np.ones((20, 60, 60), np.float32)
+    write_structured_points(case / "RESULTS" / "vtk" / "1_avg-000000010.vtk",
+                            {"u_avg": u, "fluid": fl}, spacing=10.0)
+    ctype, png = _get(base + "/api/aij?path=conf.luwpf&variant=after")
+    assert ctype == "image/png" and png[:4] == b"\x89PNG"
