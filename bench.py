@@ -104,7 +104,10 @@ def measure(storage: str, shape: tuple, steps: int, reps: int,
     Z, Y, X = shape
     n_cells = Z * Y * X
     config = StepConfig(omega=omega_from_nu(1e-4), collision="srt",
-                        subgrid=True, storage=storage)
+                        subgrid=True, storage=storage,
+                        volume_force=False)  # vanilla benchmark: the
+    # reference's headline config compiles without VOLUME_FORCE
+    # (defines.hpp); production urban runs keep forcing on
 
     # urban-run-shaped case: ground solid, lateral+top equilibrium boundaries.
     # Built entirely in-trace: through the hosted TPU tunnel a host-side init
@@ -221,7 +224,8 @@ def main_mesh(split_arg: str = "") -> None:
         "LUW_BENCH_LOCAL", "64,256,256").split(","))
     shape = (zl * dz, Y * dy, X * dx)
     Z = shape[0]
-    config = StepConfig(omega=omega_from_nu(1e-4), subgrid=True, storage=storage)
+    config = StepConfig(omega=omega_from_nu(1e-4), subgrid=True, storage=storage,
+                        volume_force=False)
 
     def build_state():
         flags = jnp.zeros(shape, jnp.uint8)

@@ -159,6 +159,13 @@ class StepConfig:
     t_avg: float = 1.0            # reference temperature (lattice)
     storage: str = "f32"          # DDF storage codec
     equilibrium_boundaries: bool = True
+    # Static VOLUME_FORCE analog (reference defines.hpp compiles forcing in
+    # or out).  False compiles the Guo half-step/forcing terms OUT of the
+    # kernel — valid only when the run has no global force, no Coriolis, no
+    # nudge/sponge, and no thermal buoyancy (the tiers then assert dyn is
+    # inert).  Numerics are identical (the Guo terms are exactly 0 there);
+    # it only removes dead VPU work in the bandwidth-bound kernel.
+    volume_force: bool = True
 
     def __post_init__(self):
         assert self.collision in ("srt", "trt")

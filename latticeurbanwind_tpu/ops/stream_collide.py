@@ -373,6 +373,10 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     has_nudge = forcing.nudge_sigma is not None
     has_sponge = forcing.sponge_sigma_z is not None
     has_forcing = has_nudge or has_sponge
+    use_force = config.volume_force
+    if not use_force and (has_forcing or thermal):
+        raise ValueError("volume_force=False requires no nudge/sponge "
+                         "forcing and no thermal buoyancy")
     has_faces = has_forcing or vk is not None
     vk_sites = tuple(vk["sites"]) if vk else ()
     # apply full planes first, then rows, then lanes: later sites read the
@@ -464,12 +468,13 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
 
         @pl.when(q >= 2)
         def _compute():
-            fxg = dyn_ref[0, 0]
-            fyg = dyn_ref[0, 1]
-            fzg = dyn_ref[0, 2]
-            ox = dyn_ref[0, 3]
-            oy = dyn_ref[0, 4]
-            oz = dyn_ref[0, 5]
+            if use_force:
+                fxg = dyn_ref[0, 0]
+                fyg = dyn_ref[0, 1]
+                fzg = dyn_ref[0, 2]
+                ox = dyn_ref[0, 3]
+                oy = dyn_ref[0, 4]
+                oz = dyn_ref[0, 5]
 
             # masks kept as f32 throughout: Mosaic's vector<i1> relayouts are
             # broken on this toolchain; widen uint8 flags to int32 first (the
@@ -562,9 +567,13 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
 
             # forces: global + Coriolis.  TYPE_E cells' outputs are frozen, so
             # their (boundary-streamed) moments feeding these terms are inert.
-            Fx = fxg - 2.0 * rhon * (oy * un[2] - oz * un[1])
-            Fy = fyg - 2.0 * rhon * (oz * un[0] - ox * un[2])
-            Fz = fzg - 2.0 * rhon * (ox * un[1] - oy * un[0])
+            # volume_force=False compiles the whole forcing path out — the
+            # reference's VOLUME_FORCE off build (defines.hpp) — saving the
+            # Guo VPU work in the vanilla/benchmark configuration.
+            if use_force:
+                Fx = fxg - 2.0 * rhon * (oy * un[2] - oz * un[1])
+                Fy = fyg - 2.0 * rhon * (oz * un[0] - ox * un[2])
+                Fz = fzg - 2.0 * rhon * (ox * un[1] - oy * un[0])
 
             not_e_f = 1.0 - eqbc_f
             if has_forcing:
@@ -673,19 +682,25 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 Fz = Fz - fzg * bterm
 
             # ---- Guo half-step + clamp -------------------------------------
-            half = 0.5 / rhon
-            FF = (Fx, Fy, Fz)
-            u_star = [jnp.clip(un[a] + FF[a] * half, -CS, CS) for a in range(3)]
+            if use_force:
+                half = 0.5 / rhon
+                FF = (Fx, Fy, Fz)
+                u_star = [jnp.clip(un[a] + FF[a] * half, -CS, CS)
+                          for a in range(3)]
+            else:
+                u_star = [jnp.clip(un[a], -CS, CS) for a in range(3)]
             ux, uy, uz = u_star
 
             # ---- unrolled equilibrium + Guo terms (opposite pairs share cu) ---
             c3 = -3.0 * (ux * ux + uy * uy + uz * uz)
             rhom1 = rhon - 1.0
-            uF = -(1.0 / 3.0) * (ux * Fx + uy * Fy + uz * Fz)
+            uF = (-(1.0 / 3.0) * (ux * Fx + uy * Fy + uz * Fz)
+                  if use_force else None)
             feq = [None] * 19
             fin = [None] * 19
             feq[0] = (1.0 / 3.0) * (rhom1 + rhon * (0.5 * c3))
-            fin[0] = 3.0 * uF
+            if use_force:
+                fin[0] = 3.0 * uF
             for d in range(1, 19, 2):
                 cx, cy, cz = (int(v) for v in C19[d])
                 w = float(W19[d])
@@ -697,6 +712,8 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 wcu = w * rhon * cu
                 feq[d] = base + wcu
                 feq[od] = base - wcu
+                if not use_force:
+                    continue
                 cF = ((cx * Fx if cx else 0.0) + (cy * Fy if cy else 0.0)
                       + (cz * Fz if cz else 0.0))
                 w9 = 9.0 * w
@@ -731,10 +748,12 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             sel_eq = eqbc_f * (1.0 - solid_f)
             f_post = [None] * 19
             if config.collision == "srt":
-                cfin = 1.0 - 0.5 * omega_eff
+                cfin = (1.0 - 0.5 * omega_eff) if use_force else None
                 one_m_w = 1.0 - omega_eff
                 for d in range(19):
-                    coll = one_m_w * f[d] + omega_eff * feq[d] + cfin * fin[d]
+                    coll = one_m_w * f[d] + omega_eff * feq[d]
+                    if use_force:
+                        coll = coll + cfin * fin[d]
                     f_post[d] = coll * keep_fluid + own[d] * sel_eq
             else:
                 wp = omega_eff
@@ -743,9 +762,11 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 c_taum = 0.5 - 0.25 * wm
                 for d in range(19):
                     od = int(OPP19[d])
-                    fin_t = c_taup * (fin[d] + fin[od]) + c_taum * (fin[d] - fin[od])
                     coll = (f[d] + 0.5 * wp * (feq[d] - f[d] + feq[od] - f[od])
-                            + 0.5 * wm * (feq[d] - feq[od] - f[d] + f[od]) + fin_t)
+                            + 0.5 * wm * (feq[d] - feq[od] - f[d] + f[od]))
+                    if use_force:
+                        coll = coll + (c_taup * (fin[d] + fin[od])
+                                       + c_taum * (fin[d] - fin[od]))
                     f_post[d] = coll * keep_fluid + own[d] * sel_eq
 
             for k in range(9):

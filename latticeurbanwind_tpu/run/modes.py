@@ -63,6 +63,21 @@ def _find_case_stl(parent: Path, casename: str, mode: str) -> Path:
     raise FileNotFoundError(f"no case STL found; tried {[str(c) for c in candidates]}")
 
 
+def _specialize_force(config: StepConfig, forcing, omega_cor) -> StepConfig:
+    """Compile the Guo forcing path out when this case cannot exert a volume
+    force (no nudge/sponge, no Coriolis, no thermal buoyancy) — the
+    reference's VOLUME_FORCE off build (defines.hpp); ~8% of the
+    bandwidth-bound kernel's VPU work."""
+    from dataclasses import replace
+
+    uses = (forcing.nudge_sigma is not None
+            or forcing.sponge_sigma_z is not None
+            or config.thermal
+            or bool(np.any(np.asarray(omega_cor))))
+    return config if uses == config.volume_force else replace(
+        config, volume_force=uses)
+
+
 def _voxelize_case(mesh: Mesh, plan, progress: ProgressEmitter) -> np.ndarray:
     """STL (SI, aligned to its own min corner) -> solid mask on the lattice."""
     progress.emit("Voxelizing geometry", indeterminate=True, force=True)
@@ -242,6 +257,7 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
         sponge = sponge_spec_from_deck(deck, cell_m=plan.cell_m, si_ref_u=si_ref_u,
                                        nz=plan.nz, extended=plan.sponge_extended)
         forcing = build_forcing(shape, nudge=nudge, sponge=sponge)
+        config = _specialize_force(config, forcing, omega_cor)
         state = make_initial_state(shape, config=config, u=u, flags=flags)
         import jax.numpy as jnp
 
@@ -345,13 +361,14 @@ def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
             nudge = nudge_spec_from_deck(deck, cell_m=plan.cell_m, si_ref_u=si_ref_u,
                                          grid=shape, downstream_bc=downstream)
             forcing = build_forcing(shape, nudge=nudge, sponge=None)
-            state = make_initial_state(shape, config=config, u=u, flags=flags)
+            case_config = _specialize_force(config, forcing, omega_cor)
+            state = make_initial_state(shape, config=case_config, u=u, flags=flags)
             import jax.numpy as jnp
 
             dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.asarray(omega_cor))
             prefix = f"DG_{_format_tag(inflow)}_{_format_tag(angle)}_"
             case = SolverCase(
-                config=config, forcing=forcing, state=state, dyn=dyn, units=units,
+                config=case_config, forcing=forcing, state=state, dyn=dyn, units=units,
                 cell_m=plan.cell_m, parent=parent, datetime=datetime_tag,
                 vtk_prefix=prefix, settings=settings, impl=impl, ngpu=tuple(int(v) for v in (list(ngpu) + [1, 1, 1])[:3]),
             )

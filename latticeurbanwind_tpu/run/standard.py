@@ -211,6 +211,10 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
     sponge = sponge_spec_from_deck(deck, cell_m=plan.cell_m, si_ref_u=si_ref_u,
                                    nz=plan.nz, extended=plan.sponge_extended)
     forcing = build_forcing(shape, nudge=nudge, sponge=sponge)
+    from .modes import _specialize_force
+
+    config = _specialize_force(
+        config, forcing, coriolis_lbmu(deck, plan.cell_m, si_ref_u))
     state = make_initial_state(shape, config=config, u=u, flags=flags,
                                T=T_field if use_temperature else None)
     from ..bc.vk_inlet import build_vk_runtime, make_vk_pre_step, vk_config_from_deck

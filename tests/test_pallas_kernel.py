@@ -84,6 +84,50 @@ def test_pallas_bf16_matches_reference():
     _check_pallas_matches_reference(False, (8, 32, 128), "bf16", atol=2e-4)
 
 
+def test_pallas_volume_force_off_matches_reference():
+    """volume_force=False compiles the Guo path out (reference VOLUME_FORCE
+    off build, defines.hpp).  With an inert dyn the jnp tier's forcing terms
+    are exactly zero, so the specialized kernel must still match it."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.lbm import DynParams, build_forcing
+    from latticeurbanwind_tpu.lbm.reference import make_step as ref_step_f
+    from latticeurbanwind_tpu.lbm.state import decode_ddf
+    from latticeurbanwind_tpu.ops.stream_collide import (
+        make_pallas_step, merge_state, split_state,
+    )
+
+    cfg, state, _, _ = _mk_case(False, shape=(8, 32, 128))
+    cfg = dataclasses.replace(cfg, volume_force=False)
+    forcing = build_forcing(state.rho.shape)          # no nudge/sponge
+    dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3))
+    ref_step = jax.jit(ref_step_f(cfg, forcing))
+    pstep = make_pallas_step(cfg, forcing, state.rho.shape)
+
+    def pal_run(st, d):
+        s = split_state(st, with_fbc=False)
+        for _ in range(5):
+            s = pstep(s, d)
+        return merge_state(s)
+
+    r = state
+    for _ in range(5):
+        r = ref_step(r, dyn)
+    p = jax.jit(pal_run)(state, dyn)
+    np.testing.assert_allclose(np.asarray(decode_ddf(p.fi, "f32")),
+                               np.asarray(decode_ddf(r.fi, "f32")), atol=6e-6)
+    # the guard refuses inconsistent builds
+    forcing_on = build_forcing(
+        state.rho.shape,
+        nudge=__import__("latticeurbanwind_tpu.lbm", fromlist=["NudgeSpec"])
+        .NudgeSpec(n_cells=3, inv_tau=0.02, downstream_face=2))
+    with pytest.raises(ValueError):
+        make_pallas_step(cfg, forcing_on, state.rho.shape)
+
+
 @pytest.mark.parametrize("thermal", [False, True])
 @pytest.mark.parametrize("shape,storage", [
     ((8, 64, 128), "f32"),     # By=32, J=2 under the shrunken budget
