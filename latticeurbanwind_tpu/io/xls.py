@@ -73,6 +73,12 @@ def _ole2_stream(data: bytes, stream_name: str) -> bytes:
     if data[:8] != b"\xd0\xcf\x11\xe0\xa1\xb1\x1a\xe1":
         raise ValueError("not an OLE2 compound file (bad magic)")
     sector = 1 << struct.unpack_from("<H", data, 30)[0]
+
+    # sector id -> file offset: (sid + 1) * sector_size per [MS-CFB] — the
+    # header occupies one full sector (4096-byte v4 files pad it), so the
+    # common 512 + sid*512 shortcut is correct only for v3
+    def off(sid: int) -> int:
+        return (sid + 1) * sector
     mini_sector = 1 << struct.unpack_from("<H", data, 32)[0]
     num_fat = struct.unpack_from("<I", data, 44)[0]
     dir_start = struct.unpack_from("<I", data, 48)[0]
@@ -85,7 +91,7 @@ def _ole2_stream(data: bytes, stream_name: str) -> bytes:
     difat = list(struct.unpack_from("<109I", data, 76))
     s = difat_start
     for _ in range(num_difat):
-        ents = struct.unpack_from(f"<{per}I", data, 512 + s * sector)
+        ents = struct.unpack_from(f"<{per}I", data, off(s))
         difat += ents[:-1]
         s = ents[-1]
 
@@ -93,13 +99,13 @@ def _ole2_stream(data: bytes, stream_name: str) -> bytes:
     for sec in difat[:num_fat]:
         if sec >= _END:
             continue
-        fat += struct.unpack_from(f"<{per}I", data, 512 + sec * sector)
+        fat += struct.unpack_from(f"<{per}I", data, off(sec))
 
     def read_chain(start: int) -> bytes:
         out, s, seen = [], start, set()
         while s < _END and s < len(fat) and s not in seen:
             seen.add(s)
-            out.append(data[512 + s * sector: 512 + (s + 1) * sector])
+            out.append(data[off(s): off(s) + sector])
             s = fat[s]
         return b"".join(out)
 
@@ -129,7 +135,7 @@ def _ole2_stream(data: bytes, stream_name: str) -> bytes:
     minifat: List[int] = []
     s = minifat_start
     while s < _END and s < len(fat):
-        minifat += struct.unpack_from(f"<{per}I", data, 512 + s * sector)
+        minifat += struct.unpack_from(f"<{per}I", data, off(s))
         s = fat[s]
     out, s = [], start
     while s < _END and s < len(minifat):
@@ -284,9 +290,11 @@ def load_xls(path: Union[str, Path]) -> Workbook:
             elif rec == 0x0006:                  # FORMULA cached result
                 r, c = struct.unpack_from("<HH", body, 0)
                 res = body[6:14]
-                if res[6:8] != b"\xff\xff":
+                if res[6:8] != b"\xff\xff":      # a plain IEEE double
                     cells[(r, c)] = struct.unpack("<d", res)[0]
-                elif res[0] == 2:                # cached boolean
-                    cells[(r, c)] = bool(res[2])
+                elif res[0] == 1:                # cached boolean ([MS-XLS]
+                    cells[(r, c)] = bool(res[2])  # Bes: 0x01=bool, 0x02=error
+                # 0x00 string (value in a following STRING record, ignored)
+                # and 0x02 error results are skipped
         sheets.append(cells)
     return Workbook(names, sheets)

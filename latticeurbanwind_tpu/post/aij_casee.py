@@ -110,13 +110,27 @@ def compass_column(angle_deg: float) -> int:
 
 
 def reference_speed(z_samples: np.ndarray, u_samples: np.ndarray,
-                    agl_m: float = MET_STATION_AGL_M) -> float:
+                    agl_m: float = MET_STATION_AGL_M,
+                    domain_agl_m: Optional[float] = None) -> float:
     """Inflow speed at the normalization height via the same cubic profile
-    interpolation the solver's profile mode uses (bc/profile.ProfileTable)."""
+    interpolation the solver's profile mode uses (bc/profile.ProfileTable).
+
+    `domain_agl_m` (domain height above the pedestal) matters for
+    NORMALIZED profile.dat files (z up to ~1): ProfileTable rescales those
+    by the domain height, so the same value the run used must be passed or
+    u_ref silently disagrees with the solver's inflow.  Metric profiles
+    (like Case E's, z up to 250 m) are unaffected."""
     from ..bc.profile import ProfileTable
 
-    top = max(float(np.max(z_samples)), agl_m) + 1.0
-    table = ProfileTable.build(z_samples, u_samples, top, top)
+    zmax = float(np.max(z_samples))
+    if domain_agl_m is None:
+        if zmax <= 1.5:
+            raise ValueError(
+                "normalized profile.dat needs domain_agl_m (= si_z_cfd top "
+                "- base_height) to rescale like the solver run did")
+        domain_agl_m = zmax
+    top = max(zmax, domain_agl_m, agl_m) + 1.0
+    table = ProfileTable.build(z_samples, u_samples, top, domain_agl_m)
     return float(table.speed_at_agl(np.asarray([agl_m]))[0])
 
 
@@ -234,7 +248,12 @@ def validate_deck(deck_path: Path | str, xls_path: Path | str, *,
     base_height = deck.get_float("base_height", 20.0) or 20.0
 
     z_s, u_s = load_profile_dat(parent / "wind_bc" / "profile.dat")
-    u_ref = reference_speed(z_s, u_s)
+    domain_agl = None
+    z_rng = deck.get_pair("si_z_cfd")
+    if z_rng and len(z_rng) == 2:
+        domain_agl = float(z_rng[1] - z_rng[0]) - base_height
+    u_ref = reference_speed(z_s, u_s, domain_agl_m=domain_agl
+                            if domain_agl and domain_agl > 0 else None)
 
     vtk_dir = parent / "RESULTS" / "vtk"
     from ..run.modes import _format_tag
@@ -245,7 +264,11 @@ def validate_deck(deck_path: Path | str, xls_path: Path | str, *,
     per_angle: Dict[float, dict] = {}
     pairs: List[Tuple[float, np.ndarray, np.ndarray]] = []
     for angle in angles:
-        prefix = "" if single else f"ANG_{_format_tag(angle)}_"
+        # the un-prefixed naming exists only for the single-angle run's own
+        # angle; any OTHER requested angle must look for its ANG_ prefix
+        # (and correctly find nothing rather than re-matching angle 0)
+        prefix = ("" if single and angle == deck_angles[0]
+                  else f"ANG_{_format_tag(angle)}_")
         vtk = _find_avg_vtk(vtk_dir, prefix)
         if vtk is None:
             print(f"| AIJ Case E | angle={angle}: no {prefix}*_avg-*.vtk yet "

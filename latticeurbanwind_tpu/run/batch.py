@@ -22,8 +22,10 @@ Mechanics (`run_cases_case_parallel`):
     inputs, so per-angle downstream-face differences do not multiply
     compilations,
   * finalize (avg VTK with tke/TI/TLS, raw u/rho) reuses the serial
-    driver's `write_final_outputs`, so outputs are byte-compatible with a
-    serial run of the same deck.
+    driver's `write_final_outputs`, so outputs have the same files, names,
+    fields, and formats as a serial run of the same deck (values agree to
+    fp32 tolerance — the shard_map compilation may reorder reductions;
+    tests/test_case_parallel.py pins rtol 2e-4).
 
 Opt in with the deck extension key `case_parallel = true` (run/modes.py).
 Cases with probes, unsteady/frame outputs, checkpointing, a VK inlet
@@ -77,6 +79,16 @@ def case_parallel_unsupported(cases: Sequence[SolverCase]) -> Optional[str]:
             return "cases differ in forcing structure"
         if int(np.prod(c.ngpu)) > 1:
             return "n_gpu spatial split requested (use one chip per case)"
+        # dyn is applied from case 0 for the whole batch — refuse divergence
+        # instead of silently replacing it (per-case dyn would need to be a
+        # stacked input like the forcing arrays)
+        if (c.dyn is None) != (c0.dyn is None) or (
+                c.dyn is not None and not (
+                    np.array_equal(np.asarray(c.dyn.force),
+                                   np.asarray(c0.dyn.force))
+                    and np.array_equal(np.asarray(c.dyn.omega_coriolis),
+                                       np.asarray(c0.dyn.omega_coriolis)))):
+            return "cases differ in dynamic parameters (force/Coriolis)"
     return None
 
 

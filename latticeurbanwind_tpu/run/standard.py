@@ -213,8 +213,8 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
     forcing = build_forcing(shape, nudge=nudge, sponge=sponge)
     from .modes import _specialize_force
 
-    config = _specialize_force(
-        config, forcing, coriolis_lbmu(deck, plan.cell_m, si_ref_u))
+    omega_cor = coriolis_lbmu(deck, plan.cell_m, si_ref_u)
+    config = _specialize_force(config, forcing, omega_cor)
     state = make_initial_state(shape, config=config, u=u, flags=flags,
                                T=T_field if use_temperature else None)
     from ..bc.vk_inlet import build_vk_runtime, make_vk_pre_step, vk_config_from_deck
@@ -251,8 +251,7 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
         except ValueError as e:
             print(f"| Probes          | disabled: {e}")
 
-    dyn = DynParams(force=jnp.zeros(3),
-                    omega_coriolis=jnp.asarray(coriolis_lbmu(deck, plan.cell_m, si_ref_u)))
+    dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.asarray(omega_cor))
     case = SolverCase(
         config=config, forcing=forcing, state=state, dyn=dyn, units=units,
         cell_m=plan.cell_m, parent=parent, datetime=datetime_tag,
