@@ -724,6 +724,10 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
 
             # ---- unrolled Smagorinsky LES -----------------------------------
             if config.subgrid:
+                # non-equilibrium parts computed ONCE and reused by all six
+                # stress components (each f-feq difference otherwise repeats
+                # per (a,b) pair — ~40 extra VPU subs/cell)
+                fneq = [None] + [f[d] - feq[d] for d in range(1, 19)]
                 H = {}
                 for a in range(3):
                     for b in range(a, 3):
@@ -732,8 +736,11 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                             coeff = int(C19[d, a]) * int(C19[d, b])
                             if coeff == 0:
                                 continue
-                            t = (f[d] - feq[d]) if coeff == 1 else (feq[d] - f[d])
-                            acc = t if acc is None else acc + t
+                            if acc is None:
+                                acc = fneq[d] if coeff == 1 else -fneq[d]
+                            else:
+                                acc = (acc + fneq[d]) if coeff == 1 \
+                                    else (acc - fneq[d])
                         H[(a, b)] = acc
                 Q = (H[(0, 0)] ** 2 + H[(1, 1)] ** 2 + H[(2, 2)] ** 2
                      + 2.0 * (H[(0, 1)] ** 2 + H[(0, 2)] ** 2 + H[(1, 2)] ** 2))

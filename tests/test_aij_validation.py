@@ -168,3 +168,16 @@ def test_compare_statistics():
     c = m.copy()
     c[0] = np.nan
     assert compare(m, c)["n"] == 3
+
+
+def test_reference_speed_normalized_profile():
+    """Normalized profile.dat (z in z/ZR) must rescale by the run's domain
+    height — and refuse to guess when it isn't given."""
+    z_m = np.array([1.25, 12.5, 125.0, 250.0])
+    u = np.array([2.847, 3.7674, 6.5, 7.8])
+    z_norm = z_m / 250.0
+    with pytest.raises(ValueError):
+        reference_speed(z_norm, u)
+    v_norm = reference_speed(z_norm, u, domain_agl_m=250.0)
+    v_metric = reference_speed(z_m, u)
+    assert v_norm == pytest.approx(v_metric, rel=1e-6)
