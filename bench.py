@@ -59,15 +59,21 @@ def _arm_init_watchdog() -> None:
                 "while the tunnel was healthy (README Status, "
                 "docs/SCALING.md measured table)",
     }
+    # disarm sentinel: the parent touches this BEFORE killing the child, and
+    # the child re-checks it right before printing — otherwise an init that
+    # completes within instants of the deadline could race the kill and emit
+    # a bogus error line ahead of the real result (two JSON lines)
+    sentinel = f"/tmp/luw_bench_ok_{os.getpid()}"
     code = (
         "import json,os,signal,sys,time\n"
         f"time.sleep({timeout})\n"
-        f"if os.getppid() == {os.getpid()}:\n"   # parent still alive+same
+        f"if os.getppid() == {os.getpid()} and not os.path.exists({sentinel!r}):\n"
         f"    print(json.dumps({err!r}))\n"
         "    sys.stdout.flush()\n"
         f"    os.kill({os.getpid()}, signal.SIGKILL)\n"
     )
     _WATCHDOG = subprocess.Popen([sys.executable, "-c", code])
+    _WATCHDOG.sentinel_path = sentinel
     import atexit
 
     atexit.register(_disarm_init_watchdog)
@@ -76,8 +82,17 @@ def _arm_init_watchdog() -> None:
 def _disarm_init_watchdog() -> None:
     global _WATCHDOG
     if _WATCHDOG is not None:
+        try:
+            with open(_WATCHDOG.sentinel_path, "w"):
+                pass
+        except OSError:
+            pass
         _WATCHDOG.kill()
         _WATCHDOG.wait()
+        try:
+            os.remove(_WATCHDOG.sentinel_path)
+        except OSError:
+            pass
         _WATCHDOG = None
 
 

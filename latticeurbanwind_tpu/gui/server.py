@@ -403,7 +403,11 @@ class Studio:
                 if spl:
                     ax_s, _, idx_s = spl.partition(":")
                     axis_n = {"z": 0, "y": 1, "x": 2}.get(ax_s, 0)
-                    slice_spec = (axis_n, int(idx_s or 0), scalar, cmode)
+                    # the UI slider indexes the FULL-resolution grid; the
+                    # fields above were already stride-decimated here, so
+                    # rescale (render_scene only rescales when IT decimates)
+                    slice_spec = (axis_n, int(idx_s or 0) // stride,
+                                  scalar, cmode)
             cam = Camera(
                 azimuth=float(q.get("az", ["225"])[0]),
                 elevation=float(q.get("el", ["35"])[0]),

@@ -339,7 +339,8 @@ def synthesize(home: Path, datetime_tag: str, weights_path: Optional[Path],
                   "resample factor")
         out_fields, sp = resample_to_spacing(acc, in_sp, output_spacing)
         out_fields = {k: v.astype(np.float32) for k, v in out_fields.items()}
-        fig_spacing = sp[0]
+        fig_spacing = sp[2]    # layer-height labels need the Z spacing
+        #                        (anisotropic --output-spacing: sx != sz)
     else:
         out_fields = {k: _resample(v, resample_factor).astype(np.float32)
                       for k, v in acc.items()}

@@ -46,15 +46,17 @@ def discover_series(vtk_path: Path) -> List[Path]:
     return [f for _, f in sorted(found)]
 
 
-def _decimate(fields: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+def _decimate(fields: Dict[str, np.ndarray]) -> tuple:
+    """(fields, stride): interactive-budget subsampling.  Callers must
+    rescale any full-resolution layer index by the returned stride."""
     spatial = next(iter(fields.values())).shape[-3:]
     cells = int(np.prod(spatial))
     if cells <= MAX_RENDER_CELLS:
-        return fields
+        return fields, 1
     s = int(np.ceil((cells / MAX_RENDER_CELLS) ** (1.0 / 3.0)))
     sl = (..., slice(None, None, s), slice(None, None, s),
           slice(None, None, s))
-    return {k: v[sl] for k, v in fields.items()}
+    return {k: v[sl] for k, v in fields.items()}, s
 
 
 def lerp_fields(fa: Dict[str, np.ndarray], fb: Dict[str, np.ndarray],
@@ -163,14 +165,15 @@ def export_frames(first_vtk: Path, out_dir: Path, *, mode: str = "slice",
     n = 0
     for i, path in enumerate(series):
         _, fields = read_structured_points(path)
-        fields = _decimate(fields)
+        fields, stride = _decimate(fields)
+        zi = z // stride          # --z is a full-resolution layer index
         if prev_fields is not None and interp > 0:
             for j in range(1, interp + 1):
                 t = j / (interp + 1)
                 blended = lerp_fields(prev_fields, fields, t)
                 out = out_dir / f"frame_{n:05d}.png"
                 written.append(render_frame(
-                    blended, out, mode=mode, z=z, az=az, el=el, zoom=zoom,
+                    blended, out, mode=mode, z=zi, az=az, el=el, zoom=zoom,
                     color=color, gain=gain, vmax=vmax,
                     title=f"{path.stem} (interp {t:.2f})"))
                 n += 1
@@ -179,7 +182,7 @@ def export_frames(first_vtk: Path, out_dir: Path, *, mode: str = "slice",
                                   len(written), total)
         out = out_dir / f"frame_{n:05d}.png"
         written.append(render_frame(
-            fields, out, mode=mode, z=z, az=az, el=el, zoom=zoom,
+            fields, out, mode=mode, z=zi, az=az, el=el, zoom=zoom,
             color=color, gain=gain, vmax=vmax, title=path.stem))
         n += 1
         if progress:

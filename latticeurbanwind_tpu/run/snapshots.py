@@ -284,6 +284,27 @@ def solid_boundary_force_field(state: LBMState) -> np.ndarray:
 
 
 def solid_boundary_force(state: LBMState) -> np.ndarray:
-    """Total momentum-exchange force on solid cells, (3,) lattice units
-    (the sum of solid_boundary_force_field over cells)."""
-    return solid_boundary_force_field(state).sum(axis=(1, 2, 3))
+    """Total momentum-exchange force on solid cells, (3,) lattice units.
+
+    Same physics as solid_boundary_force_field but accumulated as scalars
+    per direction — the field variant materializes a (3, Z, Y, X) float64
+    array (+ per-direction roll temporaries), multi-GB at production grids,
+    which a caller wanting only the total must not pay."""
+    from ..lbm.lattice import C19, W19
+
+    solid = (np.asarray(state.flags) & TYPE_S) != 0
+    f = _decode_ddf_np(np.asarray(state.fi))
+    total = np.zeros(3, np.float64)
+    for d in range(1, 19):
+        cx, cy, cz = (int(v) for v in C19[d])
+        nbr_solid = np.roll(solid, shift=(-cz, -cy, -cx), axis=(0, 1, 2))
+        link = (~solid) & nbr_solid
+        if not link.any():
+            continue
+        # total over links; the scatter roll in the field variant conserves
+        # the sum, so it drops out of the total (accumulate in f64 like it)
+        s = 2.0 * float((f[d][link] + float(W19[d])).sum(dtype=np.float64))
+        for c, comp in enumerate((cx, cy, cz)):
+            if comp:
+                total[c] += comp * s
+    return total
