@@ -203,3 +203,22 @@ def test_sharded_thermal_forcing_matches_single():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(sharded.gi), np.asarray(single.gi),
                                atol=1e-6)
+
+
+def test_sharded_volume_force_off_matches_single():
+    """The sharded runner with volume_force=False (the bench --mesh
+    configuration after the static VOLUME_FORCE specialization) must agree
+    with the single-device specialized kernel under an inert dyn."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.lbm import DynParams
+
+    cfg, state, forcing, _ = _case()
+    cfg = dataclasses.replace(cfg, volume_force=False)
+    dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3))
+    single = _single(cfg, state, forcing, dyn, 4)
+    sharded = _sharded(cfg, state, forcing, dyn, 4, (1, 2, 2))
+    np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
+                               atol=1e-6)
