@@ -241,8 +241,9 @@ def run_cases_case_parallel(cases: Sequence[SolverCase], *,
         if not quiet:
             mlups = (np.prod(shape) * total_steps * (len(batch) - pad)
                      / max(secs, 1e-9) / 1e6)
+            note = " incl. compile" if b0 == 0 else ""
             print(f"| Case-parallel   | batch of {len(batch) - pad}: "
-                  f"{secs:.1f} s total ({mlups:.0f} MLUPs aggregate)")
+                  f"{secs:.1f} s total ({mlups:.0f} MLUPs aggregate{note})")
 
         for ci, case in enumerate(batch[:len(batch) - pad]):
             st = jax.tree.map(lambda a: np.asarray(a[ci]), final)
