@@ -311,6 +311,47 @@ def validate_deck(deck_path: Path | str, xls_path: Path | str, *,
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt
 
+        # spatial error map for the first compared angle (the standard AIJ
+        # presentation): points at their (x, y) over the building footprint,
+        # colored by computed - measured
+        angle0, m0, c0 = pairs[0]
+        try:
+            meta0, fields0 = read_structured_points(vtk_dir /
+                                                    per_angle[angle0]["vtk"])
+            figm, axm = plt.subplots(figsize=(7.4, 6.6))
+            fluid0 = fields0.get("fluid")
+            if fluid0 is not None:
+                k0 = int(round((base_height + MEASURE_AGL_M)
+                               / float(meta0["spacing"][0]) - 0.5))
+                k0 = min(max(k0, 0), fluid0.shape[0] - 1)
+                ext = [meta0["origin"][0],
+                       meta0["origin"][0] + meta0["spacing"][0]
+                       * (fluid0.shape[2] - 1),
+                       meta0["origin"][1],
+                       meta0["origin"][1] + meta0["spacing"][1]
+                       * (fluid0.shape[1] - 1)]
+                axm.imshow(fluid0[min(k0 + 1, fluid0.shape[0] - 1)] < 0.5,
+                           origin="lower", extent=ext, cmap="Greys",
+                           alpha=0.45)
+            err = c0 - m0
+            lim_e = max(0.1, float(np.nanmax(np.abs(err))))
+            sc = axm.scatter(ds.points[:, 0], ds.points[:, 1], c=err, s=42,
+                             cmap="coolwarm", vmin=-lim_e, vmax=lim_e,
+                             edgecolors="k", linewidths=0.4)
+            figm.colorbar(sc, ax=axm, label="computed - measured ratio")
+            span = float(np.abs(ds.points).max()) * 1.3
+            axm.set_xlim(-span, span)
+            axm.set_ylim(-span, span)
+            axm.set_xlabel("x east (m)")
+            axm.set_ylabel("y north (m)")
+            axm.set_title(f"AIJ Case E error map — angle {angle0:g}° "
+                          f"({COMPASS16[compass_column(angle0)]}, {variant})")
+            figm.savefig(out_dir / f"aij_casee_map_{variant}.png", dpi=110,
+                         bbox_inches="tight")
+            plt.close(figm)
+        except Exception as e:   # noqa: BLE001 — the map is best-effort
+            print(f"| AIJ Case E | error map skipped: {e}")
+
         fig, ax = plt.subplots(figsize=(6.4, 6.2))
         lim = 0.05 + max(float(np.nanmax(all_m)), float(np.nanmax(all_c)), 1.0)
         for angle, m, c in pairs:
