@@ -355,3 +355,58 @@ def test_equilibrium_state_matches_host_init(storage):
     np.testing.assert_array_equal(np.asarray(host.flags), np.asarray(dev.flags))
     np.testing.assert_allclose(np.asarray(host.u), np.asarray(dev.u))
     np.testing.assert_allclose(np.asarray(host.T), np.asarray(dev.T))
+
+
+def test_boussinesq_buoyancy_warm_rises_cold_sinks():
+    """Boussinesq coupling: with gravity on the global force vector
+    (f=(0,0,-g)) and beta>0, `F -= f*beta*(T-T_avg)` (reference
+    kernel.cpp:1680-1682) must push warm fluid up and cold fluid down.
+
+    Note the reference's own LUW modes construct the LBM with fx=fy=fz=0
+    (setup.cpp:4935), making buoyancy numerically inert there — this
+    exercises the term itself, which deck-level physics never does."""
+    shape = (24, 12, 12)
+    g = 2e-4
+    config = StepConfig(omega=omega_from_nu(0.05), subgrid=False,
+                        thermal=True, omega_t=omega_t_from_alpha(0.05),
+                        beta=0.5, t_avg=1.0, storage="f32")
+    Z, Y, X = shape
+    zz = np.arange(Z)
+    T = np.ones(shape, np.float32)
+    # warm blob low in the box, cold blob high — both should move toward
+    # mid-height under buoyancy
+    T[5:9, 4:8, 4:8] = 1.2
+    T[15:19, 4:8, 4:8] = 0.8
+    flags = np.zeros(shape, np.uint8)
+    flags[0] = flags[-1] = TYPE_S          # closed top/bottom
+    state = make_initial_state(shape, config=config, T=T, flags=flags)
+    dyn = DynParams(force=jnp.array([0.0, 0.0, -g], jnp.float32),
+                    omega_coriolis=jnp.zeros(3))
+    run = make_multi_step(config, n_inner=150)
+    out = run(state, dyn)
+    w = np.asarray(out.u[2])
+    # gravity also accelerates the uniform background until the hydrostatic
+    # gradient builds — buoyancy is the motion RELATIVE to the background
+    w_bg = w[1:-1].mean()
+    warm_w = w[5:9, 4:8, 4:8].mean() - w_bg
+    cold_w = w[15:19, 4:8, 4:8].mean() - w_bg
+    assert warm_w > 1e-5, f"warm region should rise, w={warm_w}"
+    assert cold_w < -1e-5, f"cold region should sink, w={cold_w}"
+    # and with beta = 0 nothing moves (gravity alone is absorbed in the
+    # hydrostatic balance of the uniform-T background? no — plain gravity
+    # accelerates everything; compare against T_avg-matched field instead)
+    cfg0 = StepConfig(omega=config.omega, subgrid=False, thermal=True,
+                      omega_t=config.omega_t, beta=0.0, t_avg=1.0,
+                      storage="f32")
+    out0 = make_multi_step(cfg0, n_inner=150)(
+        make_initial_state(shape, config=cfg0, T=T, flags=flags), dyn)
+    w0 = np.asarray(out0.u[2])
+    # without coupling, a blob sees the SAME force as its surroundings at
+    # the same height (the closed box develops a z-profile under uniform
+    # gravity, so compare within each height band, not across bands)
+    ring = np.ones((Y, X), bool)
+    ring[4:8, 4:8] = False
+    for zlo, zhi in ((5, 9), (15, 19)):
+        blob = w0[zlo:zhi, 4:8, 4:8].mean()
+        around = w0[zlo:zhi][:, ring].mean()
+        assert abs(blob - around) < 2e-6, (blob, around)
