@@ -52,7 +52,8 @@ so any local slab shape runs the fast tier.
 from __future__ import annotations
 
 from functools import partial
-from typing import List, NamedTuple, Optional, Tuple
+import os
+from typing import NamedTuple, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -86,13 +87,13 @@ for _d in range(19):
     else:
         _D2G[_d] = (2, _d - GROUP_M.start)
 
-# D3Q7 direction -> (group id, index): g0 holds dirs 0..4 (cz=0), gp dir 5, gm dir 6
-_G7_BASE = (0, 5, 6)
-
 # VMEM working-set budget for one (By, X) tile-plane (cells).  Measured on
 # v5e: the full in-kernel f32 intermediate set at 256Ki cells fits the 128 MiB
-# VMEM with the 120 MiB scoped limit below.
+# VMEM with the 120 MiB scoped limit below.  The thermal kernel carries the
+# D3Q7 sub-lattice on top (gown/gpl/geq/g_post + gp/gm scratch ≈ +7/19 of
+# the f-group planes), so its budget is scaled down accordingly.
 PLANE_BUDGET = 262144
+THERMAL_BUDGET_FRACTION = 0.7
 
 
 class FaceBC(NamedTuple):
@@ -177,17 +178,19 @@ def merge_state(s: SplitState) -> LBMState:
     return LBMState(fi=fi, rho=s.rho, u=s.u, flags=s.flags, gi=gi, T=s.T)
 
 
-def tile_plan(Y: int, X: int) -> Optional[int]:
+def tile_plan(Y: int, X: int, thermal: bool = False) -> Optional[int]:
     """Rows-per-tile By for the y-tiled kernel (J = Y // By tiles).
 
-    Y*X <= PLANE_BUDGET runs untiled (By = Y; Mosaic allows unaligned block
+    Y*X <= budget runs untiled (By = Y; Mosaic allows unaligned block
     dims when they equal the whole array dims, so ANY Y, X legalize).
     Larger planes tile by y into equal blocks: By must divide Y and be a
     multiple of 32 (uint8 flags sublane packing).  Returns None when no
-    legal tiling exists (then the jnp/GSPMD tier serves the shape)."""
-    import os
-
+    legal tiling exists (then the jnp/GSPMD tier serves the shape).
+    Thermal kernels get a reduced budget (their D3Q7 planes enlarge the
+    in-kernel working set the PLANE_BUDGET was measured without)."""
     budget = int(os.environ.get("LUW_PLANE_BUDGET", 0)) or PLANE_BUDGET
+    if thermal:
+        budget = int(budget * THERMAL_BUDGET_FRACTION)
     if Y * X <= budget:
         return Y
     best = None
@@ -203,7 +206,8 @@ def pallas_supported(shape: Tuple[int, int, int], config: StepConfig) -> bool:
     # all storages ride the pallas tier.  Any plane whose y-tiling fits the
     # VMEM budget is supported (reference contract: per-cell kernel at any
     # local domain size, kernel.cpp:1486).
-    return Z >= 3 and Y >= 8 and X >= 8 and tile_plan(Y, X) is not None
+    return (Z >= 3 and Y >= 8 and X >= 8
+            and tile_plan(Y, X, thermal=config.thermal) is not None)
 
 
 # ---------------------------------------------------------------------------
@@ -364,7 +368,7 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         raise NotImplementedError(f"pallas tier unsupported for shape {shape}")
     assert sponge_axis in ("z", "y")
 
-    By = tile_plan(Y, X)
+    By = tile_plan(Y, X, thermal=config.thermal)
     J = Y // By
     tiled = J > 1
 
@@ -664,9 +668,10 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                     sig_t = ssig * not_e_f * (1.0 - tfix_f)
                     t_tgt = tt_ref[:] if sponge_axis == "z" else tt_ref[0][None, :]
                     Tn = Tn + sig_t * (t_tgt - Tn)
-                # unrolled D3Q7 equilibrium + collision, opposite pairs share cu
-                Tm1_q = 0.125 * (Tn - 1.0)
-                geq = [0.25 * (Tn - 1.0)]
+                # unrolled D3Q7 equilibrium + collision, opposite pairs share
+                # cu; weights from lattice.W7 (w0=1/4, ws=1/8)
+                Tm1_q = float(W7[1]) * (Tn - 1.0)
+                geq = [float(W7[0]) * (Tn - 1.0)]
                 for d, ax in ((1, 0), (3, 1), (5, 2)):
                     cu_t = 0.5 * Tn * un_t[ax]
                     geq.append(Tm1_q + cu_t)
@@ -1005,8 +1010,6 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     if tiled:
         scratch += [pltpu.VMEM((2, NRH, X), sdt),
                     pltpu.VMEM((2, NRH, X), sdt)]
-
-    import os
 
     call = pl.pallas_call(
         kernel,

@@ -25,12 +25,10 @@ face nudge/sponge targets are static FaceBC slices, so no per-step gathers.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 from jax.sharding import Mesh, PartitionSpec as P
 
 from ..lbm.state import DynParams, Forcing, LBMState, StepConfig
@@ -119,7 +117,10 @@ def ghost_widths(shape: Tuple[int, int, int],
 
     Width 1 unless the ghost-extended local plane must y-tile AND Y+2 has no
     32-multiple divisor — then the y width grows to 16 so Yg = Y/Dy + 32
-    keeps the tiled kernel's alignment (tile_plan)."""
+    keeps the tiled kernel's alignment (tile_plan).  Probed with the
+    non-thermal budget (no config here); a thermal case that would only
+    tile under the wider ghosts falls back to GSPMD via the stepper's
+    _pallas_ok gate instead — conservative, never wrong."""
     from ..ops.stream_collide import tile_plan
 
     Z, Y, X = shape
@@ -232,7 +233,8 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
         return halos
 
     def body(state: LBMState, dyn: DynParams, t0, n_steps,
-             nsig, nface, spz, fbc: Optional[FaceBC]) -> LBMState:
+             nsig, nface, spz, fbc: Optional[FaceBC]
+             ) -> Tuple[LBMState, Optional[FaceBC]]:
         s = split_state(state)
         # ghost-extend the local DDF/flag arrays (loop-carried)
         s = s._replace(
@@ -375,8 +377,11 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
     if init_u is None:
         raise ValueError("make_sharded_pallas_runner requires init_u (the "
                          "initialized velocity field) for the face targets")
+    if thermal and init_T is None:
+        raise ValueError("make_sharded_pallas_runner requires init_T for a "
+                         "thermal config (the sponge temperature target)")
     u0 = jnp.asarray(init_u)
-    T0 = jnp.asarray(init_T) if (thermal and init_T is not None) else None
+    T0 = jnp.asarray(init_T) if thermal else None
     fbc0 = build_face_bc(u0, T0)
 
     def pad_axis(a, axis, n_split, width):
@@ -416,10 +421,15 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
     run.get_fbc = lambda: fbc_cell[0]
 
     def set_fbc(fbc):
-        if any(getattr(fbc, k) is not None
-               and getattr(fbc, k).shape != getattr(fbc_cell[0], k).shape
-               for k in ("uw", "ue", "us", "un", "ut", "ub")):
-            raise ValueError("restored FaceBC shapes do not match this mesh")
+        faces = ("uw", "ue", "us", "un", "ut", "ub", "tt")
+        for k in faces:
+            mine = getattr(fbc_cell[0], k)
+            theirs = getattr(fbc, k)
+            if (mine is None) != (theirs is None):
+                raise ValueError(f"restored FaceBC {k} presence does not "
+                                 "match this runner (thermal mismatch?)")
+            if mine is not None and theirs.shape != mine.shape:
+                raise ValueError("restored FaceBC shapes do not match this mesh")
         fbc_cell[0] = fbc
 
     run.set_fbc = set_fbc

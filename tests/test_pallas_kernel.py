@@ -142,6 +142,7 @@ def test_pallas_tiled_matches_reference(monkeypatch, thermal, shape, storage):
     from latticeurbanwind_tpu.ops import stream_collide as sc
 
     monkeypatch.setattr(sc, "PLANE_BUDGET", 4096)
+    monkeypatch.setattr(sc, "THERMAL_BUDGET_FRACTION", 1.0)
     assert sc.tile_plan(shape[1], shape[2]) not in (None, shape[1])
     atol = 6e-6 if storage == "f32" else 2e-5
     _check_pallas_matches_reference(thermal, shape, storage, atol=atol)
