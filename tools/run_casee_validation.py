@@ -94,20 +94,30 @@ def main() -> int:
     from latticeurbanwind_tpu.post.aij_casee import validate_deck
 
     xls = sorted(work.glob("*.xls"))[0]
+    use_angles = angles[: args.max_cases or None]
     stats = validate_deck(work / "conf.luwpf", xls, variant=args.variant,
-                          angles=angles[: args.max_cases or None])
+                          angles=use_angles)
+    # the other construction variant for context (the shipped STL is one of
+    # the two city configurations; the non-matching variant should score
+    # visibly worse — a built-in sanity check on the geometry pairing)
+    other = "before" if args.variant == "after" else "after"
+    stats_other = validate_deck(work / "conf.luwpf", xls, variant=other,
+                                angles=use_angles, make_figure=False)
     out_dir = Path(args.out)
     payload = {
         "cell_m": args.cell, "steps": args.steps, "avg": args.avg,
         "stride": args.stride, "storage": args.storage, "vk": args.vk,
         "angles": {str(k): v for k, v in stats["angles"].items()},
-        "overall": stats["overall"], "u_ref": stats["u_ref"],
+        "overall": stats["overall"],
+        f"overall_{other}_variant": stats_other["overall"],
+        "u_ref": stats["u_ref"],
         "solve_seconds": solve_s,
         "timing": [r.timing for r in results],
     }
     (out_dir / "casee_validation.json").write_text(
         json.dumps(payload, indent=1))
-    for name in (f"aij_casee_{args.variant}.png",):
+    for name in (f"aij_casee_{args.variant}.png",
+                 f"aij_casee_map_{args.variant}.png"):
         p = work / "RESULTS" / name
         if p.exists():
             shutil.copy(p, out_dir / name)
