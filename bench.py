@@ -31,69 +31,61 @@ import numpy as np
 BASELINE_MLUPS = 2000.0
 
 
-_WATCHDOG = None
-
-
-def _arm_init_watchdog() -> None:
-    """Fail loudly (one JSON line) instead of hanging when the hosted-TPU
-    tunnel is unreachable: backend init blocks inside the PJRT client C
-    call, where neither SIGALRM handlers nor GIL-bound threads can run —
-    so the watchdog is a subprocess sharing our stdout.  After
-    LUW_BENCH_INIT_TIMEOUT seconds (default 600) it prints the error JSON
-    line and SIGKILLs the bench."""
-    global _WATCHDOG
+def _supervise() -> int:
+    """Outage guard: the hosted-TPU tunnel can wedge so that backend init
+    blocks forever inside the PJRT client C call (no SIGALRM, no GIL).  The
+    bench therefore runs as a CHILD process while this supervisor watches a
+    sentinel file the child touches once `jax.devices()` returns.  If the
+    sentinel does not appear within LUW_BENCH_INIT_TIMEOUT seconds (default
+    600) the supervisor kills the child, prints the one-line error JSON
+    itself, and exits 0 — a parseable outage report, not an rc=137 crash.
+    Once init succeeds the bench may run as long as it likes."""
+    import secrets
+    import signal
     import subprocess
 
     timeout = int(os.environ.get("LUW_BENCH_INIT_TIMEOUT", "600"))
-    if timeout <= 0:
-        return
-    err = {
-        "metric": "D3Q19 MLUPs/chip",
-        "value": 0.0,
-        "unit": "MLUPs",
-        "vs_baseline": 0.0,
-        "error": f"accelerator backend init exceeded {timeout}s "
-                 "(TPU tunnel unreachable?)",
-        "note": "infrastructure outage, not a code failure — the same "
-                "tree measured 3387 MLUPs bf16 / 2218 fp16c at 256^3 "
-                "while the tunnel was healthy (README Status, "
-                "docs/SCALING.md measured table)",
-    }
-    # disarm sentinel: the parent touches this BEFORE killing the child, and
-    # the child re-checks it right before printing — otherwise an init that
-    # completes within instants of the deadline could race the kill and emit
-    # a bogus error line ahead of the real result (two JSON lines)
-    sentinel = f"/tmp/luw_bench_ok_{os.getpid()}"
-    code = (
-        "import json,os,signal,sys,time\n"
-        f"time.sleep({timeout})\n"
-        f"if os.getppid() == {os.getpid()} and not os.path.exists({sentinel!r}):\n"
-        f"    print(json.dumps({err!r}))\n"
-        "    sys.stdout.flush()\n"
-        f"    os.kill({os.getpid()}, signal.SIGKILL)\n"
-    )
-    _WATCHDOG = subprocess.Popen([sys.executable, "-c", code])
-    _WATCHDOG.sentinel_path = sentinel
-    import atexit
-
-    atexit.register(_disarm_init_watchdog)
-
-
-def _disarm_init_watchdog() -> None:
-    global _WATCHDOG
-    if _WATCHDOG is not None:
+    sentinel = f"/tmp/luw_bench_ok_{os.getpid()}_{secrets.token_hex(4)}"
+    env = dict(os.environ)
+    env["LUW_BENCH_WORKER"] = "1"
+    env["LUW_BENCH_SENTINEL"] = sentinel
+    child = subprocess.Popen([sys.executable] + sys.argv, env=env)
+    try:
+        deadline = time.monotonic() + timeout
+        while timeout > 0 and not os.path.exists(sentinel):
+            if child.poll() is not None:
+                return child.returncode  # died before init: real failure
+            if time.monotonic() >= deadline:
+                child.send_signal(signal.SIGKILL)
+                child.wait()
+                print(json.dumps({
+                    "metric": "D3Q19 MLUPs/chip",
+                    "value": 0.0,
+                    "unit": "MLUPs",
+                    "vs_baseline": 0.0,
+                    "error": f"accelerator backend init exceeded {timeout}s "
+                             "(TPU tunnel unreachable?)",
+                    "note": "infrastructure outage, not a code failure — "
+                            "see README Status / docs/SCALING.md for the "
+                            "last healthy measurements",
+                }))
+                sys.stdout.flush()
+                return 0
+            time.sleep(0.5)
+        return child.wait()
+    finally:
         try:
-            with open(_WATCHDOG.sentinel_path, "w"):
-                pass
+            os.remove(sentinel)
         except OSError:
             pass
-        _WATCHDOG.kill()
-        _WATCHDOG.wait()
-        try:
-            os.remove(_WATCHDOG.sentinel_path)
-        except OSError:
+
+
+def _mark_init_ok() -> None:
+    """Child side: tell the supervisor backend init completed."""
+    sentinel = os.environ.get("LUW_BENCH_SENTINEL")
+    if sentinel:
+        with open(sentinel, "w"):
             pass
-        _WATCHDOG = None
 
 
 def parse_shape() -> tuple:
@@ -179,11 +171,10 @@ def measure(storage: str, shape: tuple, steps: int, reps: int,
 
 
 def main() -> None:
-    _arm_init_watchdog()
     import jax
 
     jax.devices()                 # backend init is the hang risk
-    _disarm_init_watchdog()
+    _mark_init_ok()
     shape = parse_shape()
     steps = int(os.environ.get("LUW_BENCH_STEPS", "200"))
     reps = int(os.environ.get("LUW_BENCH_REPS", "3"))
@@ -212,12 +203,11 @@ def main() -> None:
 
 def main_mesh(split_arg: str = "") -> None:
     """Weak scaling over the visible devices: per-chip slab held constant."""
-    _arm_init_watchdog()
     import jax
     import jax.numpy as jnp
 
     jax.devices()
-    _disarm_init_watchdog()
+    _mark_init_ok()
 
     from latticeurbanwind_tpu.lbm import (
         DynParams, Forcing, StepConfig, TYPE_E, TYPE_S,
@@ -283,6 +273,9 @@ def main_mesh(split_arg: str = "") -> None:
 
 
 if __name__ == "__main__":
+    if os.environ.get("LUW_BENCH_WORKER") != "1" and \
+            int(os.environ.get("LUW_BENCH_INIT_TIMEOUT", "600")) > 0:
+        sys.exit(_supervise())
     if "--mesh" in sys.argv:
         i = sys.argv.index("--mesh")
         arg = sys.argv[i + 1] if len(sys.argv) > i + 1 else ""
