@@ -271,17 +271,12 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
     five domain faces.  Per face we hold dense mask / base / sigma / position
     grids built once on the host from the runtime's point lists.
 
-    The returned callable (reference-tier hook, updates state.u) carries:
-      * `.permuted` — the same perturbation in the z<->y transposed
-        orientation used by the axis-permuted pallas tier (ops/permute.py):
-        face axes remap and velocity components swap; the spatial phase k.x
-        is a physical scalar, so mode tables are shared.
-      * `.ddf` — the pure-DDF hook for the Pallas tiers: writes the inlet
-        equilibria feq(rho=1, u') directly into the boundary DDF slabs
-        (which the kernel's TYPE_E freeze then maintains) and refreshes the
-        FaceBC nudge targets.  Accepts shard offsets (z0, zl, top_on) for
-        the z-sharded runner (parallel/halo.py).
-      * `.ddf_permuted` — the DDF hook in the transposed orientation.
+    The returned callable (reference-tier hook, updates state.u) carries
+    `.ddf` — the pure-DDF hook for the Pallas tier: writes the inlet
+    equilibria feq(rho=1, u') directly into the boundary DDF slabs (which
+    the kernel's TYPE_E freeze then maintains) and refreshes the FaceBC
+    nudge targets.  Accepts shard offsets (z0, zl, top_on, ...) for the
+    sharded runner (parallel/halo.py).
     """
     import jax
     import jax.numpy as jnp
@@ -305,10 +300,9 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
         TOP: (1, -1, "y", "x"),
     }
 
-    def build(comp_order, permuted):
-        cp = np.asarray(comp_order)
-        A_np = np.asarray(rt.modes_A)[:, :, cp]                  # (5, M, 3)
-        ph_np = np.asarray(rt.modes_phi)[:, :, cp]
+    def build():
+        A_np = np.asarray(rt.modes_A)                            # (5, M, 3)
+        ph_np = np.asarray(rt.modes_phi)
         # cos(theta + phi_c) = cos(theta) cos(phi_c) - sin(theta) sin(phi_c):
         # Ac/As fold the per-component phase into the amplitudes
         Ac_np = A_np * np.cos(ph_np)                             # (5, M, 3)
@@ -327,8 +321,6 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
                 base[0] = 0.0 if fid == WEST else Xg - 1
                 er[2] = 1.0          # rows span z
                 ec[1] = 1.0          # cols span y
-                if permuted:         # face grid transposed under z<->y
-                    er, ec = ec, er
             elif fid in (SOUTH, NORTH):
                 base[1] = 0.0 if fid == SOUTH else Yg - 1
                 er[2] = 1.0
@@ -348,14 +340,9 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
             mask = np.zeros((R, C), np.float32)
             mask[rows, cols] = 1.0
             base = np.zeros((3, R, C), np.float32)
-            base[:, rows, cols] = np.asarray(rt.base_u)[cp][:, sel]
+            base[:, rows, cols] = np.asarray(rt.base_u)[:, sel]
             sig = np.zeros((R, C), np.float32)
             sig[rows, cols] = np.asarray(rt.sigma)[sel]
-            if permuted:
-                if fid in (WEST, EAST):    # face dims (z,y) -> (z',y')=(y,z)
-                    mask, sig = mask.T, sig.T
-                    base = base.transpose(0, 2, 1)
-                axis = {1: 2, 2: 1, 3: 3}[axis]
             R2, C2 = mask.shape
 
             # --- separable mode-sum factorization (TPU-first) -------------
@@ -539,9 +526,6 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
             arrays are also the nudge targets, preserving the old coupling.
             """
             sharded = z0 is not None
-            if sharded and permuted:
-                raise NotImplementedError(
-                    "sharded VK inlet runs in canonical orientation only")
             fbc = s.fbc
             if fbc is None:
                 raise ValueError("VK inlet needs the FaceBC carried targets "
@@ -602,11 +586,8 @@ def make_vk_pre_step(cfg: VkConfig, rt: VkRuntime, storage: str = "f32"):
         pre_step.ddf_variant = ddf_pre_step
         return pre_step
 
-    pre_step = build((0, 1, 2), permuted=False)
-    permuted = build((0, 2, 1), permuted=True)
-    pre_step.permuted = permuted
+    pre_step = build()
     pre_step.ddf = pre_step.ddf_variant
-    pre_step.ddf_permuted = permuted.ddf_variant
     return pre_step
 
 

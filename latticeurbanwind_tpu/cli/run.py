@@ -17,7 +17,7 @@ def main(argv=None) -> int:
     parser = argparse.ArgumentParser(prog="runluw", description=__doc__)
     parser.add_argument("deck", help="path to conf.luw / .luwdg / .luwpf")
     parser.add_argument("--impl", default="auto",
-                        choices=["auto", "reference", "pallas", "pallas-permuted"],
+                        choices=["auto", "reference", "pallas"],
                         help="compute-path implementation")
     parser.add_argument("--force", action="store_true",
                         help="skip the prerun validation gate")

@@ -160,7 +160,19 @@ def _opp_gather(f: jnp.ndarray, OPP) -> jnp.ndarray:
 
 
 def make_step(config: StepConfig, forcing: Forcing = Forcing()):
-    """Build the single-step update function `step(state, dyn) -> state`."""
+    """Build the single-step update function `step(state, dyn) -> state`.
+
+    `config.volume_force=False` compiles the Guo forcing path out, exactly
+    like the pallas tier (and the reference's VOLUME_FORCE-off build,
+    defines.hpp) — `dyn.force`/`dyn.omega_coriolis` are then ignored, so the
+    build refuses configurations that would need them (nudge/sponge/thermal),
+    keeping the two tiers equivalent by construction."""
+    use_force = config.volume_force
+    if not use_force and (forcing.nudge_sigma is not None
+                          or forcing.sponge_sigma_z is not None
+                          or config.thermal):
+        raise ValueError("volume_force=False requires no nudge/sponge "
+                         "forcing and no thermal buoyancy")
 
     def step(state: LBMState, dyn: DynParams) -> LBMState:
         flags = state.flags
@@ -178,16 +190,17 @@ def make_step(config: StepConfig, forcing: Forcing = Forcing()):
             rhon, un = rho_m, u_m
 
         # --- volume forces --------------------------------------------------
-        F = jnp.broadcast_to(
-            dyn.force.astype(jnp.float32)[:, None, None, None], un.shape
-        )
-        ox, oy, oz = dyn.omega_coriolis
-        cor = jnp.stack([
-            -2.0 * rhon * (oy * un[2] - oz * un[1]),
-            -2.0 * rhon * (oz * un[0] - ox * un[2]),
-            -2.0 * rhon * (ox * un[1] - oy * un[0]),
-        ])
-        F = F + cor
+        if use_force:
+            F = jnp.broadcast_to(
+                dyn.force.astype(jnp.float32)[:, None, None, None], un.shape
+            )
+            ox, oy, oz = dyn.omega_coriolis
+            cor = jnp.stack([
+                -2.0 * rhon * (oy * un[2] - oz * un[1]),
+                -2.0 * rhon * (oz * un[0] - ox * un[2]),
+                -2.0 * rhon * (ox * un[1] - oy * un[0]),
+            ])
+            F = F + cor
 
         not_e = ~eqbc
         # Nudge/sponge targets read the previous step's stored field (state.u)
@@ -237,8 +250,12 @@ def make_step(config: StepConfig, forcing: Forcing = Forcing()):
             )
 
         # --- Guo half-step + clamp ------------------------------------------
-        u_star = jnp.clip(un + F * (0.5 / rhon), -CS, CS)
-        fin = _guo_forcing_terms(u_star, F)
+        if use_force:
+            u_star = jnp.clip(un + F * (0.5 / rhon), -CS, CS)
+            fin = _guo_forcing_terms(u_star, F)
+        else:
+            u_star = jnp.clip(un, -CS, CS)
+            fin = jnp.zeros_like(f)
 
         feq = equilibrium_f(rhon, u_star)
 

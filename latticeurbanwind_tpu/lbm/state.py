@@ -160,11 +160,13 @@ class StepConfig:
     storage: str = "f32"          # DDF storage codec
     equilibrium_boundaries: bool = True
     # Static VOLUME_FORCE analog (reference defines.hpp compiles forcing in
-    # or out).  False compiles the Guo half-step/forcing terms OUT of the
-    # kernel — valid only when the run has no global force, no Coriolis, no
-    # nudge/sponge, and no thermal buoyancy (the tiers then assert dyn is
-    # inert).  Numerics are identical (the Guo terms are exactly 0 there);
-    # it only removes dead VPU work in the bandwidth-bound kernel.
+    # or out).  False compiles the Guo half-step/forcing terms OUT of both
+    # tiers — the builders refuse nudge/sponge/thermal configurations, and
+    # dyn.force / dyn.omega_coriolis are IGNORED (pass zeros; the run modes
+    # guarantee this via _specialize_force, which only turns forcing off
+    # when Coriolis is zero too).  Numerics are identical (the Guo terms are
+    # exactly 0 there); it only removes dead VPU work in the
+    # bandwidth-bound kernel.
     volume_force: bool = True
 
     def __post_init__(self):

@@ -38,7 +38,7 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
     global step index t0 (t0 feeds per-step hooks like the VK inlet).
 
     Returns (runner, impl_name) with runner(state, dyn, t0[, n_steps]).
-    impl: "auto" | "reference" | "pallas" | "pallas-permuted".
+    impl: "auto" | "reference" | "pallas".
     `pre_step(state, t) -> state` runs before each step inside the loop.
 
     The step loop is a `lax.fori_loop` with a TRACED trip count: one
@@ -47,11 +47,9 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
     distinct chunk size would recompile the kernel, minutes per variant on
     large grids).
 
-    Dispatch order for "auto" on TPU: canonical pallas; else the z<->y
-    axis-permuted pallas tier (wide-flat urban grids whose (Y, X) plane
-    exceeds VMEM but whose (Z, X) plane fits — ops/permute.py); else the jnp
-    reference tier.  Permuted state stays permuted across the whole chunk,
-    so the transpose cost is amortized over n_steps.
+    Dispatch for "auto" on TPU: the y-tiled pallas kernel serves any plane
+    a legal tiling exists for (run/sizing.apply_fast_tier pads deck grids so
+    one always does); else the jnp reference tier.
     """
     import jax.numpy as jnp
 
@@ -81,14 +79,6 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
     use_pallas = (impl == "pallas" or (
         impl == "auto" and shape is not None and _pallas_ok(shape, config))
     ) and (pre_step is None or pre_step_ddf is not None)
-    use_permuted = False
-    pre_step_pddf = getattr(pre_step, "ddf_permuted", None)
-    if not use_pallas and shape is not None and (
-            pre_step is None or pre_step_pddf is not None):
-        from ..ops.permute import permute_shape
-
-        use_permuted = impl == "pallas-permuted" or (
-            impl == "auto" and _pallas_ok(permute_shape(shape), config))
 
     if use_pallas:
         from ..ops.stream_collide import (
@@ -115,34 +105,6 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
             return build_face_bc(state.u, state.T)
 
         impl_name = "pallas"
-    elif use_permuted:
-        from ..ops.permute import (
-            make_permuted_pallas_step, permute_dyn, permute_state,
-            unpermute_state,
-        )
-        from ..ops.stream_collide import build_face_bc, merge_state, split_state
-
-        vk_spec_p = getattr(pre_step_pddf, "kernel_spec", None)
-        step = make_permuted_pallas_step(config, forcing, shape, vk=vk_spec_p)
-
-        def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc):
-            s = split_state(permute_state(state))._replace(fbc=fbc)
-            if step.uses_rows:   # y-tiled kernel: seed the carried rows
-                rl, rh = step.init_rows(s)
-                s = s._replace(rows_lo=rl, rows_hi=rh)
-            if pre_step_pddf is not None and hasattr(pre_step_pddf, "init_aux"):
-                s = s._replace(aux=pre_step_pddf.init_aux(s, t0))
-            out = loop(step, s, permute_dyn(dyn), jnp.asarray(t0, jnp.int32),
-                       n_steps, hook=pre_step_pddf, post=False)
-            return unpermute_state(merge_state(out)), out.fbc
-
-        def init_fbc(state: LBMState):
-            if not (has_forcing or vk_spec_p):
-                return None
-            p = permute_state(state)
-            return build_face_bc(p.u, p.T, sponge_axis="y")
-
-        impl_name = "pallas-permuted"
     else:
         step = make_reference_step(config, forcing)
 
@@ -185,6 +147,31 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
     run.get_fbc = lambda: fbc_cell[0]
 
     def set_fbc(fbc):
+        # Mirror the sharded runner's checks (parallel/halo.py set_fbc):
+        # a checkpoint written under a different grid/thermal config must
+        # fail HERE with a clear message, not later as an opaque jit shape
+        # error inside the step.
+        if fbc is not None and shape is not None:
+            Z, Y, X = shape
+            want = {"uw": (Z, 3, Y), "ue": (Z, 3, Y),
+                    "us": (Z, 3, X), "un": (Z, 3, X),
+                    "ut": (3, Y, X), "ub": (3, Y, X)}
+            for k, shp in want.items():
+                arr = getattr(fbc, k)
+                if arr is None:
+                    raise ValueError(f"restored FaceBC is missing face '{k}'")
+                if tuple(arr.shape) != shp:
+                    raise ValueError(
+                        f"restored FaceBC {k} shape {tuple(arr.shape)} does "
+                        f"not match this runner's grid (want {shp}) — "
+                        "checkpoint written under a different decomposition?")
+            if config.thermal and has_forcing and fbc.tt is None:
+                raise ValueError("restored FaceBC has no thermal target 'tt' "
+                                 "but this runner is thermal (config mismatch)")
+            if fbc.tt is not None and tuple(fbc.tt.shape) != (Y, X):
+                raise ValueError(
+                    f"restored FaceBC tt shape {tuple(fbc.tt.shape)} does not "
+                    f"match this runner's grid (want {(Y, X)})")
         fbc_cell[0] = fbc
         fbc_cell[1] = True
 

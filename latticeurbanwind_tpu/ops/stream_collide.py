@@ -104,7 +104,7 @@ class FaceBC(NamedTuple):
     constant except under the VK inlet, whose pre-step updates these arrays.
     Layouts are z-leading for TPU tiling: uw/ue (Z, 3, Y), us/un (Z, 3, X),
     ut/ub (3, Y, X).  tt is the sponge temperature target: (Y, X) for the
-    canonical orientation, (Z, X) for sponge_axis='y'.
+    canonical orientation.
     """
 
     uw: jnp.ndarray
@@ -143,12 +143,11 @@ class SplitState(NamedTuple):
     rows_hi: Optional[jnp.ndarray] = None
 
 
-def build_face_bc(u: jnp.ndarray, T: Optional[jnp.ndarray] = None,
-                  *, sponge_axis: str = "z") -> FaceBC:
+def build_face_bc(u: jnp.ndarray, T: Optional[jnp.ndarray] = None) -> FaceBC:
     """Face targets from the initialized boundary fields (BC values)."""
     tt = None
     if T is not None:
-        tt = T[-1] if sponge_axis == "z" else T[:, -1, :]
+        tt = T[-1]
     return FaceBC(
         uw=u[:, :, :, 0].swapaxes(0, 1), ue=u[:, :, :, -1].swapaxes(0, 1),
         us=u[:, :, 0, :].swapaxes(0, 1), un=u[:, :, -1, :].swapaxes(0, 1),
@@ -156,14 +155,13 @@ def build_face_bc(u: jnp.ndarray, T: Optional[jnp.ndarray] = None,
     )
 
 
-def split_state(state: LBMState, *, with_fbc: bool = False,
-                sponge_axis: str = "z") -> SplitState:
+def split_state(state: LBMState, *, with_fbc: bool = False) -> SplitState:
     fi = state.fi
     kw = {}
     if state.gi is not None:
         kw = dict(g0=state.gi[G7_0], gp=state.gi[G7_P], gm=state.gi[G7_M], T=state.T)
     if with_fbc:
-        kw["fbc"] = build_face_bc(state.u, state.T, sponge_axis=sponge_axis)
+        kw["fbc"] = build_face_bc(state.u, state.T)
     return SplitState(f0=fi[GROUP0], fp=fi[GROUP_P], fm=fi[GROUP_M],
                       rho=state.rho, u=state.u, flags=state.flags, **kw)
 
@@ -336,19 +334,13 @@ def _rollt(tile, below, above, cy: int, cx: int):
 
 
 def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int, int],
-                     halo_mode: bool = False, *, vertical_comp: int = 2,
-                     sponge_axis: str = "z", vk=None,
+                     halo_mode: bool = False, *, vk=None,
                      vk_offsets: Tuple[int, int] = (0, 0)):
     """Build `step(split_state, dyn) -> split_state` for a fixed grid shape.
 
     halo_mode=True builds the per-shard variant used under shard_map: the
     z-neighbor reads come from halo-extended arrays supplied per step
     (parallel/halo.py) instead of wrapping modularly within the local slab.
-
-    `vertical_comp`/`sponge_axis` support the axis-permuted orientation
-    (ops/permute.py): under the z<->y transposition the physically-vertical
-    velocity component is index 1 and the top-sponge profile runs along the
-    sublane (y) axis with the permuted north face as its reference plane.
 
     `vk` is the inlet kernel spec exported by the VK hook
     (bc/vk_inlet.py ddf_pre_step.kernel_spec): {"sites": ((kind, field),..),
@@ -366,7 +358,6 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     Z, Y, X = shape
     if not pallas_supported(shape, config):
         raise NotImplementedError(f"pallas tier unsupported for shape {shape}")
-    assert sponge_axis in ("z", "y")
 
     By = tile_plan(Y, X, thermal=config.thermal)
     J = Y // By
@@ -595,15 +586,11 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 sig = nsig_ref[0] * not_e_f
                 Fs = [Fx, Fy, Fz]
                 for a in range(3):
-                    if a == vertical_comp and not nudge_vertical:
-                        continue
+                    if a == 2 and not nudge_vertical:
+                        continue   # vertical component: nudge u,v only
                     Fs[a] = Fs[a] + rhon * sig * (u_tgt[a] - un[a])
-                if sponge_axis == "z":
-                    ssig = ssig_ref[q - 2, 0]
-                    sp_tgt = u_t
-                else:
-                    ssig = ssig_ref[:]                     # (By,X)
-                    sp_tgt = u_n                           # (3,1,X) broadcasts
+                ssig = ssig_ref[q - 2, 0]
+                sp_tgt = u_t
                 sig_sp = ssig * not_e_f
                 for a in range(3):
                     Fs[a] = Fs[a] + rhon * sig_sp * (sp_tgt[a] - un[a])
@@ -666,7 +653,7 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 Tn = blend(tfix_f, T_own + 1.0, T_m + 1.0)
                 if has_forcing:
                     sig_t = ssig * not_e_f * (1.0 - tfix_f)
-                    t_tgt = tt_ref[:] if sponge_axis == "z" else tt_ref[0][None, :]
+                    t_tgt = tt_ref[:]
                     Tn = Tn + sig_t * (t_tgt - Tn)
                 # unrolled D3Q7 equilibrium + collision, opposite pairs share
                 # cu; weights from lattice.W7 (w0=1/4, ws=1/8)
@@ -954,10 +941,7 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             v((3, By, X), lambda j, q: (0, j, 0)),   # bottom plane target
         ]
     if has_forcing:
-        if sponge_axis == "z":
-            in_specs += [sm((Z, 1), lambda j, q: (0, 0))]
-        else:
-            in_specs += [v((By, X), lambda j, q: (j, 0))]
+        in_specs += [sm((Z, 1), lambda j, q: (0, 0))]
     for kind, _field in vk_sites:
         if kind in ("lane0", "laneL"):       # mask (Z, 1, Y)
             in_specs += [v((1, 1, By), lambda j, q: (zo(q), 0, j))]
@@ -970,8 +954,7 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             v((5, 1, By, X), lambda j, q: (0, zo(q), j, 0)),
             v((1, 1, By, X), lambda j, q: (0, zfp(q), j, 0)),
             v((1, 1, By, X), lambda j, q: (0, zfm(q), j, 0)),
-            (v((By, X), lambda j, q: (j, 0)) if sponge_axis == "z"
-             else v((1, X), lambda j, q: (zo(q), 0))),
+            v((By, X), lambda j, q: (j, 0)),
         ]
 
     out_shapes = [
@@ -1024,16 +1007,10 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     )
 
     # closure forcing arrays (the sharded runner overrides via forcing_loc)
-    if sponge_axis == "z":
-        sponge_z = (
-            np.asarray(forcing.sponge_sigma_z, dtype=np.float32).reshape(Z, 1)
-            if has_sponge else np.zeros((Z, 1), dtype=np.float32)
-        )
-    else:
-        prof = (np.asarray(forcing.sponge_sigma_z, dtype=np.float32)
-                if has_sponge else np.zeros(Y, dtype=np.float32))
-        assert prof.shape == (Y,), (prof.shape, Y)
-        sponge_z = np.broadcast_to(prof[:, None], (Y, X))
+    sponge_z = (
+        np.asarray(forcing.sponge_sigma_z, dtype=np.float32).reshape(Z, 1)
+        if has_sponge else np.zeros((Z, 1), dtype=np.float32)
+    )
     nudge_sigma = (
         forcing.nudge_sigma if has_nudge else jnp.zeros((Z, Y, X), jnp.float32)
     )
@@ -1157,7 +1134,7 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             if has_forcing:
                 t_tgt = s.fbc.tt
             else:
-                t_tgt = (s.T[-1] if sponge_axis == "z" else s.T[:, -1, :])
+                t_tgt = s.T[-1]
             args += [g0b, gpb, gmb, t_tgt]
         out = list(call(*args))
         rep = {}

@@ -70,6 +70,7 @@ class SolverCase:
     datetime: str
     vtk_prefix: str = ""
     nz_out: int = 0                    # crop output above this (sponge rows)
+    ny_out: int = 0                    # crop output beyond this (fast-tier pad)
     settings: RunSettings = field(default_factory=RunSettings)
     probes: List[GridProbe] = field(default_factory=list)
     thermal_output: bool = False       # include T in outputs/averaging
@@ -93,6 +94,44 @@ def _sync(state: LBMState) -> None:
     import jax.numpy as jnp
 
     float(jnp.asarray(state.rho[0, 0, 0]))
+
+
+def _crop_y(arr: np.ndarray, ny_out: int) -> np.ndarray:
+    """Drop fast-tier pad rows from a (..., Z, Y, X) output array."""
+    if ny_out and 0 < ny_out < arr.shape[-2]:
+        return arr[..., :ny_out, :]
+    return arr
+
+
+def _warn_slow_tier(impl_name: str, shape, case: SolverCase, *,
+                    quiet: bool) -> None:
+    """Loud, actionable warning when a sizable grid steps the jnp tier on an
+    accelerator (~10x the Pallas step cost) — silent fallbacks at production
+    sizes read as 'the TPU is slow' (reference runs its per-cell kernel at
+    any local size, kernel.cpp:1486, so there is no analogous cliff)."""
+    if impl_name != "reference":
+        return
+    import jax
+
+    if jax.default_backend() == "cpu" or int(np.prod(shape)) < (1 << 21):
+        return
+    from ..ops.stream_collide import tile_plan
+    Z, Y, X = shape
+    dx, dy, dz = case.ngpu
+    reason = "unsupported step configuration"
+    if int(np.prod(case.ngpu)) > 1 and (Z % dz or Y % dy or X % dx):
+        reason = f"grid {shape} not divisible by n_gpu split {list(case.ngpu)}"
+    elif Z < 3 or Y < 8 or X < 8:
+        reason = f"grid too thin for the kernel (Z={Z}, Y={Y}, X={X})"
+    elif tile_plan(Y, X, thermal=case.config.thermal) is None:
+        reason = (f"({Y}, {X}) plane exceeds the VMEM budget with no legal "
+                  "y-tiling — X too wide for a 32-row tile; shard over x "
+                  "(n_gpu) or coarsen the cell size")
+    elif case.pre_step is not None and getattr(case.pre_step, "ddf", None) is None:
+        reason = "pre-step hook has no DDF (pallas) variant"
+    msg = (f"WARNING: {int(np.prod(shape)) / 1e6:.0f}M-cell grid is stepping "
+           f"the SLOW jnp reference tier (~10x step cost): {reason}")
+    print(msg, flush=True)
 
 
 def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
@@ -134,7 +173,8 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
 
             mesh = domain_mesh(tuple(case.ngpu))
             dx, dy, dz = case.ngpu
-            local = local_shape_for(shape, (dx, dy, dz))
+            local = local_shape_for(shape, (dx, dy, dz),
+                                    case.config.thermal)
             # the DDF inlet hook is shard-aware for any (Dx, Dy, Dz) split
             # (bc/vk_inlet.py _ddf_apply shard kwargs)
             vk_ok = (case.pre_step is None
@@ -170,6 +210,7 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         advance, impl_name = make_runner(
             case.config, case.forcing, shape=shape, n_inner=1,
             impl=eff_impl, donate=True, pre_step=case.pre_step)
+    _warn_slow_tier(impl_name, shape, case, quiet=quiet)
 
     # pallas tiers step pure DDFs: refresh rho/u/T before field-consuming
     # events (the reference's update_fields split, kernel.cpp:1938)
@@ -243,7 +284,7 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
     raw_base = f"{case.vtk_prefix}{case.datetime}_raw_"
 
     def write_raw(name: str, data: np.ndarray, t: int, affine_T: bool = False):
-        arr = np.asarray(data)
+        arr = _crop_y(np.asarray(data), case.ny_out)
         if affine_T:
             arr = arr * case.units.unit_K + case.units.unit_K_offset
         path = vtk_dir / vtk_timestep_name(raw_base + name, t)
@@ -399,7 +440,7 @@ def write_final_outputs(case: SolverCase, state: LBMState,
     raw_base = f"{case.vtk_prefix}{case.datetime}_raw_"
 
     def write_raw(name: str, data: np.ndarray, affine_T: bool = False):
-        arr = np.asarray(data)
+        arr = _crop_y(np.asarray(data), case.ny_out)
         if affine_T:
             arr = arr * case.units.unit_K + case.units.unit_K_offset
         path = vtk_dir / vtk_timestep_name(raw_base + name, t)
@@ -435,6 +476,7 @@ def write_final_outputs(case: SolverCase, state: LBMState,
         for key in ("tke", "TI", "TLS"):
             if key in derived and key.lower() in want:
                 fields[key] = derived[key]
+        fields = {k: _crop_y(v, case.ny_out) for k, v in fields.items()}
         avg_path = vtk_dir / vtk_timestep_name(
             f"{case.vtk_prefix}{case.datetime}_avg", t)
         write_structured_points(avg_path, fields, spacing=case.cell_m,

@@ -39,7 +39,7 @@ from ..bc.profile import (
     load_profile_dat, profile_boundary_fields,
 )
 from .driver import RunResult, SolverCase, run_case
-from .sizing import plan_grid
+from .sizing import apply_fast_tier, plan_grid
 
 
 def _format_tag(v: float) -> str:
@@ -189,6 +189,7 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
         sponge_thickness_m=deck.get_float("sponge_thickness_m", 200.0) or 0.0,
         sponge_enabled=sponge_on,
     )
+    plan = apply_fast_tier(plan, thermal=False, dy=(list(ngpu) + [1])[1])
     units = anchor_units(plan.cell_m, si_ref_u)
     u_scale = LBM_REF_U / si_ref_u
 
@@ -278,6 +279,7 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
             config=config, forcing=forcing, state=state, dyn=dyn, units=units,
             cell_m=plan.cell_m, parent=parent, datetime=datetime_tag,
             vtk_prefix=prefix, nz_out=plan.nz_core if plan.sponge_extended else 0,
+            ny_out=plan.ny_out,
             settings=settings, impl=impl, ngpu=tuple(int(v) for v in (list(ngpu) + [1, 1, 1])[:3]), pre_step=pre_step,
         )
         if not quiet:
@@ -320,6 +322,7 @@ def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
         storage=storage, thermal=False,
         sponge_thickness_m=0.0, sponge_enabled=False,
     )
+    plan = apply_fast_tier(plan, thermal=False, dy=(list(ngpu) + [1])[1])
     units = anchor_units(plan.cell_m, si_ref_u)
     u_scale = LBM_REF_U / si_ref_u
 
@@ -370,7 +373,8 @@ def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
             case = SolverCase(
                 config=case_config, forcing=forcing, state=state, dyn=dyn, units=units,
                 cell_m=plan.cell_m, parent=parent, datetime=datetime_tag,
-                vtk_prefix=prefix, settings=settings, impl=impl, ngpu=tuple(int(v) for v in (list(ngpu) + [1, 1, 1])[:3]),
+                vtk_prefix=prefix, ny_out=plan.ny_out,
+                settings=settings, impl=impl, ngpu=tuple(int(v) for v in (list(ngpu) + [1, 1, 1])[:3]),
             )
             if not quiet:
                 print(f"| DG case         | inflow={inflow} angle={angle} "

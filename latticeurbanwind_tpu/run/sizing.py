@@ -43,6 +43,60 @@ class GridPlan:
     side_ref_z_cap: int      # top of the core region (-1 when no extension)
     bytes_per_device: int
     n_devices: int
+    ny_phys: int = 0         # requested ny before fast-tier padding (0 = ny)
+
+    @property
+    def ny_out(self) -> int:
+        """Rows to write in outputs (0 = all): crops fast-tier pad rows."""
+        return self.ny_phys if 0 < self.ny_phys < self.ny else 0
+
+    @property
+    def ny_core(self) -> int:
+        """Physical rows (the deck-requested extent, pre-padding)."""
+        return self.ny_phys or self.ny
+
+
+def fast_tier_ny(ny: int, nx: int, *, thermal: bool = False,
+                 per_device_ny: int = 1) -> int:
+    """Smallest ny' >= ny whose (ny', nx) plane runs the Pallas fast tier.
+
+    Planes within the VMEM budget legalize at any shape; larger planes need a
+    y-tiling By | ny with By % 32 == 0 (ops/stream_collide.tile_plan).  The
+    grid is extended northward by at most 31 rows per device shard (the
+    domain gets marginally larger — boundary slightly farther out, like the
+    top-sponge z extension) and outputs crop back to the requested rows.
+    Returns ny unchanged when already legal or when no y-padding can help
+    (nx wider than the budget allows — needs x-sharding).
+
+    Reference contract: the per-cell kernel runs at ANY local domain size
+    (kernel.cpp:1486, lbm.cpp:1125); without this the jnp tier silently
+    serves over-budget unaligned planes at ~10x the step cost.
+    """
+    from ..ops.stream_collide import tile_plan
+
+    d = max(1, per_device_ny)
+    if ny % d == 0 and tile_plan(ny // d, nx, thermal=thermal) is not None:
+        return ny
+    # the minimal legal local tiling is By = 32; pad the LOCAL extent up to
+    # a multiple of 32 (tile_plan then picks the best divisor)
+    step = 32 * d
+    ny2 = ((ny + step - 1) // step) * step
+    if tile_plan(ny2 // d, nx, thermal=thermal) is None:
+        return ny   # x too wide for any y-tiling — padding cannot help
+    return ny2
+
+
+def apply_fast_tier(plan: GridPlan, *, thermal: bool = False,
+                    dy: int = 1) -> GridPlan:
+    """Pad the plan's ny so every device shard rides the Pallas fast tier
+    (no-op when already legal or when padding cannot help).  Outputs crop
+    the pad rows via plan.ny_out."""
+    from dataclasses import replace
+
+    ny2 = fast_tier_ny(plan.ny, plan.nx, thermal=thermal, per_device_ny=dy)
+    if ny2 == plan.ny:
+        return plan
+    return replace(plan, ny=ny2, ny_phys=plan.ny)
 
 
 def _grid_dims(si_size, cell_m: float, sponge_thickness_m: float,

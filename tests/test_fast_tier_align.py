@@ -1,0 +1,87 @@
+"""Fast-tier grid legalization: arbitrary deck extents must not silently
+fall off the Pallas tier (reference contract: the per-cell kernel runs at
+ANY local domain size, kernel.cpp:1486, lbm.cpp:1125).
+
+Over-budget planes whose Y has no legal 32-multiple tiling get padded
+northward at plan time (run/sizing.apply_fast_tier) — like the top-sponge z
+extension — and outputs crop the pad rows (SolverCase.ny_out).
+"""
+
+import shutil
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+from latticeurbanwind_tpu.ops.stream_collide import tile_plan
+from latticeurbanwind_tpu.run.sizing import (
+    apply_fast_tier, fast_tier_ny, plan_grid,
+)
+
+
+def test_fast_tier_ny_pads_illegal_tilings():
+    # the round-3 verdict's example shape: Y=1026 over-budget plane
+    assert tile_plan(1026, 1024) is None
+    ny2 = fast_tier_ny(1026, 1024)
+    assert ny2 == 1056 and tile_plan(ny2, 1024) is not None
+
+
+def test_fast_tier_ny_noop_cases():
+    # under budget: any shape legalizes untiled
+    assert fast_tier_ny(499, 506) == 499
+    # already legal tiling
+    assert fast_tier_ny(1024, 1024) == 1024
+    # X too wide for even a 32-row tile: padding cannot help
+    assert fast_tier_ny(1024, 16384) == 1024
+
+
+def test_fast_tier_ny_respects_device_split():
+    ny2 = fast_tier_ny(1026, 1024, per_device_ny=2)
+    assert ny2 % 64 == 0 and tile_plan(ny2 // 2, 1024) is not None
+
+
+def test_apply_fast_tier_records_crop():
+    plan = plan_grid((1024.0, 1026.0, 64.0), cell_m=1.0)
+    assert (plan.nx, plan.ny) == (1024, 1026)
+    plan2 = apply_fast_tier(plan)
+    assert plan2.ny == 1056 and plan2.ny_out == 1026 and plan2.ny_core == 1026
+    # no-op plans keep ny_out == 0 (write everything)
+    small = apply_fast_tier(plan_grid((100.0, 100.0, 30.0), cell_m=10.0))
+    assert small.ny_out == 0 and small.ny_core == small.ny
+
+
+def test_profile_mode_pads_and_crops(tmp_path, monkeypatch):
+    """With a budget that outlaws the deck's native (33, 34) plane, the run
+    pads ny to 64 internally and the output VTKs still carry 33 rows."""
+    from latticeurbanwind_tpu.deck import load_deck
+    from latticeurbanwind_tpu.io import read_structured_points
+    from latticeurbanwind_tpu.run import run_deck
+
+    monkeypatch.setenv("LUW_PLANE_BUDGET", "1100")
+    src = Path("/root/reference/examples/example_ProfileResearch_noDEM")
+    case = tmp_path / "caseE"
+    shutil.copytree(src, case)
+    deck = load_deck(case / "conf.luwpf")
+    deck.set_text("mesh_control", "cell_size", quoted=True)
+    deck.set_float("cell_size", 60.0)
+    deck.set_int("run_nstep", 24)
+    deck.set_int("purge_avg", 8)
+    deck.set_int("purge_avg_stride", 4)
+    deck.set_list("angle", [0.0])
+    deck.save()
+
+    # the plan pads: 33 rows -> 64 (32*34 = 1088 <= 1100 < 33*34)
+    assert tile_plan(33, 34) is None
+    assert fast_tier_ny(33, 34) == 64
+
+    results = run_deck(case / "conf.luwpf", quiet=True)
+    r = results[0]
+    state_ny = np.asarray(r.state.rho).shape[1]
+    assert state_ny == 64, "solver state should carry the padded rows"
+    for f in r.files:
+        if f.suffix != ".vtk":
+            continue
+        meta, fields = read_structured_points(f)
+        assert meta["dims"][1] == 33, f"{f.name}: pad rows must be cropped"
+        for arr in fields.values():
+            assert np.isfinite(np.asarray(arr, np.float64)).all()
