@@ -214,6 +214,13 @@ FIELDS: Tuple[FieldSpec, ...] = (
     FieldSpec("probes", "multiline", "output", "Probe definitions", "Probe definition tokens."),
     # Physics
     FieldSpec("coriolis_term", "boolean", "physics", "Coriolis term", "Enable the Coriolis source term."),
+    FieldSpec("ground_z0", "float", "physics", "Ground roughness length",
+              "TPU extension: aerodynamic roughness z0 (m) of horizontal "
+              "solid faces.  >0 enables the LES wall model (specular "
+              "ground streaming + Schumann log-law shear stress) — removes "
+              "the stair-step bounce-back's artificial O(cell) roughness "
+              "on coarse urban grids.  0 (default) keeps plain bounce-back "
+              "(reference parity)."),
     FieldSpec("buoyancy", "boolean", "physics", "Buoyancy", "Enable Boussinesq temperature coupling."),
     FieldSpec("ibm_enabler", "boolean", "physics", "Immersed boundary", "Enable immersed-boundary handling."),
     FieldSpec("enable_buffer_nudging", "boolean", "physics", "Buffer nudging", "Enable lateral buffer nudging."),

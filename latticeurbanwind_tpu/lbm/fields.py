@@ -32,7 +32,7 @@ from .lattice import C7, C19, CS, OPP7, OPP19
 from .state import DynParams, LBMState, StepConfig, TYPE_E, TYPE_S, TYPE_T, decode_ddf
 
 
-def _stream_moments(fi, solid, C, OPP, storage):
+def _stream_moments(fi, solid, C, OPP, storage, wall_model=False):
     """(rho_streamed, mom_streamed, rho_own, mom_own) via a lax.scan over
     opposite-direction pairs.
 
@@ -40,11 +40,24 @@ def _stream_moments(fi, solid, C, OPP, storage):
     production sizes (10^8+ cells) that single temporary is ~10 GB and OOMs
     HBM.  The scan bounds the live set to the 8 accumulator planes plus a
     couple of per-pair temporaries (XLA's list scheduler keeps far more
-    alive when the loop is unrolled)."""
+    alive when the loop is unrolled).
+
+    wall_model=True mirrors the step tiers' specular ground reflection for
+    the cz=+1 directions.  The specular mirror of a diagonal-up direction
+    lives in the PARTNER opposite-pair, so those four pairs run as two
+    unrolled quads after the scan (each channel still decoded once)."""
     import numpy as np
 
     n = int(fi.shape[0])
     pairs = [(d, int(OPP[d])) for d in range(1, n) if int(OPP[d]) > d]
+    quad_pairs = []
+    if wall_model:
+        # diagonal cz != 0 pairs couple in quads through the z-mirror;
+        # the pure-vertical pair's mirror IS its opposite (spec == bb)
+        quad_pairs = [p for p in pairs
+                      if int(C[p[0]][2]) != 0
+                      and (int(C[p[0]][0]) != 0 or int(C[p[0]][1]) != 0)]
+        pairs = [p for p in pairs if p not in quad_pairs]
     ds = jnp.asarray(np.array([p[0] for p in pairs], np.int32))
     ods = jnp.asarray(np.array([p[1] for p in pairs], np.int32))
     cs = jnp.asarray(np.array([C[p[0]] for p in pairs], np.int32))  # (P, 3)
@@ -70,6 +83,44 @@ def _stream_moments(fi, solid, C, OPP, storage):
 
     (rho_s, mom_s, rho_o, mom_o), _ = jax.lax.scan(
         body, (rest, zeros3, rest, zeros3), (ds, ods, cs))
+
+    if quad_pairs:
+        def _idx(c):
+            return next(i for i in range(n)
+                        if tuple(int(v) for v in C[i]) == c)
+
+        done = set()
+        for d, od in quad_pairs:
+            if d in done:
+                continue
+            cx, cy = int(C[d][0]), int(C[d][1])
+            a_i, b_i = d, od                      # a = (cx,cy,+1)
+            m_i = _idx((cx, cy, -1))              # mirror of a
+            w_i = int(OPP[m_i])                   # (-cx,-cy,+1)
+            done.update((a_i, b_i, m_i, w_i))
+            ch = {i: decode_ddf(fi[i], storage)
+                  for i in (a_i, b_i, m_i, w_i)}
+            for up_i, dn_opp_i, mir_i in ((a_i, b_i, m_i), (w_i, m_i, b_i)):
+                ux_, uy_ = int(C[up_i][0]), int(C[up_i][1])
+                sh = (1, uy_, ux_)
+                psh = (0, uy_, ux_)               # in-plane partner shift
+                pulled = jnp.roll(ch[up_i], sh, (0, 1, 2))
+                src_sol = jnp.roll(solid, sh, (0, 1, 2))
+                nbr_sol = jnp.roll(solid, psh, (0, 1, 2))
+                spec = jnp.roll(ch[mir_i], psh, (0, 1, 2))
+                repl = jnp.where(nbr_sol, ch[dn_opp_i], spec)
+                s_up = jnp.where(src_sol, repl, pulled)
+                # downward partner of this up direction: plain bounce-back
+                dsh = (-1, -uy_, -ux_)
+                s_dn = jnp.where(jnp.roll(solid, dsh, (0, 1, 2)), ch[up_i],
+                                 jnp.roll(ch[dn_opp_i], dsh, (0, 1, 2)))
+                cf = jnp.asarray([ux_, uy_, 1],
+                                 jnp.float32)[:, None, None, None]
+                rho_s = rho_s + s_up + s_dn
+                mom_s = mom_s + cf * (s_up - s_dn)
+                rho_o = rho_o + ch[up_i] + ch[dn_opp_i]
+                mom_o = mom_o + cf * (ch[up_i] - ch[dn_opp_i])
+
     return 1.0 + rho_s, mom_s, 1.0 + rho_o, mom_o
 
 
@@ -82,7 +133,8 @@ def _update(state: LBMState, dyn: DynParams, config: StepConfig) -> LBMState:
     eqbc = (flags & TYPE_E) != 0
 
     rho_s, mom_s, rho_own, mom_own = _stream_moments(
-        state.fi, solid, C19, OPP19, config.storage)
+        state.fi, solid, C19, OPP19, config.storage,
+        wall_model=config.wall_model)
     u_s = mom_s / rho_s
 
     fx = dyn.force.astype(jnp.float32)
@@ -92,6 +144,12 @@ def _update(state: LBMState, dyn: DynParams, config: StepConfig) -> LBMState:
         fx[1] - 2.0 * rho_s * (oz * u_s[0] - ox * u_s[2]),
         fx[2] - 2.0 * rho_s * (ox * u_s[1] - oy * u_s[0]),
     ])
+    if config.wall_model:
+        # Schumann wall stress half-step, matching the step tiers
+        ga = ((~solid) & jnp.roll(solid, 1, 0)).astype(jnp.float32)
+        uh = jnp.sqrt(u_s[0] * u_s[0] + u_s[1] * u_s[1])
+        cw = config.wall_cd * ga * rho_s * uh
+        F = F - jnp.stack([cw * u_s[0], cw * u_s[1], jnp.zeros_like(cw)])
 
     T_new = state.T
     if config.thermal and state.gi is not None:

@@ -107,13 +107,30 @@ def _pull(field: jnp.ndarray, c) -> jnp.ndarray:
     return jnp.roll(field, shift=(cz, cy, cx), axis=(0, 1, 2))
 
 
-def _stream(f_prev: jnp.ndarray, solid: jnp.ndarray, C, OPP) -> jnp.ndarray:
-    """Pull streaming with halfway bounce-back from solid sources."""
+def _stream(f_prev: jnp.ndarray, solid: jnp.ndarray, C, OPP,
+            wall_model: bool = False) -> jnp.ndarray:
+    """Pull streaming with halfway bounce-back from solid sources.
+
+    wall_model=True switches upward (cz=+1) directions whose source is
+    solid BELOW to halfway SPECULAR reflection off the horizontal face —
+    f_(cx,cy,+1)(x) <- f_(cx,cy,-1)(x - (cx,cy,0)) — whenever that in-plane
+    partner cell is fluid (corners/vertical walls keep bounce-back).  The
+    Schumann shear stress in make_step restores the physical log-law drag
+    the free-slip face removes."""
+    C_l = [tuple(int(v) for v in c) for c in np.asarray(C)]
+    mirror = {c: i for i, c in enumerate(C_l)}
     out = [f_prev[0]]
     for i in range(1, f_prev.shape[0]):
+        cx, cy, cz = C_l[i]
         pulled = _pull(f_prev[i], C[i])
         src_solid = _pull(solid, C[i])
-        out.append(jnp.where(src_solid, f_prev[int(OPP[i])], pulled))
+        repl = f_prev[int(OPP[i])]
+        if wall_model and cz == 1:
+            m = mirror[(cx, cy, -1)]
+            spec = _pull(f_prev[m], (cx, cy, 0))
+            nbr_solid = _pull(solid, (cx, cy, 0))
+            repl = jnp.where(nbr_solid, repl, spec)
+        out.append(jnp.where(src_solid, repl, pulled))
     return jnp.stack(out)
 
 
@@ -180,7 +197,7 @@ def make_step(config: StepConfig, forcing: Forcing = Forcing()):
         eqbc = (flags & TYPE_E) != 0
 
         f_prev = decode_ddf(state.fi, config.storage)
-        f = _stream(f_prev, solid, C19, OPP19)
+        f = _stream(f_prev, solid, C19, OPP19, wall_model=config.wall_model)
 
         rho_m, u_m = moments(f)
         if config.equilibrium_boundaries:
@@ -201,6 +218,16 @@ def make_step(config: StepConfig, forcing: Forcing = Forcing()):
                 -2.0 * rhon * (ox * un[1] - oy * un[0]),
             ])
             F = F + cor
+            if config.wall_model:
+                # Schumann wall stress at the first fluid cell above a
+                # horizontal solid face: F = -Cd rho |u_h| u_h, Cd =
+                # [kappa/ln(z1/z0)]^2 (z1 = half cell).  Pairs with the
+                # specular streaming above to emulate a z0-rough wall.
+                ga = ((~solid) & _pull(solid, (0, 0, 1))).astype(jnp.float32)
+                uh = jnp.sqrt(un[0] * un[0] + un[1] * un[1])
+                cw = config.wall_cd * ga * rhon * uh
+                F = F - jnp.stack([cw * un[0], cw * un[1],
+                                   jnp.zeros_like(cw)])
 
         not_e = ~eqbc
         # Nudge/sponge targets read the previous step's stored field (state.u)

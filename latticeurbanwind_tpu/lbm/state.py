@@ -168,10 +168,27 @@ class StepConfig:
     # exactly 0 there); it only removes dead VPU work in the
     # bandwidth-bound kernel.
     volume_force: bool = True
+    # LES wall model for horizontal solid faces (ground, roofs): upward DDFs
+    # whose pull source is solid BELOW with a fluid in-plane neighbor reflect
+    # SPECULARLY (free-slip) instead of bouncing back, and the first fluid
+    # cell above such a face receives the Schumann log-law shear stress
+    # F = -wall_cd * rho * |u_h| * u_h  (per lattice step; wall_cd =
+    # [kappa / ln(z1/z0)]^2 with z1 = cell/2).  This removes the stair-step
+    # bounce-back's artificial z0 ~ O(cell) roughness and replaces it with
+    # the physical aerodynamic roughness — essential for coarse-cell urban
+    # ABL runs (AIJ guideline "horizontal homogeneity" requirement).  The
+    # reference has no wall model (its ground is plain TYPE_S bounce-back,
+    # setup.cpp:5948-5955); this is a beyond-parity accuracy feature.
+    # Vertical building faces keep bounce-back (resolved form drag).
+    wall_model: bool = False
+    wall_cd: float = 0.0
 
     def __post_init__(self):
         assert self.collision in ("srt", "trt")
         assert self.storage in _STORAGE_DTYPES
+        if self.wall_model:
+            assert self.volume_force, "wall_model needs volume_force=True"
+            assert self.wall_cd > 0.0, "wall_model needs wall_cd > 0"
 
 
 def _np_storage_dtype(storage: str):

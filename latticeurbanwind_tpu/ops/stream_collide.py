@@ -87,6 +87,15 @@ for _d in range(19):
     else:
         _D2G[_d] = (2, _d - GROUP_M.start)
 
+# z-mirror of each GROUP_P direction (cx,cy,+1) -> GROUP_M index of
+# (cx,cy,-1), used by the wall-model specular reflection
+_MIR_P = [
+    next(m for m in range(5)
+         if (int(C19[GROUP_M.start + m, 0]) == int(C19[GROUP_P.start + k, 0])
+             and int(C19[GROUP_M.start + m, 1]) == int(C19[GROUP_P.start + k, 1])))
+    for k in range(5)
+]
+
 # VMEM working-set budget for one (By, X) tile-plane (cells).  Measured on
 # v5e: the full in-kernel f32 intermediate set at 256Ki cells fits the 128 MiB
 # VMEM with the 120 MiB scoped limit below.  The thermal kernel carries the
@@ -541,8 +550,23 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 shifted = _rollt(tile, bel, abv, cy, cx)
                 stile, sbel, sabv = solsrc(g)
                 src_solid_f = _rollt(stile, sbel, sabv, cy, cx)
-                opp_plane = own[int(OPP19[d])]
-                f[d] = opp_plane * src_solid_f + shifted * (1.0 - src_solid_f)
+                repl = own[int(OPP19[d])]
+                if config.wall_model and cz == 1:
+                    # specular off horizontal faces: mirror fm DDF at the
+                    # OWN plane, shifted in-plane — free-slip ground/roofs
+                    # (the Schumann stress below restores log-law drag);
+                    # corners (solid in-plane partner) keep bounce-back.
+                    mk = _MIR_P[k]
+                    mtile = own_fm[mk]
+                    if tiled:
+                        mbel, mabv = row(0, 1, R_FM + mk), row(1, 1, R_FM + mk)
+                    else:
+                        mbel, mabv = mtile[-1:], mtile[:1]
+                    spec = _rollt(mtile, mbel, mabv, cy, cx)
+                    s0tile, s0bel, s0abv = solsrc(0)   # solid @ own plane
+                    nbr_sol = _rollt(s0tile, s0bel, s0abv, cy, cx)
+                    repl = repl * nbr_sol + spec * (1.0 - nbr_sol)
+                f[d] = repl * src_solid_f + shifted * (1.0 - src_solid_f)
 
             # ---- unrolled moments (dot_general relayouts are ~10x slower) ----
             rho_m = f[0]
@@ -569,6 +593,15 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 Fx = fxg - 2.0 * rhon * (oy * un[2] - oz * un[1])
                 Fy = fyg - 2.0 * rhon * (oz * un[0] - ox * un[2])
                 Fz = fzg - 2.0 * rhon * (ox * un[1] - oy * un[0])
+                if config.wall_model:
+                    # Schumann wall stress at first fluid cell above a
+                    # horizontal solid face (fluid here & solid directly
+                    # below — both flag planes already in scratch)
+                    ga = (1.0 - solid_f) * sol_m1
+                    uh = jnp.sqrt(un[0] * un[0] + un[1] * un[1])
+                    cw = config.wall_cd * ga * rhon * uh
+                    Fx = Fx - cw * un[0]
+                    Fy = Fy - cw * un[1]
 
             not_e_f = 1.0 - eqbc_f
             if has_forcing:

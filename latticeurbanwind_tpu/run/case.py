@@ -120,6 +120,33 @@ def storage_from_deck(deck: DeckDocument) -> str:
     return raw
 
 
+def wall_cd_from_deck(deck: DeckDocument, cell_m: float) -> float:
+    """Schumann wall-stress coefficient from the deck's `ground_z0`.
+
+    Cd = [kappa / ln(z1/z0)]^2 with z1 = cell/2 (the first fluid cell
+    center's height above a halfway wall) and kappa = 0.41.  Returns 0
+    when the wall model is off (ground_z0 absent or <= 0).  The ratio is
+    clamped at e so pathological z0 >= z1 stays finite (Cd <= kappa^2)."""
+    import math
+
+    z0 = deck.get_float("ground_z0", 0.0) or 0.0
+    if z0 <= 0.0:
+        return 0.0
+    ratio = max((0.5 * cell_m) / z0, math.e)
+    return (0.41 / math.log(ratio)) ** 2
+
+
+def apply_wall_model(config, deck: DeckDocument, cell_m: float):
+    """StepConfig with the deck's wall model applied (after force
+    specialization — the Schumann stress needs the Guo path compiled in)."""
+    from dataclasses import replace
+
+    cd = wall_cd_from_deck(deck, cell_m)
+    if cd <= 0.0:
+        return config
+    return replace(config, wall_model=True, wall_cd=cd, volume_force=True)
+
+
 def run_settings_from_deck(deck: DeckDocument):
     from .driver import RunSettings
 

@@ -29,8 +29,8 @@ from ..lbm import (
 )
 from .case import (
     DEFAULT_BASE_HEIGHT, LBM_REF_U, SI_NU_AIR,
-    anchor_units, coriolis_lbmu, nudge_spec_from_deck, run_settings_from_deck,
-    storage_from_deck,
+    anchor_units, apply_wall_model, coriolis_lbmu, nudge_spec_from_deck,
+    run_settings_from_deck, storage_from_deck,
     si_size_from_deck, sponge_spec_from_deck,
 )
 from ..bc.flux import apply_flux_correction
@@ -258,7 +258,8 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
         sponge = sponge_spec_from_deck(deck, cell_m=plan.cell_m, si_ref_u=si_ref_u,
                                        nz=plan.nz, extended=plan.sponge_extended)
         forcing = build_forcing(shape, nudge=nudge, sponge=sponge)
-        config = _specialize_force(config, forcing, omega_cor)
+        config = apply_wall_model(
+            _specialize_force(config, forcing, omega_cor), deck, plan.cell_m)
         state = make_initial_state(shape, config=config, u=u, flags=flags)
         import jax.numpy as jnp
 
@@ -364,7 +365,9 @@ def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
             nudge = nudge_spec_from_deck(deck, cell_m=plan.cell_m, si_ref_u=si_ref_u,
                                          grid=shape, downstream_bc=downstream)
             forcing = build_forcing(shape, nudge=nudge, sponge=None)
-            case_config = _specialize_force(config, forcing, omega_cor)
+            case_config = apply_wall_model(
+                _specialize_force(config, forcing, omega_cor), deck,
+                plan.cell_m)
             state = make_initial_state(shape, config=case_config, u=u, flags=flags)
             import jax.numpy as jnp
 

@@ -42,8 +42,8 @@ from ..lbm import (
 from .case import (
     DEFAULT_BASE_HEIGHT, LBM_REF_U, SI_ALPHA_AIR, SI_NU_AIR,
     TEMPERATURE_MAX_K, TEMPERATURE_MIN_K, TEMPERATURE_REF_K,
-    anchor_units, coriolis_lbmu, nudge_spec_from_deck, run_settings_from_deck,
-    storage_from_deck,
+    anchor_units, apply_wall_model, coriolis_lbmu, nudge_spec_from_deck,
+    run_settings_from_deck, storage_from_deck,
     si_size_from_deck, sponge_spec_from_deck,
 )
 from .driver import RunResult, SolverCase, run_case
@@ -216,7 +216,8 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
     from .modes import _specialize_force
 
     omega_cor = coriolis_lbmu(deck, plan.cell_m, si_ref_u)
-    config = _specialize_force(config, forcing, omega_cor)
+    config = apply_wall_model(
+        _specialize_force(config, forcing, omega_cor), deck, plan.cell_m)
     state = make_initial_state(shape, config=config, u=u, flags=flags,
                                T=T_field if use_temperature else None)
     from ..bc.vk_inlet import build_vk_runtime, make_vk_pre_step, vk_config_from_deck

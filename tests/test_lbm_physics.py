@@ -410,3 +410,67 @@ def test_boussinesq_buoyancy_warm_rises_cold_sinks():
         blob = w0[zlo:zhi, 4:8, 4:8].mean()
         around = w0[zlo:zhi][:, ring].mean()
         assert abs(blob - around) < 2e-6, (blob, around)
+
+
+def test_wall_model_free_slip_preserves_plug_flow():
+    """Specular ground streaming (StepConfig.wall_model): a uniform
+    horizontal flow over a flat solid floor must stay uniform (free slip) —
+    plain bounce-back would dig a boundary layer within a few steps.  The
+    Schumann drag is made negligible (cd ~ 0) to isolate the reflection."""
+    from latticeurbanwind_tpu.lbm.fields import update_fields
+
+    shape = (10, 8, 16)
+    u0 = 0.05
+    config = StepConfig(omega=omega_from_nu(0.01), subgrid=False,
+                        storage="f32", wall_model=True, wall_cd=1e-12)
+    flags = np.zeros(shape, np.uint8)
+    flags[0] = TYPE_S
+    flags[-1] = TYPE_E     # hold the top (the periodic ceiling would drag)
+    u = np.zeros((3, *shape), np.float32)
+    u[0, 1:] = u0
+    state = make_initial_state(shape, config=config, u=u, flags=flags)
+    run = make_multi_step(config, n_inner=30)
+    out = update_fields(run(state, dyn_zero()), config, dyn_zero())
+    ux = np.asarray(out.u[0][1:])           # fluid region
+    assert np.allclose(ux, u0, atol=1e-5)
+
+    # contrast: plain bounce-back decelerates the first fluid layer hard
+    config_bb = StepConfig(omega=omega_from_nu(0.01), subgrid=False,
+                           storage="f32")
+    state_bb = make_initial_state(shape, config=config_bb, u=u, flags=flags)
+    out_bb = update_fields(make_multi_step(config_bb, n_inner=30)(
+        state_bb, dyn_zero()), config_bb, dyn_zero())
+    assert float(np.mean(np.asarray(out_bb.u[0][1]))) < 0.8 * u0
+
+
+def test_wall_model_schumann_drag_rate():
+    """The Schumann stress removes horizontal momentum at the predicted
+    initial rate: dP/dt = -cd * sum(rho |u_h| u_h) over the first fluid
+    layer.  Measured as the momentum DIFFERENCE between a cd run and a
+    cd~0 run so the periodic-ceiling bounce-back loss (shared by both)
+    cancels."""
+    from latticeurbanwind_tpu.lbm.fields import update_fields
+
+    shape = (10, 8, 16)
+    u0 = 0.05
+    cd = 0.02
+    n = 5
+
+    def run(cd_val):
+        config = StepConfig(omega=omega_from_nu(0.01), subgrid=False,
+                            storage="f32", wall_model=True, wall_cd=cd_val)
+        flags = np.zeros(shape, np.uint8)
+        flags[0] = TYPE_S
+        u = np.zeros((3, *shape), np.float32)
+        u[0, 1:] = u0
+        state = make_initial_state(shape, config=config, u=u, flags=flags)
+        step = jax.jit(make_step(config))
+        out = state
+        for _ in range(n):
+            out = step(out, dyn_zero())
+        f = update_fields(out, config, dyn_zero())
+        return float(np.sum(np.asarray(f.rho * f.u[0])[1:]))
+
+    loss = run(1e-12) - run(cd)
+    expected_loss = n * cd * u0 * u0 * 1.0 * shape[1] * shape[2]
+    assert 0.7 * expected_loss < loss < 1.3 * expected_loss

@@ -148,7 +148,26 @@ def test_pallas_tiled_matches_reference(monkeypatch, thermal, shape, storage):
     _check_pallas_matches_reference(thermal, shape, storage, atol=atol)
 
 
-def _check_pallas_matches_reference(thermal, shape, storage, atol):
+@pytest.mark.parametrize("tiled", [False, True])
+def test_pallas_wall_model_matches_reference(monkeypatch, tiled):
+    """Specular ground streaming + Schumann wall stress (StepConfig.
+    wall_model): both tiers must agree, including across y-tile seams
+    (the specular source is the OWN-plane mirror fm row)."""
+    if tiled:
+        from latticeurbanwind_tpu.ops import stream_collide as sc
+
+        monkeypatch.setattr(sc, "PLANE_BUDGET", 4096)
+        shape = (8, 64, 128)
+    else:
+        shape = (8, 32, 128)
+    # slightly looser than the vanilla 6e-6: the near-wall |u_h| u_h force
+    # reorders fp32 accumulation in the moment sums
+    _check_pallas_matches_reference(False, shape, "f32", atol=1e-5,
+                                    wall_model=True)
+
+
+def _check_pallas_matches_reference(thermal, shape, storage, atol,
+                                    wall_model=False):
     import jax
 
     from latticeurbanwind_tpu.lbm.fields import update_fields
@@ -159,6 +178,10 @@ def _check_pallas_matches_reference(thermal, shape, storage, atol):
     )
 
     cfg, state, forcing, dyn = _mk_case(thermal, shape=shape, storage=storage)
+    if wall_model:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, wall_model=True, wall_cd=0.0134)
     ref_step = jax.jit(ref_step_f(cfg, forcing))
     pstep = make_pallas_step(cfg, forcing, state.rho.shape)
 

@@ -223,3 +223,18 @@ def test_sharded_volume_force_off_matches_single():
     sharded = _sharded(cfg, state, forcing, dyn, 4, (1, 2, 2))
     np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("split", [(2, 1, 1), (1, 2, 2), (2, 2, 1)])
+def test_sharded_wall_model_matches_single(split):
+    """Wall model under sharding: the specular reflection's own-plane mirror
+    reads and the Schumann mask (flags @ z-1) must compose with z plane
+    halos and y/x ghost layers."""
+    import dataclasses
+
+    cfg, state, forcing, dyn = _case(seed=3)
+    cfg = dataclasses.replace(cfg, wall_model=True, wall_cd=0.0134)
+    single = _single(cfg, state, forcing, dyn, 4)
+    sharded = _sharded(cfg, state, forcing, dyn, 4, split)
+    np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
+                               atol=1e-6)

@@ -50,6 +50,11 @@ def main() -> int:
     ap.add_argument("--variant", choices=("before", "after"), default="after")
     ap.add_argument("--storage", default="bf16")
     ap.add_argument("--vk", default="on", choices=("on", "off"))
+    ap.add_argument("--z0", type=float, default=0.0,
+                    help="ground_z0 (m): >0 enables the LES wall model "
+                         "(specular ground + Schumann stress); the Case E "
+                         "inflow profile fits z0 = 0.055 m (alpha = 0.2 "
+                         "power law, AIJ terrain category III)")
     ap.add_argument("--max-cases", type=int, default=0)
     ap.add_argument("--out", default=str(REPO / "docs"))
     args = ap.parse_args()
@@ -81,6 +86,8 @@ def main() -> int:
     deck.set_list("angle", angles)
     deck.set_text("lbm_storage", args.storage)
     deck.set_bool("turb_inflow_enable", args.vk == "on")
+    if args.z0 > 0:
+        deck.set_float("ground_z0", args.z0)
     deck.set_list("n_gpu", [1, 1, 1])
     deck.save()
 
@@ -107,6 +114,7 @@ def main() -> int:
     payload = {
         "cell_m": args.cell, "steps": args.steps, "avg": args.avg,
         "stride": args.stride, "storage": args.storage, "vk": args.vk,
+        "ground_z0": args.z0,
         "angles": {str(k): v for k, v in stats["angles"].items()},
         "overall": stats["overall"],
         f"overall_{other}_variant": stats_other["overall"],
