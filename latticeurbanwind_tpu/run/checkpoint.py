@@ -2,26 +2,45 @@
 (SURVEY.md §5: a killed run restarts from step 0).
 
 Serializes the complete lattice state (DDFs, fields, flags, thermal arrays),
-the Welford accumulator, probe time-series buffers, and the run cursor to a
-single compressed .npz under proj_temp/checkpoints/.  Restore rebuilds the
-exact LBMState/AvgState (and refills probe sample buffers), so a run
-continues bit-exactly from the saved step.  Loading validates the saved grid
-shape against the current case and raises a clear ValueError on mismatch
-(the driver falls back to a fresh start).
+the Welford accumulator, probe time-series buffers, and the run cursor so a
+run continues bit-exactly from the saved step.  Loading validates the saved
+grid shape against the current case and raises a clear ValueError on
+mismatch (the driver falls back to a fresh start).
+
+Sharding-aware (format v2): arrays living on a multi-device mesh are saved
+as PER-SHARD blocks keyed by their global offsets instead of one gathered
+copy — no full-state host materialization, and it works on multi-host pods
+where the global array is not addressable from any single process:
+
+  * single process: all shard blocks land in the one `.ckpt.npz`;
+  * multi-host: every process writes its addressable shards to a sibling
+    `<name>.p<k>.npz` on the (shared) filesystem; process 0 writes the main
+    file (header + host-side payload + its own shards) last, after a
+    cross-process barrier, so the main file's existence marks a complete
+    checkpoint.
+
+Restore assembles the global arrays from the blocks and returns ordinary
+(unsharded) device arrays; the driver re-shards them onto the CURRENT mesh
+(run/driver.py calls shard_state after the load), so a checkpoint written
+under one (Dx, Dy, Dz) split resumes under any other.
+
+Storage dtypes (bf16/f16) are not native npz dtypes — they round-trip as
+raw void bytes; the header records every array's true dtype and the loader
+view-casts back, keeping resume bit-exact for all lbm_storage modes.
 """
 
 from __future__ import annotations
 
 import json
 from pathlib import Path
-from typing import Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import numpy as np
 
 from ..lbm.state import LBMState
 from .welford import AvgState
 
-FORMAT_VERSION = 1
+FORMAT_VERSION = 2
 
 
 def checkpoint_path(parent: Path, datetime_tag: str, prefix: str = "") -> Path:
@@ -30,6 +49,26 @@ def checkpoint_path(parent: Path, datetime_tag: str, prefix: str = "") -> Path:
 
 
 _FBC_FIELDS = ("uw", "ue", "us", "un", "ut", "ub", "tt")
+_SHARD_SEP = "@"   # shard block key: "<name>@<start0>_<start1>_..."
+
+
+def _sibling_path(path: Path, process_index: int) -> Path:
+    return path.with_name(f"{path.name}.p{process_index}.npz")
+
+
+def _is_sharded(v) -> bool:
+    import jax
+
+    return isinstance(v, jax.Array) and len(v.sharding.device_set) > 1
+
+
+def _restore_dtype(arr: np.ndarray, dtype_name: Optional[str]) -> np.ndarray:
+    """Undo npz's void-byte storage of non-native dtypes (bf16, fp8, ...)."""
+    if dtype_name is None or arr.dtype.name == dtype_name:
+        return arr
+    import ml_dtypes  # registered custom dtypes (jax dependency)
+
+    return arr.view(np.dtype(dtype_name))
 
 
 def save_checkpoint(path: Path, state: LBMState, *, step: int,
@@ -42,37 +81,59 @@ def save_checkpoint(path: Path, state: LBMState, *, step: int,
     refreshed in-loop by the VK inlet).  Without it a resumed VK+nudge run
     nudges toward the INITIAL face values for up to update_stride steps
     until the next anchor refresh — serializing it makes resume bit-exact."""
+    import jax
+
     path = Path(path)
     path.parent.mkdir(parents=True, exist_ok=True)
-    payload = {
-        "fi": np.asarray(state.fi),
-        "rho": np.asarray(state.rho),
-        "u": np.asarray(state.u),
-        "flags": np.asarray(state.flags),
+
+    arrays: Dict[str, object] = {
+        "fi": state.fi, "rho": state.rho, "u": state.u, "flags": state.flags,
     }
     if fbc is not None:
         for k in _FBC_FIELDS:
             v = getattr(fbc, k)
             if v is not None:
-                payload[f"fbc_{k}"] = np.asarray(v)
+                arrays[f"fbc_{k}"] = v
     if state.gi is not None:
-        payload["gi"] = np.asarray(state.gi)
-        payload["T"] = np.asarray(state.T)
+        arrays["gi"] = state.gi
+        arrays["T"] = state.T
     if avg is not None:
-        payload["avg_mean_u"] = np.asarray(avg.mean_u)
-        payload["avg_m2_u"] = np.asarray(avg.m2_u)
-        payload["avg_mean_rho"] = np.asarray(avg.mean_rho)
+        arrays["avg_mean_u"] = avg.mean_u
+        arrays["avg_m2_u"] = avg.m2_u
+        arrays["avg_mean_rho"] = avg.mean_rho
         if avg.mean_T is not None:
-            payload["avg_mean_T"] = np.asarray(avg.mean_T)
-        payload["avg_count"] = np.asarray(int(avg.count))
+            arrays["avg_mean_T"] = avg.mean_T
+
+    plain: Dict[str, np.ndarray] = {}      # written by process 0 only
+    shards: Dict[str, np.ndarray] = {}     # this process's shard blocks
+    global_shapes: Dict[str, list] = {}
+    dtypes: Dict[str, str] = {}
+    for name, v in arrays.items():
+        if _is_sharded(v):
+            global_shapes[name] = list(v.shape)
+            dtypes[name] = np.dtype(v.dtype).name
+            for s in v.addressable_shards:
+                if s.replica_id:      # replicated shard: one copy suffices
+                    continue
+                starts = "_".join(str(int(sl.start or 0)) for sl in s.index)
+                shards[f"{name}{_SHARD_SEP}{starts}"] = np.asarray(s.data)
+        else:
+            a = np.asarray(v)
+            dtypes[name] = a.dtype.name
+            plain[name] = a
+
+    if avg is not None:
+        plain["avg_count"] = np.asarray(int(avg.count))
     n_probes = 0
     if probes:
         for i, p in enumerate(probes):
-            payload[f"probe{i}_times"] = np.asarray(p.times_si, dtype=np.float64)
-            payload[f"probe{i}_series"] = (
+            plain[f"probe{i}_times"] = np.asarray(p.times_si, dtype=np.float64)
+            plain[f"probe{i}_series"] = (
                 np.stack(p.series) if p.series
                 else np.zeros((0, len(p.heights_si), 3), dtype=np.float64))
         n_probes = len(probes)
+
+    n_proc = jax.process_count()
     header = {
         "version": FORMAT_VERSION,
         "step": int(step),
@@ -80,14 +141,78 @@ def save_checkpoint(path: Path, state: LBMState, *, step: int,
         "thermal": state.gi is not None,
         "shape": list(state.rho.shape),
         "n_probes": n_probes,
+        "n_processes": n_proc,
+        "global_shapes": global_shapes,
+        "dtypes": dtypes,
         "meta": meta or {},
     }
+
+    def _write(target: Path, payload: Dict[str, np.ndarray]) -> None:
+        tmp = target.with_suffix(".tmp.npz")
+        np.savez_compressed(tmp, **payload)
+        tmp.replace(target)
+
+    if n_proc > 1:
+        if jax.process_index() != 0:
+            _write(_sibling_path(path, jax.process_index()), shards)
+        # the main file (whose existence marks a complete checkpoint) is
+        # written by process 0 only after every process has written its
+        # shard file
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices("luw_checkpoint_shards")
+        if jax.process_index() != 0:
+            return path
+    payload = dict(plain)
+    payload.update(shards)
     payload["header"] = np.frombuffer(
         json.dumps(header).encode(), dtype=np.uint8)
-    tmp = path.with_suffix(".tmp.npz")
-    np.savez_compressed(tmp, **payload)
-    tmp.replace(path)
+    _write(path, payload)
     return path
+
+
+def _read_header(z) -> dict:
+    return json.loads(bytes(z["header"].tobytes()).decode())
+
+
+def _assemble(path: Path, z, header: dict, want=None) -> Dict[str, np.ndarray]:
+    """Read `want` (or all) array entries from a checkpoint: plain keys as-is,
+    shard blocks placed into global buffers at their offset keys; sibling
+    per-process files merged in.  Dtypes restored from the header."""
+    gshapes = header.get("global_shapes") or {}
+    dtypes = header.get("dtypes") or {}
+
+    def wanted(name: str) -> bool:
+        return want is None or name in want
+
+    out: Dict[str, np.ndarray] = {}
+
+    def take(zf) -> None:
+        for key in zf.files:
+            if key == "header":
+                continue
+            name, sep, starts = key.partition(_SHARD_SEP)
+            if not wanted(name):
+                continue
+            if not sep:                      # plain entry
+                out[name] = _restore_dtype(zf[key], dtypes.get(name))
+                continue
+            block = _restore_dtype(zf[key], dtypes.get(name))
+            if name not in out:
+                out[name] = np.empty(tuple(gshapes[name]), dtype=block.dtype)
+            idx = tuple(slice(int(s), int(s) + n)
+                        for s, n in zip(starts.split("_"), block.shape))
+            out[name][idx] = block
+
+    take(z)
+    for i in range(1, int(header.get("n_processes") or 1)):
+        sib = _sibling_path(path, i)
+        if not sib.exists():
+            raise ValueError(f"checkpoint shard file missing: {sib} "
+                             "(incomplete multi-host save?)")
+        with np.load(sib) as zs:
+            take(zs)
+    return out
 
 
 def load_checkpoint(path: Path, *, expect_shape=None, probes: Optional[list] = None,
@@ -97,43 +222,52 @@ def load_checkpoint(path: Path, *, expect_shape=None, probes: Optional[list] = N
     `expect_shape`: current case grid (Z, Y, X) — a saved checkpoint for a
     different grid raises ValueError instead of a cryptic jit shape error.
     `probes`: GridProbe list to refill with the saved sample buffers.
+
+    Arrays come back as ordinary (single-device) jnp arrays regardless of
+    the mesh they were saved under; the caller re-shards onto the current
+    mesh (the driver's shard_state call), so resume works across different
+    (Dx, Dy, Dz) decompositions.
     """
     import jax.numpy as jnp
 
+    path = Path(path)
     with np.load(path) as z:
-        header = json.loads(bytes(z["header"].tobytes()).decode())
-        if header.get("version") != FORMAT_VERSION:
-            raise ValueError(f"unsupported checkpoint version: {header.get('version')}")
+        header = _read_header(z)
+        if header.get("version") not in (1, FORMAT_VERSION):
+            raise ValueError(
+                f"unsupported checkpoint version: {header.get('version')}")
         saved_shape = tuple(header.get("shape") or z["rho"].shape)
         if expect_shape is not None and tuple(expect_shape) != saved_shape:
             raise ValueError(
                 f"checkpoint grid {saved_shape} does not match case grid "
                 f"{tuple(expect_shape)} — the deck changed since the save")
-        thermal = header["thermal"]
-        state = LBMState(
-            fi=jnp.asarray(z["fi"]),
-            rho=jnp.asarray(z["rho"]),
-            u=jnp.asarray(z["u"]),
-            flags=jnp.asarray(z["flags"]),
-            gi=jnp.asarray(z["gi"]) if thermal else None,
-            T=jnp.asarray(z["T"]) if thermal else None,
+        arrs = _assemble(path, z, header)
+    thermal = header["thermal"]
+    state = LBMState(
+        fi=jnp.asarray(arrs["fi"]),
+        rho=jnp.asarray(arrs["rho"]),
+        u=jnp.asarray(arrs["u"]),
+        flags=jnp.asarray(arrs["flags"]),
+        gi=jnp.asarray(arrs["gi"]) if thermal else None,
+        T=jnp.asarray(arrs["T"]) if thermal else None,
+    )
+    avg = None
+    if "avg_count" in arrs:
+        avg = AvgState(
+            count=jnp.asarray(int(arrs["avg_count"]), jnp.int32),
+            mean_u=jnp.asarray(arrs["avg_mean_u"]),
+            m2_u=jnp.asarray(arrs["avg_m2_u"]),
+            mean_rho=jnp.asarray(arrs["avg_mean_rho"]),
+            mean_T=(jnp.asarray(arrs["avg_mean_T"])
+                    if "avg_mean_T" in arrs else None),
         )
-        avg = None
-        if "avg_count" in z:
-            avg = AvgState(
-                count=jnp.asarray(int(z["avg_count"]), jnp.int32),
-                mean_u=jnp.asarray(z["avg_mean_u"]),
-                m2_u=jnp.asarray(z["avg_m2_u"]),
-                mean_rho=jnp.asarray(z["avg_mean_rho"]),
-                mean_T=jnp.asarray(z["avg_mean_T"]) if "avg_mean_T" in z else None,
-            )
-        if probes is not None and header.get("n_probes"):
-            n = min(len(probes), int(header["n_probes"]))
-            for i in range(n):
-                p = probes[i]
-                p.times_si = list(np.asarray(z[f"probe{i}_times"]))
-                p.series = [s for s in np.asarray(z[f"probe{i}_series"])]
-        return state, header["step"], avg, header["avg_samples"], header["meta"]
+    if probes is not None and header.get("n_probes"):
+        n = min(len(probes), int(header["n_probes"]))
+        for i in range(n):
+            p = probes[i]
+            p.times_si = list(arrs[f"probe{i}_times"])
+            p.series = [s for s in arrs[f"probe{i}_series"]]
+    return state, header["step"], avg, header["avg_samples"], header["meta"]
 
 
 def load_fbc(path: Path):
@@ -142,9 +276,13 @@ def load_fbc(path: Path):
 
     from ..ops.stream_collide import FaceBC
 
+    path = Path(path)
+    want = {f"fbc_{k}" for k in _FBC_FIELDS}
     with np.load(path) as z:
-        if "fbc_uw" not in z:
-            return None
-        vals = {k: (jnp.asarray(z[f"fbc_{k}"]) if f"fbc_{k}" in z else None)
-                for k in _FBC_FIELDS}
+        header = _read_header(z)
+        arrs = _assemble(path, z, header, want=want)
+    if "fbc_uw" not in arrs:
+        return None
+    vals = {k: (jnp.asarray(arrs[f"fbc_{k}"]) if f"fbc_{k}" in arrs else None)
+            for k in _FBC_FIELDS}
     return FaceBC(**vals)

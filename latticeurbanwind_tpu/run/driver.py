@@ -259,13 +259,21 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
                     avg = avg_loaded
                 # restore the carried nudge/sponge face targets so VK+nudge
                 # runs continue bit-exactly (without this the targets revert
-                # to the initial values until the next VK anchor refresh)
+                # to the initial values until the next VK anchor refresh).
+                # A mesh change between save and resume changes the ghost
+                # padding of the sharded runner's FaceBC — then skip the
+                # restore (targets refresh at the next VK anchor) instead of
+                # discarding the whole checkpoint.
                 if hasattr(advance, "set_fbc"):
                     from .checkpoint import load_fbc
 
-                    fbc_saved = load_fbc(ckpt_path)
-                    if fbc_saved is not None:
-                        advance.set_fbc(fbc_saved)
+                    try:
+                        fbc_saved = load_fbc(ckpt_path)
+                        if fbc_saved is not None:
+                            advance.set_fbc(fbc_saved)
+                    except ValueError as e:
+                        print("| Checkpoint      | face targets not restored "
+                              f"({e}); they refresh at the next VK anchor")
                 if not quiet:
                     print(f"| Checkpoint      | resumed from step {resume_t}")
             except (ValueError, KeyError, OSError) as e:
