@@ -82,12 +82,25 @@ class SolverCase:
 
 @dataclass
 class RunResult:
-    state: LBMState
+    state: Optional[LBMState]
     avg: Optional[AvgState]
     total_steps: int
     solver_seconds: float
     files: List[Path]
     timing: Dict[str, float]
+
+    def release_device_state(self) -> None:
+        """Drop the device-resident final state + Welford accumulator.
+
+        A completed case pins ~2.5 GB HBM per 30M cells through these
+        references; serial multi-case batches (.luwpf angle sweeps,
+        .luwdg matrices) must release each case before solving the next or
+        a 4-case production sweep RESOURCE_EXHAUSTs a 16 GB chip.  The
+        batch loops keep only the final case's state (single-case runs are
+        unaffected); everything user-facing is already on disk in
+        `files`/`timing`."""
+        self.state = None
+        self.avg = None
 
 
 def _sync(state: LBMState) -> None:

@@ -224,6 +224,8 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
     for idx, angle in enumerate(angles):
         if max_cases and idx >= max_cases:
             break
+        if results:   # free the previous case's HBM before building this one
+            results[-1].release_device_state()
         dir_x, dir_y = direction_from_angle(angle)
         downstream = downstream_from_direction(dir_x, dir_y)
         flags, u = profile_boundary_fields(
@@ -346,6 +348,8 @@ def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
                 return _flush_case_parallel(pending, results, impl=impl,
                                             quiet=quiet)
             count += 1
+            if results:   # free the previous case's HBM first
+                results[-1].release_device_state()
             dir_x, dir_y = direction_from_angle(angle)
             downstream = downstream_from_direction(dir_x, dir_y)
             speed_lbm = inflow * u_scale
@@ -404,6 +408,8 @@ def _flush_case_parallel(pending: List[SolverCase], results: List[RunResult],
         if not quiet:
             print(f"| Case-parallel   | falling back to serial: {reason}")
         for case in pending:
+            if results:   # free the previous case's HBM first
+                results[-1].release_device_state()
             results.append(run_case(case, quiet=quiet))
     pending.clear()
     return results
