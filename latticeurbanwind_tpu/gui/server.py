@@ -151,9 +151,12 @@ class Job:
 
 class Studio:
     def __init__(self, root: Path):
+        from .stream import PyramidCache
+
         self.root = root.resolve()
         self.jobs: Dict[int, Job] = {}
         self.vtk_cache = _VtkCache()
+        self.pyramids = PyramidCache()
 
     # ---------------- path safety ----------------
     def resolve(self, raw: str) -> Path:
@@ -476,6 +479,34 @@ class Studio:
         plt.close(fig)
         return buf.getvalue()
 
+    # ------------- progressive volume streaming (streamcenter analog) ----
+    def _pyramid(self, q):
+        path = self.resolve(q["path"][0])
+        field = q.get("field", ["u"])[0]
+        st = path.stat()
+        return self.pyramids.get(
+            path, st, field, lambda: self.vtk_cache.get(path)[1])
+
+    def api_volinfo(self, q) -> dict:
+        """LOD/brick layout of one VTK field (gui/stream.py) — the client's
+        entry point for progressive streaming (reference streamcenter
+        ViewerWidget.cpp session/affinity setup analog)."""
+        path = self.resolve(q["path"][0])
+        meta, _ = self.vtk_cache.get(path)
+        info = self._pyramid(q).info()
+        info["spacing"] = meta.get("spacing")
+        info["origin"] = meta.get("origin")
+        return info
+
+    def api_brick(self, q):
+        """One raw float16 brick: body is little-endian float16, the
+        X-Brick-Shape header carries its (dz,dy,dx)."""
+        pyr = self._pyramid(q)
+        tile = pyr.brick(int(q["level"][0]), int(q.get("i", ["0"])[0]),
+                         int(q.get("j", ["0"])[0]), int(q.get("k", ["0"])[0]))
+        shape = ",".join(str(s) for s in tile.shape)
+        return tile.tobytes(), {"X-Brick-Shape": shape}
+
     def api_vtk_info(self, q) -> dict:
         path = self.resolve(q["path"][0])
         meta, fields = self.vtk_cache.get(path)
@@ -730,10 +761,12 @@ def make_handler(studio: Studio):
         def log_message(self, fmt, *args):   # quiet
             pass
 
-        def _send(self, code: int, body: bytes, ctype: str):
+        def _send(self, code: int, body: bytes, ctype: str, headers=None):
             self.send_response(code)
             self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
+            for k, v in (headers or {}).items():
+                self.send_header(k, v)
             self.end_headers()
             self.wfile.write(body)
 
@@ -758,6 +791,11 @@ def make_handler(studio: Studio):
                     self._json(studio.api_results(q))
                 elif u.path == "/api/vtkinfo":
                     self._json(studio.api_vtk_info(q))
+                elif u.path == "/api/volinfo":
+                    self._json(studio.api_volinfo(q))
+                elif u.path == "/api/brick":
+                    body, hdrs = studio.api_brick(q)
+                    self._send(200, body, "application/octet-stream", hdrs)
                 elif u.path == "/api/render":
                     self._send(200, studio.api_render(q), "image/png")
                 elif u.path == "/api/series":

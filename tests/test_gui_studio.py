@@ -293,3 +293,94 @@ def test_studio_aij_validation_panel(studio):
                             {"u_avg": u, "fluid": fl}, spacing=10.0)
     ctype, png = _get(base + "/api/aij?path=conf.luwpf&variant=after")
     assert ctype == "image/png" and png[:4] == b"\x89PNG"
+
+
+def test_mip_pyramid_levels_and_bricks():
+    """gui/stream.py: 2x mean-pool pyramid, brick partition, exact ranges
+    (the streamcenter LOD-brick analog)."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.gui.stream import MipPyramid, select_scalar
+
+    rng = np.random.default_rng(3)
+    vol = rng.uniform(0.0, 9.0, (40, 130, 70)).astype(np.float32)
+    pyr = MipPyramid(vol, brick_size=64)
+    # level 0 is the full grid; levels halve until max dim <= brick_size
+    assert [list(l.shape) for l in pyr.levels] == [
+        [40, 130, 70], [20, 65, 35], [10, 33, 18]]
+    assert pyr.vmin == float(vol.min()) and pyr.vmax == float(vol.max())
+    # level 1 is the exact 2x mean pooling (even dims pad by edge replicate)
+    assert np.allclose(pyr.levels[1][0, 0, 0],
+                       vol[:2, :2, :2].mean(), atol=1e-6)
+    # bricks tile the level exactly: reassembly == level array
+    info = pyr.info()
+    lvl = 0
+    nz, ny, nx = info["levels"][lvl]["bricks"]
+    assert (nz, ny, nx) == (1, 3, 2)
+    rec = np.zeros_like(pyr.levels[lvl])
+    for i in range(nz):
+        for j in range(ny):
+            for k in range(nx):
+                t = pyr.brick(lvl, i, j, k)
+                assert t.dtype == np.float16
+                rec[i*64:(i+1)*64, j*64:(j+1)*64, k*64:(k+1)*64] = t
+    assert np.allclose(rec, pyr.levels[lvl], atol=6e-3, rtol=2e-3)
+
+    # vector fields stream as |u|; shorthand names resolve suffixed keys
+    vec = np.stack([vol, -vol, 0 * vol])
+    mag = select_scalar({"u_avg": vec}, "u")
+    assert np.allclose(mag, np.abs(vol) * np.sqrt(2), rtol=1e-5)
+    assert select_scalar({"rho_avg": vol}, "rho") is not None
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        select_scalar({"rho_avg": vol}, "nope")
+
+
+def test_studio_brick_streaming_endpoints(studio):
+    """/api/volinfo + /api/brick: LOD layout, raw float16 tiles with the
+    shape header, coarse level reconstructable from bricks."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.gui.stream import MipPyramid
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+
+    base, case = studio
+    rng = np.random.default_rng(11)
+    u = rng.normal(2.0, 1.0, (3, 70, 80, 90)).astype(np.float32)
+    write_structured_points(case / "RESULTS" / "vtk" / "big_avg-000000050.vtk",
+                            {"u_avg": u}, spacing=2.0)
+    path = "RESULTS/vtk/big_avg-000000050.vtk"
+
+    info = _json(base + f"/api/volinfo?path={path}&field=u")
+    assert info["brick_size"] == 64 and info["dtype"] == "float16"
+    assert [l["shape"] for l in info["levels"]] == [[70, 80, 90], [35, 40, 45]]
+    assert info["spacing"] == [2.0, 2.0, 2.0]
+    mag = np.sqrt((u.astype(np.float32) ** 2).sum(axis=0))
+    assert abs(info["vmax"] - float(mag.max())) < 1e-5
+
+    # stream every brick of the coarsest level and reassemble it
+    ref = MipPyramid(mag, brick_size=64)
+    lvl = len(info["levels"]) - 1
+    nz, ny, nx = info["levels"][lvl]["bricks"]
+    rec = np.zeros(info["levels"][lvl]["shape"], np.float32)
+    for i in range(nz):
+        for j in range(ny):
+            for k in range(nx):
+                import urllib.request
+                with urllib.request.urlopen(
+                        base + f"/api/brick?path={path}&field=u&level={lvl}"
+                               f"&i={i}&j={j}&k={k}", timeout=30) as r:
+                    shape = tuple(int(s) for s in
+                                  r.headers["X-Brick-Shape"].split(","))
+                    tile = np.frombuffer(r.read(), np.float16).reshape(shape)
+                rec[i*64:(i+1)*64, j*64:(j+1)*64, k*64:(k+1)*64] = tile
+    assert np.allclose(rec, ref.levels[lvl], atol=2e-2, rtol=2e-3)
+
+    # out-of-range bricks / levels error cleanly (JSON, not a crash)
+    bad = _json(base + f"/api/brick?path={path}&field=u&level=9&i=0&j=0&k=0")
+    assert "error" in bad
+    bad = _json(base + f"/api/brick?path={path}&field=u&level=0&i=9&j=0&k=0")
+    assert "error" in bad
+    # the app exposes the stream mode
+    ctype, html = _get(base + "/")
+    assert b"volume (stream LOD)" in html and b"/api/brick" in html
