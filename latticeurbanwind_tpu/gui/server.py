@@ -515,6 +515,70 @@ class Studio:
             "spacing": meta.get("spacing"), "origin": meta.get("origin"),
         }
 
+    def api_pick(self, q) -> dict:
+        """Cell picking (reference VtkViewWidget.cpp point-probe analog):
+        given full-resolution grid indices — a column (axis + 2 in-plane
+        indices) or one cell (z,y,x) — return world coordinates and every
+        field's value there; columns also report the |column| profile and
+        its argmax depth (what the stream viewer's MIP pixel shows)."""
+        path = self.resolve(q["path"][0])
+        meta, fields = self.vtk_cache.get(path)
+        shape = next(iter(fields.values())).shape[-3:]
+        sp = meta.get("spacing") or [1.0, 1.0, 1.0]
+        org = meta.get("origin") or [0.0, 0.0, 0.0]
+
+        def world(idx):   # (z,y,x) cell -> (x,y,z) world
+            return [round(org[0] + idx[2] * sp[0], 3),
+                    round(org[1] + idx[1] * sp[1], 3),
+                    round(org[2] + idx[0] * sp[2], 3)]
+
+        def values_at(idx):
+            out = {}
+            for name, arr in fields.items():
+                v = arr[(...,) + tuple(idx)]
+                if arr.ndim == 4:
+                    out[name] = [round(float(c), 6) for c in v]
+                    out[f"|{name}|"] = round(float(np.sqrt((v.astype(
+                        np.float64) ** 2).sum())), 6)
+                else:
+                    out[name] = round(float(v), 6)
+            return out
+
+        if "z" in q and "y" in q and "x" in q:          # single cell
+            idx = tuple(min(max(int(q[k][0]), 0), shape[i] - 1)
+                        for i, k in enumerate(("z", "y", "x")))
+            return {"cell": list(idx), "world": world(idx),
+                    "values": values_at(idx)}
+
+        axis = {"z": 0, "y": 1, "x": 2}[q.get("axis", ["z"])[0]]
+        a = min(max(int(q.get("a", ["0"])[0]), 0),
+                shape[1 if axis == 0 else 0] - 1)
+        b = min(max(int(q.get("b", ["0"])[0]), 0),
+                shape[2 if axis != 2 else 1] - 1)
+        name = q.get("field", ["u"])[0]
+        from .stream import select_scalar
+
+        scalar = select_scalar(fields, name)
+        col_idx = [slice(None)] * 3
+        plane_axes = [i for i in range(3) if i != axis]
+        col_idx[plane_axes[0]] = a
+        col_idx[plane_axes[1]] = b
+        col = scalar[tuple(col_idx)]
+        k = int(np.argmax(col))
+        idx = [0, 0, 0]
+        idx[axis] = k
+        idx[plane_axes[0]] = a
+        idx[plane_axes[1]] = b
+        stride = max(1, col.size // 256)
+        return {
+            "axis": q.get("axis", ["z"])[0], "cell": idx,
+            "world": world(tuple(idx)),
+            "argmax": k, "max": round(float(col[k]), 6),
+            "profile": [round(float(v), 6) for v in col[::stride]],
+            "profile_stride": stride,
+            "values": values_at(tuple(idx)),
+        }
+
     def api_spectra(self, q) -> bytes:
         """Wavenumber panel (reference gui/src/ wavenumber panel): per-layer
         horizontal kx-ky spectra of the VTK's velocity field on the
@@ -791,6 +855,8 @@ def make_handler(studio: Studio):
                     self._json(studio.api_results(q))
                 elif u.path == "/api/vtkinfo":
                     self._json(studio.api_vtk_info(q))
+                elif u.path == "/api/pick":
+                    self._json(studio.api_pick(q))
                 elif u.path == "/api/volinfo":
                     self._json(studio.api_volinfo(q))
                 elif u.path == "/api/brick":

@@ -384,3 +384,42 @@ def test_studio_brick_streaming_endpoints(studio):
     # the app exposes the stream mode
     ctype, html = _get(base + "/")
     assert b"volume (stream LOD)" in html and b"/api/brick" in html
+
+
+def test_studio_pick_endpoint(studio):
+    """/api/pick: cell probing + column argmax profile (the reference
+    VtkViewWidget point-pick / streamcenter cursor analog)."""
+    import numpy as np
+
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+
+    base, case = studio
+    u = np.zeros((3, 6, 10, 12), np.float32)
+    u[0] = 1.0
+    u[0, 4, 7, 3] = 9.0                      # a hot cell in column (y=7,x=3)
+    rho = np.full((6, 10, 12), 1.25, np.float32)
+    write_structured_points(case / "RESULTS" / "vtk" / "pk_avg-000000010.vtk",
+                            {"u_avg": u, "rho_avg": rho},
+                            spacing=5.0, origin=(100.0, 200.0, 30.0))
+    path = "RESULTS/vtk/pk_avg-000000010.vtk"
+
+    # single-cell probe: world coords from origin+spacing, vector + |vec|
+    p = _json(base + f"/api/pick?path={path}&z=4&y=7&x=3")
+    assert p["cell"] == [4, 7, 3]
+    assert p["world"] == [100.0 + 3 * 5.0, 200.0 + 7 * 5.0, 30.0 + 4 * 5.0]
+    assert p["values"]["u_avg"] == [9.0, 0.0, 0.0]
+    assert abs(p["values"]["|u_avg|"] - 9.0) < 1e-6
+    assert abs(p["values"]["rho_avg"] - 1.25) < 1e-6
+
+    # column probe along z at (a=y=7, b=x=3): argmax finds the hot cell
+    p = _json(base + f"/api/pick?path={path}&axis=z&a=7&b=3&field=u")
+    assert p["argmax"] == 4 and abs(p["max"] - 9.0) < 1e-6
+    assert p["cell"] == [4, 7, 3]
+    assert len(p["profile"]) == 6 and abs(p["profile"][4] - 9.0) < 1e-6
+
+    # column probe along y; indices clamp instead of erroring
+    p = _json(base + f"/api/pick?path={path}&axis=y&a=99&b=0&field=u")
+    assert p["cell"][0] == 5
+    # quad layout + pick UI shipped in the app
+    _, html = _get(base + "/")
+    assert b"2x2 multi-view" in html and b'api("pick"' in html
