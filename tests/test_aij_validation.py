@@ -181,3 +181,28 @@ def test_reference_speed_normalized_profile():
     v_norm = reference_speed(z_norm, u, domain_agl_m=250.0)
     v_metric = reference_speed(z_m, u)
     assert v_norm == pytest.approx(v_metric, rel=1e-6)
+
+
+def test_production_run_record_pinned():
+    """The TPU production study record (docs/casee_validation.json) stays at
+    or above the achieved agreement: the comparison pipeline reading this
+    file is the same code path luwaij runs, so a silent regression in the
+    xls parsing / sampling / statistics would show up as a changed record.
+    Updated whenever a better production run lands."""
+    import json
+    from pathlib import Path
+
+    rec = json.loads((Path(__file__).resolve().parents[1] / "docs"
+                      / "casee_validation.json").read_text())
+    assert rec["cell_m"] <= 4.0 and rec["steps"] >= 20001
+    assert rec["vk"] == "on" and rec["ground_z0"] > 0
+    assert len(rec["angles"]) >= 4
+    overall = rec["overall"]
+    assert overall["n"] >= 320
+    assert overall["r"] >= 0.61, "production agreement regressed"
+    assert overall["bias"] > -0.25, "street-level bias regressed"
+    # construction-variant discrimination: the wrong city must score far
+    # worse than the shipped configuration
+    assert rec["overall_before_variant"]["r"] < overall["r"] - 0.3
+    # at least one direction in the AIJ-literature band
+    assert max(a["r"] for a in rec["angles"].values()) >= 0.70
