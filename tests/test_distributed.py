@@ -51,6 +51,29 @@ _WORKER = textwrap.dedent("""
     # a cross-host collective actually runs (fi is z-sharded over DCN)
     total = float(jnp.sum(out.rho))
     assert np.isfinite(total)
+
+    # multi-host checkpoint v2: every process writes its addressable
+    # shards (non-zero ranks to sibling files), process 0 writes the main
+    # file after the barrier, then reassembles the GLOBAL arrays from the
+    # blocks — the path a real pod uses (run/checkpoint.py)
+    from pathlib import Path
+    from latticeurbanwind_tpu.run.checkpoint import (
+        load_checkpoint, save_checkpoint,
+    )
+    ck = Path(os.environ["LUW_CKPT"])
+    save_checkpoint(ck, out, step=7)
+    if jax.process_index() == 0:
+        assert ck.exists() and ck.with_name(ck.name + ".p1.npz").exists()
+        st2, step2, avg2, n2, meta = load_checkpoint(ck)
+        assert step2 == 7 and avg2 is None
+        full = np.asarray(st2.fi)
+        assert full.shape == out.fi.shape
+        for s in out.fi.addressable_shards:
+            if s.replica_id:
+                continue
+            np.testing.assert_array_equal(np.asarray(s.data), full[s.index])
+        assert abs(float(np.asarray(st2.rho).sum()) - total) < 1e-3
+        print("CKPT OK")
     print(f"proc {jax.process_index()} OK total={total:.6f}")
 """)
 
@@ -79,6 +102,7 @@ def test_two_process_dcn_smoke(tmp_path):
             LUW_COORDINATOR=f"127.0.0.1:{port}",
             LUW_NUM_PROCESSES="2",
             LUW_PROCESS_ID=str(pid),
+            LUW_CKPT=str(tmp_path / "dcn.ckpt.npz"),
             # keep the workers off any TPU plugin
             PYTHONPATH=repo,
         )
