@@ -422,10 +422,10 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             nsig_ref = next(it)   # (1,By,X)
             nface_ref = next(it)  # (1,By,X) uint8
         if has_faces:
-            uw_ref = next(it)     # (1,3,By)  z-leading layout for tiling rules
-            ue_ref = next(it)
-            us_ref = next(it)     # (1,3,X)
-            un_ref = next(it)
+            uw_ref = next(it)     # (1,By,3)  y-major: the By block lands on
+            ue_ref = next(it)     #   the SUBLANE dim (any 8-multiple legal);
+            us_ref = next(it)     # (1,3,X)   a lane-dim By block would need
+            un_ref = next(it)     #   By%128, which Y=672-style grids can't give
             ut_ref = next(it)     # (3,By,X) static top target
             ub_ref = next(it)     # (3,By,X)
         if has_forcing:
@@ -606,27 +606,28 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
             not_e_f = 1.0 - eqbc_f
             if has_forcing:
                 face = nface_ref[0].astype(jnp.int32)
-                u_w = uw_ref[0][:, :, None]               # (3,By,1)
-                u_e = ue_ref[0][:, :, None]
-                u_s = us_ref[0][:, None, :]               # (3,1,X)
-                u_n = un_ref[0][:, None, :]
-                u_t = ut_ref[:]                           # (3,By,X)
-                u_b = ub_ref[:]
-                u_tgt = jnp.broadcast_to(u_w, (3, By, X))
-                for fidv, tgt in ((1, u_e), (2, u_s), (3, u_n), (4, u_t), (5, u_b)):
-                    m = (face[None] == fidv).astype(jnp.float32)
-                    u_tgt = blend(m, jnp.broadcast_to(tgt, (3, By, X)), u_tgt)
+                u_w = uw_ref[0]                           # (By,3) y-major
+                u_e = ue_ref[0]
+                u_s = us_ref[0]                           # (3,X)
+                u_n = un_ref[0]
+                fmask = [(face == fidv).astype(jnp.float32)
+                         for fidv in (1, 2, 3, 4, 5)]
                 sig = nsig_ref[0] * not_e_f
+                ssig = ssig_ref[q - 2, 0]
+                sig_sp = ssig * not_e_f
                 Fs = [Fx, Fy, Fz]
                 for a in range(3):
-                    if a == 2 and not nudge_vertical:
-                        continue   # vertical component: nudge u,v only
-                    Fs[a] = Fs[a] + rhon * sig * (u_tgt[a] - un[a])
-                ssig = ssig_ref[q - 2, 0]
-                sp_tgt = u_t
-                sig_sp = ssig * not_e_f
-                for a in range(3):
-                    Fs[a] = Fs[a] + rhon * sig_sp * (sp_tgt[a] - un[a])
+                    # per-component target build: west default, face-id blends
+                    tgt = jnp.broadcast_to(u_w[:, a:a + 1], (By, X))
+                    for m, t in zip(fmask, (u_e[:, a:a + 1], u_s[a][None, :],
+                                            u_n[a][None, :], ut_ref[a],
+                                            ub_ref[a])):
+                        tgt = blend(m, jnp.broadcast_to(t, (By, X)), tgt)
+                    if not (a == 2 and not nudge_vertical):
+                        # vertical component: nudge u,v only
+                        Fs[a] = Fs[a] + rhon * sig * (tgt - un[a])
+                    # sponge pulls every component toward the top target
+                    Fs[a] = Fs[a] + rhon * sig_sp * (ut_ref[a] - un[a])
                 Fx, Fy, Fz = Fs
 
             if thermal:
@@ -851,9 +852,8 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                     if kind in ("lane0", "laneL"):
                         lane = gxo if kind == "lane0" else X - 1 - gxo
                         uv = (uw_ref if field == "uw" else ue_ref)[0]
-                        m = mref[0, 0][:, None]                  # (By, 1)
-                        fe = feq_vk(uv[0][:, None], uv[1][:, None],
-                                    uv[2][:, None])
+                        m = mref[0]                              # (By, 1)
+                        fe = feq_vk(uv[:, 0:1], uv[:, 1:2], uv[:, 2:3])
                         blend_writes(fe, m, slice(None), slice(lane, lane + 1))
                     elif kind in ("row0", "rowL"):
                         t_idx = 0 if kind == "row0" else J - 1
@@ -966,8 +966,11 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         ]
     if has_faces:
         in_specs += [
-            v((1, 3, By), lambda j, q: (zo(q), 0, j)),
-            v((1, 3, By), lambda j, q: (zo(q), 0, j)),
+            # uw/ue arrive y-major (Z, Y, 3): the tiled By block must sit on
+            # the sublane dim (any 32-multiple legal); a (1, 3, By) lane
+            # block needs By % 128 == 0, which shapes like Y=672 can't give
+            v((1, By, 3), lambda j, q: (zo(q), j, 0)),
+            v((1, By, 3), lambda j, q: (zo(q), j, 0)),
             v((1, 3, X), lambda j, q: (zo(q), 0, 0)),
             v((1, 3, X), lambda j, q: (zo(q), 0, 0)),
             v((3, By, X), lambda j, q: (0, j, 0)),   # top plane target
@@ -976,8 +979,8 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     if has_forcing:
         in_specs += [sm((Z, 1), lambda j, q: (0, 0))]
     for kind, _field in vk_sites:
-        if kind in ("lane0", "laneL"):       # mask (Z, 1, Y)
-            in_specs += [v((1, 1, By), lambda j, q: (zo(q), 0, j))]
+        if kind in ("lane0", "laneL"):       # mask arrives y-major (Z, Y, 1)
+            in_specs += [v((1, By, 1), lambda j, q: (zo(q), j, 0))]
         elif kind in ("row0", "rowL"):       # mask (Z, 1, X)
             in_specs += [v((1, 1, X), lambda j, q: (zo(q), 0, 0))]
         else:                                # mask (Y, X)
@@ -1157,12 +1160,20 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 fl.get("nudge_face", nudge_face),
             ]
         if has_faces:
-            args += [fbc.uw, fbc.ue, fbc.us, fbc.un, fbc.ut, fbc.ub]
+            # uw/ue cross the kernel boundary y-major (Z, Y, 3) — see the
+            # in_specs note; FaceBC keeps the (Z, 3, Y) public layout and the
+            # transpose is a ~MB-scale XLA shuffle per step
+            args += [fbc.uw.swapaxes(1, 2), fbc.ue.swapaxes(1, 2),
+                     fbc.us, fbc.un, fbc.ut, fbc.ub]
         if has_forcing:
             args += [fl.get("sponge_z", sponge_z)]
         if vk_sites:
             vl = vk_loc or {}
-            args += [vl.get(field, vk_masks[field]) for _k, field in vk_sites]
+            for _kind, field in vk_sites:
+                m = vl.get(field, vk_masks[field])
+                if _kind in ("lane0", "laneL"):   # (Z, 1, Y) -> (Z, Y, 1)
+                    m = m.swapaxes(1, 2)
+                args.append(m)
         if thermal:
             if has_forcing:
                 t_tgt = s.fbc.tt

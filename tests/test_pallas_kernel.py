@@ -269,3 +269,73 @@ def test_pallas_support_gate():
     # untiled planes keep By = Y
     assert tile_plan(250, 333) == 250
     assert PLANE_BUDGET == 262144
+
+def test_pallas_block_specs_are_mosaic_legal(monkeypatch):
+    """Audit every BlockSpec against Mosaic's block-mapping rule (last two
+    block dims divisible by (8, 128) or equal to the array dims).  Interpret
+    mode skips that check, so an illegal spec passes CI yet explodes on real
+    hardware at lowering time — exactly how the 3 m Case E grid (Y=672,
+    By=224, faces + VK lane masks blocked on the lane dim) got through.
+    Captures the specs and the runtime arg shapes off a live call, with the
+    budget shrunk so tiling engages at a By that is NOT a 128 multiple."""
+    import jax
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.lbm import DynParams
+    from latticeurbanwind_tpu.ops import stream_collide as sc
+
+    monkeypatch.setattr(sc, "PLANE_BUDGET", 4096)
+    shape = (8, 96, 128)
+    assert sc.tile_plan(*shape[1:]) == 32       # 32 % 128 != 0: the hard case
+
+    captured = {}
+    real_call = sc.pl.pallas_call
+
+    def spy(kernel, **kw):
+        inner = real_call(kernel, **kw)
+
+        def wrapped(*args):
+            captured["in"] = list(zip(kw["in_specs"], [a.shape for a in args]))
+            captured["out"] = list(zip(kw["out_specs"],
+                                       [s.shape for s in kw["out_shape"]]))
+            return inner(*args)
+
+        return wrapped
+
+    monkeypatch.setattr(sc.pl, "pallas_call", spy)
+
+    cfg, state, forcing, dyn = _mk_case(False, shape=shape)
+    # VK sites on all four side faces, like the Case E production deck
+    rng = np.random.default_rng(3)
+    Z, Y, X = shape
+    vk = {"sites": (("lane0", "uw"), ("laneL", "ue"),
+                    ("row0", "us"), ("rowL", "un")),
+          "masks": {
+              "uw": jnp.asarray((rng.random((Z, 1, Y)) < .5).astype(np.float32)),
+              "ue": jnp.asarray((rng.random((Z, 1, Y)) < .5).astype(np.float32)),
+              "us": jnp.asarray((rng.random((Z, 1, X)) < .5).astype(np.float32)),
+              "un": jnp.asarray((rng.random((Z, 1, X)) < .5).astype(np.float32)),
+          }}
+    pstep = sc.make_pallas_step(cfg, forcing, shape, vk=vk)
+    s = sc.split_state(state, with_fbc=True)
+    rl, rh = pstep.init_rows(s)
+    s = s._replace(rows_lo=rl, rows_hi=rh)
+    jax.block_until_ready(pstep(s, dyn).f0)
+
+    assert captured, "pallas_call was not invoked"
+    from jax.experimental.pallas import tpu as pltpu
+
+    def legal(block, arr):
+        for d, align in ((-1, 128), (-2, 8)):
+            b = block[d]
+            if b is None:   # unblocked dim: whole array
+                continue
+            if b != arr[d] and b % align != 0:
+                return False
+        return True
+
+    for spec, arr_shape in captured["in"] + captured["out"]:
+        if spec.memory_space == pltpu.SMEM:
+            continue
+        assert legal(spec.block_shape, arr_shape), (
+            f"Mosaic-illegal block {spec.block_shape} for array {arr_shape}")
