@@ -89,6 +89,37 @@ def _dec_magic(x):
         jax.lax.bitcast_convert_type(v, jnp.int32) | sgnbits, jnp.float32)
 
 
+# ------------------------------------------------- f16 (FP16S) variants
+def _dec_f16_magic(x):
+    """FP16S -> fp32 (value includes the *2^-15 range shift) without the
+    normal-path int->float convert: e/m relocate by integer add + bitcast;
+    denormal halves via the magic subtract (x2^-15 folded throughout)."""
+    b = x.astype(jnp.int32)
+    bits = ((b & 0x7FFF) << 13) + (97 << 23)
+    nrm = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    den = (nrm - np.float32(2.0 ** -30)) * 2.0
+    v = jnp.where((b & 0x7C00) != 0, nrm, den)
+    sgnbits = (b & 0x8000) << 16
+    return jax.lax.bitcast_convert_type(
+        jax.lax.bitcast_convert_type(v, jnp.int32) | sgnbits, jnp.float32)
+
+
+def _enc_f16_bit(x):
+    """fp32 -> FP16S with IEEE round-to-nearest-even via the raw-bit trick:
+    |x|*2^-97 puts the half exponent at the f32 exponent field; adding
+    0xFFF + lsb-of-target rounds RNE; >>13 yields the code.  Denormal
+    targets (|x| < 2^-29) take the direct RNE quantization path."""
+    a = jnp.abs(x)
+    b = jax.lax.bitcast_convert_type(a * np.float32(2.0 ** -97), jnp.int32)
+    c = jnp.minimum((b + 0xFFF + ((b >> 13) & 1)) >> 13, 0x7BFF)
+    den = jax.lax.round(a * np.float32(2.0 ** 39),
+                        jax.lax.RoundingMethod.TO_NEAREST_EVEN
+                        ).astype(jnp.int32)
+    c = jnp.where(a < np.float32(2.0 ** -29), den, c)
+    sgn = (jax.lax.bitcast_convert_type(x, jnp.int32) >> 16) & 0x8000
+    return (sgn | c).astype(jnp.uint16)
+
+
 def _free_dec(x):       # perf probe only: bitcast-ish junk, near-zero cost
     return x.astype(jnp.int32).astype(jnp.float32) * np.float32(2.0 ** -14)
 
@@ -184,6 +215,45 @@ def check() -> int:
     return rc
 
 
+def check_f16() -> int:
+    """f16 variants vs the production kernel codec (which is itself pinned
+    to IEEE semantics by the kernel equivalence tests): decode over all
+    65536 codes, encode over the dense + tie sweep."""
+    import latticeurbanwind_tpu.ops.stream_collide as sc
+
+    dec0, enc0 = sc._make_codec("f16")
+    codes = np.arange(65536, dtype=np.uint16)
+    ref_dec = np.asarray(jax.jit(dec0)(jnp.asarray(codes)))
+
+    rng = np.random.default_rng(1)
+    vals = [rng.uniform(1.0, 2.0, 4096).astype(np.float32)
+            * np.float32(2.0 ** (e - 127)) for e in range(85, 125)]
+    m = np.arange(0, 1024, dtype=np.float64)
+    ties = [((m + 0.5) * 2.0 ** -39).astype(np.float32)]
+    for E in range(1, 31):
+        ties.append(((1.0 + (m + 0.5) / 1024.0)
+                     * 2.0 ** (E - 30)).astype(np.float32))
+    sweep = np.concatenate(vals + ties + [
+        np.array([0.0, -0.0, 2.0 ** -29, 2.0 ** -30, 2.0 ** 1, 2.0 ** 2,
+                  np.inf, -np.inf], np.float32),
+        -np.concatenate(vals + ties)])
+    ref_enc = np.asarray(jax.jit(enc0)(jnp.asarray(sweep)))
+
+    got_dec = np.asarray(jax.jit(_dec_f16_magic)(jnp.asarray(codes)))
+    dbad = np.flatnonzero((got_dec.view(np.int32) != ref_dec.view(np.int32))
+                          & ~((got_dec == 0) & (ref_dec == 0)))
+    got_enc = np.asarray(jax.jit(_enc_f16_bit)(jnp.asarray(sweep)))
+    ebad = np.flatnonzero(got_enc != ref_enc)
+    print(f"f16 magic/bit: decode mismatches {dbad.size}/65536, "
+          f"encode mismatches {ebad.size}/{sweep.size}")
+    for i in dbad[:3]:
+        print(f"  dec code {i:#06x}: got {got_dec[i]!r} want {ref_dec[i]!r}")
+    for i in ebad[:3]:
+        print(f"  enc val {sweep[i]!r}: got {got_enc[i]:#06x} "
+              f"want {ref_enc[i]:#06x}")
+    return 1 if (dbad.size or ebad.size) else 0
+
+
 # ------------------------------------------------------------------- perf
 def perf(names) -> int:
     os.environ.setdefault("LUW_BENCH_STEPS", "100")
@@ -209,7 +279,7 @@ def perf(names) -> int:
 if __name__ == "__main__":
     mode = sys.argv[1] if len(sys.argv) > 1 else "check"
     if mode == "check":
-        sys.exit(check())
+        sys.exit(check() | check_f16())
     names = sys.argv[2:] or ["v0", "encbit", "decmagic", "probe_dec",
                              "probe_enc"]
     sys.exit(perf(names))
