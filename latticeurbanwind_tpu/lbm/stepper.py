@@ -88,14 +88,33 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
         vk_spec = getattr(pre_step_ddf, "kernel_spec", None)
         step = make_pallas_step(config, forcing, shape, vk=vk_spec)
 
-        def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc):
+        # Large forcing fields ride the jit as TRACED arguments (the same
+        # forcing_loc override the sharded runner uses), never as closure
+        # constants: baked (Z,Y,X) constants are serialized into the HLO, and
+        # at production grids nudge_sigma alone is O(100s of MB) — enough to
+        # blow remote-compile payload limits (axon HTTP 413) and bloat the
+        # compile cache.  sponge_z is (Z,1) and stays a closure constant.
+        floc_args = {}
+        if has_forcing:
+            # sponge-only forcing otherwise bakes the (Z,Y,X) zeros the
+            # kernel's nudge slots read — same payload problem
+            ns = (forcing.nudge_sigma if forcing.nudge_sigma is not None
+                  else jnp.zeros(shape, jnp.float32))
+            nf = (forcing.nudge_face if forcing.nudge_face is not None
+                  else jnp.zeros(shape, jnp.uint8))
+            floc_args["nudge_sigma"] = jnp.asarray(ns)
+            floc_args["nudge_face"] = jnp.asarray(nf).astype(jnp.uint8)
+
+        def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc, floc):
             s = split_state(state)._replace(fbc=fbc)
             if step.uses_rows:   # y-tiled kernel: seed the carried rows
                 rl, rh = step.init_rows(s)
                 s = s._replace(rows_lo=rl, rows_hi=rh)
             if pre_step_ddf is not None and hasattr(pre_step_ddf, "init_aux"):
                 s = s._replace(aux=pre_step_ddf.init_aux(s, t0))
-            out = loop(step, s, dyn, jnp.asarray(t0, jnp.int32), n_steps,
+            stepf = (lambda st, d: step(st, d, forcing_loc=floc)) \
+                if floc else step
+            out = loop(stepf, s, dyn, jnp.asarray(t0, jnp.int32), n_steps,
                        hook=pre_step_ddf, post=False)
             return merge_state(out), out.fbc
 
@@ -108,7 +127,9 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
     else:
         step = make_reference_step(config, forcing)
 
-        def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc):
+        floc_args = {}
+
+        def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc, floc):
             return (loop(step, state, dyn, jnp.asarray(t0, jnp.int32), n_steps),
                     None)
 
@@ -133,7 +154,7 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
         out, fbc_cell[0] = jitted(
             state, dyn, t0,
             jnp.asarray(n_inner if n_steps is None else n_steps, jnp.int32),
-            fbc_cell[0])
+            fbc_cell[0], floc_args)
         return out
 
     def reset():
