@@ -500,10 +500,27 @@ class Studio:
 
     def api_brick(self, q):
         """One raw float16 brick: body is little-endian float16, the
-        X-Brick-Shape header carries its (dz,dy,dx)."""
-        pyr = self._pyramid(q)
-        tile = pyr.brick(int(q["level"][0]), int(q.get("i", ["0"])[0]),
-                         int(q.get("j", ["0"])[0]), int(q.get("k", ["0"])[0]))
+        X-Brick-Shape header carries its (dz,dy,dx).
+
+        `path2` + `alpha` serve a temporally interpolated brick
+        (1-alpha)*path + alpha*path2 — the playback sub-frame source
+        (reference FRUC frame interpolation, gui/src/NvidiaFrucRuntime.cpp:
+        1-763; volume-space lerp replaces optical flow since the client
+        renders the MIP itself)."""
+        coords = (int(q["level"][0]), int(q.get("i", ["0"])[0]),
+                  int(q.get("j", ["0"])[0]), int(q.get("k", ["0"])[0]))
+        tile = self._pyramid(q).brick(*coords)
+        if "path2" in q:
+            alpha = min(1.0, max(0.0, float(q.get("alpha", ["0.5"])[0])))
+            q2 = dict(q)
+            q2["path"] = q["path2"]
+            t2 = self._pyramid(q2).brick(*coords)
+            if t2.shape != tile.shape:
+                raise ValueError(
+                    f"interpolation frames disagree on brick shape "
+                    f"{tile.shape} vs {t2.shape} — different grids?")
+            tile = ((1.0 - alpha) * tile.astype(np.float32)
+                    + alpha * t2.astype(np.float32)).astype(np.float16)
         shape = ",".join(str(s) for s in tile.shape)
         return tile.tobytes(), {"X-Brick-Shape": shape}
 

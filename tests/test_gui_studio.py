@@ -386,6 +386,57 @@ def test_studio_brick_streaming_endpoints(studio):
     assert b"volume (stream LOD)" in html and b"/api/brick" in html
 
 
+def test_studio_brick_temporal_interpolation(studio):
+    """/api/brick path2+alpha: temporally lerped bricks for sub-frame
+    playback (reference FRUC frame interpolation analog,
+    gui/src/NvidiaFrucRuntime.cpp:1-763 — volume-space lerp since the
+    client renders the MIP itself)."""
+    import urllib.request
+
+    import numpy as np
+
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+
+    base, case = studio
+    rng = np.random.default_rng(7)
+    u0 = rng.normal(2.0, 1.0, (3, 20, 24, 28)).astype(np.float32)
+    u1 = rng.normal(3.0, 1.0, (3, 20, 24, 28)).astype(np.float32)
+    d = case / "RESULTS" / "vtk"
+    write_structured_points(d / "fr_avg-000000010.vtk", {"u_avg": u0})
+    write_structured_points(d / "fr_avg-000000020.vtk", {"u_avg": u1})
+    p0, p1 = ("RESULTS/vtk/fr_avg-000000010.vtk",
+              "RESULTS/vtk/fr_avg-000000020.vtk")
+
+    def brick(extra=""):
+        with urllib.request.urlopen(
+                base + f"/api/brick?path={p0}&field=u&level=0&i=0&j=0&k=0"
+                + extra, timeout=30) as r:
+            shape = tuple(int(s) for s in
+                          r.headers["X-Brick-Shape"].split(","))
+            return np.frombuffer(r.read(), np.float16).reshape(shape)
+
+    b0 = brick()
+    with urllib.request.urlopen(
+            base + f"/api/brick?path={p1}&field=u&level=0&i=0&j=0&k=0",
+            timeout=30) as r:
+        b1 = np.frombuffer(r.read(), np.float16).reshape(b0.shape)
+    mid = brick(f"&path2={p1}&alpha=0.25")
+    want = (0.75 * b0.astype(np.float32)
+            + 0.25 * b1.astype(np.float32)).astype(np.float16)
+    assert np.array_equal(mid, want)
+    # alpha clamps to [0, 1]: alpha=0 returns frame 0 exactly
+    assert np.array_equal(brick(f"&path2={p1}&alpha=-3"), b0)
+    # mismatched grids error cleanly
+    write_structured_points(d / "fr2_avg-000000030.vtk",
+                            {"u_avg": u1[:, :10]})
+    bad = _json(base + f"/api/brick?path={p0}&field=u&level=0&i=0&j=0&k=0"
+                       f"&path2=RESULTS/vtk/fr2_avg-000000030.vtk&alpha=0.5")
+    assert "error" in bad
+    # live playback wires the interp count into the stream viewer
+    _ctype, html = _get(base + "/")
+    assert b"path2" in html and b"sub-frame" in html
+
+
 def test_studio_pick_endpoint(studio):
     """/api/pick: cell probing + column argmax profile (the reference
     VtkViewWidget point-pick / streamcenter cursor analog)."""
