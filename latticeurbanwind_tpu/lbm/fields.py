@@ -124,47 +124,102 @@ def _stream_moments(fi, solid, C, OPP, storage, wall_model=False):
     return 1.0 + rho_s, mom_s, 1.0 + rho_o, mom_o
 
 
+# transient budget per z-chunk: ~30 live f32 (cz, Y, X) temporaries during
+# the moment computation, so 8M cells/chunk ≈ 1 GB transient HBM — small
+# next to the resident DDFs.  The monolithic version OOM'd at 71M cells
+# (18.7 G needed of 15.75 G: the wall-model quad section's unrolled decodes/
+# rolls plus a full-lattice relayout copy).  Override for tests via
+# LUW_UPDATE_CHUNK_CELLS.
+_CHUNK_CELLS = 8_000_000
+
+
+def _z_window(arr, z0: int, z1: int, Z: int, axis: int):
+    """arr rows [z0-1, z1+1) along `axis` with MODULAR wrap, built from
+    static slices only (no gather, no relayout copy): jnp.roll z-semantics
+    are preserved exactly, including at the physical z extremes."""
+    def sl(a, b):
+        idx = [slice(None)] * arr.ndim
+        idx[axis] = slice(a, b)
+        return arr[tuple(idx)]
+
+    parts = []
+    if z0 - 1 < 0:
+        parts.append(sl(Z - 1, Z))
+    parts.append(sl(max(z0 - 1, 0), min(z1 + 1, Z)))
+    if z1 + 1 > Z:
+        parts.append(sl(0, 1))
+    return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
+
+
 @partial(jax.jit, static_argnames=("config",))
 def _update(state: LBMState, dyn: DynParams, config: StepConfig) -> LBMState:
-    # NOTE: fi/gi pass through unchanged and rho/u/T are replaced wholesale,
-    # so XLA aliases them; the transient cost is the scan carry (~8 planes).
-    flags = state.flags
-    solid = (flags & TYPE_S) != 0
-    eqbc = (flags & TYPE_E) != 0
+    # NOTE: fi/gi pass through unchanged and rho/u/T are updated by z-chunk,
+    # so XLA aliases them; the transient cost is one chunk's working set.
+    import os
 
-    rho_s, mom_s, rho_own, mom_own = _stream_moments(
-        state.fi, solid, C19, OPP19, config.storage,
-        wall_model=config.wall_model)
-    u_s = mom_s / rho_s
+    flags = state.flags
+    Z, Y, X = flags.shape
+    budget = int(os.environ.get("LUW_UPDATE_CHUNK_CELLS", 0)) or _CHUNK_CELLS
+    cz = max(1, min(Z, budget // max(1, Y * X)))
+    if cz >= Z:
+        starts = [0]
+    else:
+        # fixed-size chunks; the tail start overlaps (recompute, idempotent)
+        starts = sorted({*range(0, Z - cz + 1, cz), Z - cz})
 
     fx = dyn.force.astype(jnp.float32)
     ox, oy, oz = dyn.omega_coriolis
-    F = jnp.stack([
-        fx[0] - 2.0 * rho_s * (oy * u_s[2] - oz * u_s[1]),
-        fx[1] - 2.0 * rho_s * (oz * u_s[0] - ox * u_s[2]),
-        fx[2] - 2.0 * rho_s * (ox * u_s[1] - oy * u_s[0]),
-    ])
-    if config.wall_model:
-        # Schumann wall stress half-step, matching the step tiers
-        ga = ((~solid) & jnp.roll(solid, 1, 0)).astype(jnp.float32)
-        uh = jnp.sqrt(u_s[0] * u_s[0] + u_s[1] * u_s[1])
-        cw = config.wall_cd * ga * rho_s * uh
-        F = F - jnp.stack([cw * u_s[0], cw * u_s[1], jnp.zeros_like(cw)])
+    rho_new, u_new, T_new = state.rho, state.u, state.T
 
-    T_new = state.T
-    if config.thermal and state.gi is not None:
-        tfix = (flags & TYPE_T) != 0
-        Tg_s, _, Tg_o, _ = _stream_moments(
-            state.gi, solid, C7, OPP7, config.storage)
-        Tn = jnp.where(tfix, Tg_o, Tg_s)
-        T_new = jnp.where(solid, state.T, Tn)
-        F = F - fx[:, None, None, None] * (config.beta * (Tn - config.t_avg))
+    for z0 in starts:
+        z1 = min(z0 + cz, Z)
+        n = z1 - z0
+        cr = slice(1, 1 + n)      # window rows [z0-1, z1+1) -> crop [z0, z1)
+        fl_c = flags[z0:z1]
+        solid_w = (_z_window(flags, z0, z1, Z, 0) & TYPE_S) != 0
+        solid_c = solid_w[cr]
+        eqbc_c = (fl_c & TYPE_E) != 0
+        fi_w = _z_window(state.fi, z0, z1, Z, 1)
 
-    u_f = jnp.clip(u_s + F * (0.5 / rho_s), -CS, CS)
+        rho_s, mom_s, rho_own, mom_own = _stream_moments(
+            fi_w, solid_w, C19, OPP19, config.storage,
+            wall_model=config.wall_model)
+        rho_s, rho_own = rho_s[cr], rho_own[cr]
+        mom_s, mom_own = mom_s[:, cr], mom_own[:, cr]
+        u_s = mom_s / rho_s
 
-    u_own = mom_own / rho_own
-    rho_new = jnp.where(solid, state.rho, jnp.where(eqbc, rho_own, rho_s))
-    u_new = jnp.where(solid[None], state.u, jnp.where(eqbc[None], u_own, u_f))
+        F = jnp.stack([
+            fx[0] - 2.0 * rho_s * (oy * u_s[2] - oz * u_s[1]),
+            fx[1] - 2.0 * rho_s * (oz * u_s[0] - ox * u_s[2]),
+            fx[2] - 2.0 * rho_s * (ox * u_s[1] - oy * u_s[0]),
+        ])
+        if config.wall_model:
+            # Schumann wall stress half-step, matching the step tiers
+            ga = ((~solid_w) & jnp.roll(solid_w, 1, 0))[cr].astype(jnp.float32)
+            uh = jnp.sqrt(u_s[0] * u_s[0] + u_s[1] * u_s[1])
+            cw = config.wall_cd * ga * rho_s * uh
+            F = F - jnp.stack([cw * u_s[0], cw * u_s[1], jnp.zeros_like(cw)])
+
+        if config.thermal and state.gi is not None:
+            tfix = (fl_c & TYPE_T) != 0
+            gi_w = _z_window(state.gi, z0, z1, Z, 1)
+            Tg_s, _, Tg_o, _ = _stream_moments(
+                gi_w, solid_w, C7, OPP7, config.storage)
+            Tn = jnp.where(tfix, Tg_o[cr], Tg_s[cr])
+            T_new = T_new.at[z0:z1].set(
+                jnp.where(solid_c, state.T[z0:z1], Tn))
+            F = F - fx[:, None, None, None] * (config.beta
+                                               * (Tn - config.t_avg))
+
+        u_f = jnp.clip(u_s + F * (0.5 / rho_s), -CS, CS)
+
+        u_own = mom_own / rho_own
+        rho_new = rho_new.at[z0:z1].set(
+            jnp.where(solid_c, state.rho[z0:z1],
+                      jnp.where(eqbc_c, rho_own, rho_s)))
+        u_new = u_new.at[:, z0:z1].set(
+            jnp.where(solid_c[None], state.u[:, z0:z1],
+                      jnp.where(eqbc_c[None], u_own, u_f)))
     return state._replace(rho=rho_new, u=u_new, T=T_new)
 
 

@@ -474,3 +474,71 @@ def test_wall_model_schumann_drag_rate():
     loss = run(1e-12) - run(cd)
     expected_loss = n * cd * u0 * u0 * 1.0 * shape[1] * shape[2]
     assert 0.7 * expected_loss < loss < 1.3 * expected_loss
+
+
+@pytest.mark.parametrize("thermal,wall_model,storage", [
+    (False, False, "f32"), (False, True, "f32"),
+    (True, False, "bf16"), (False, True, "fp16c"),
+])
+def test_update_fields_chunking_invariance(monkeypatch, thermal, wall_model,
+                                           storage):
+    """update_fields materializes rho/u/T by z-chunk (bounded transients —
+    the monolithic version OOM'd HBM at 71M cells); any chunk size must
+    agree to f32 rounding (XLA fuses/contracts differently per shape, so
+    rare single-ULP deltas are expected), including across chunk seams,
+    the modular z-wrap, the wall-model quads, and the thermal sub-lattice."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.lbm import fields as F
+    from latticeurbanwind_tpu.lbm.state import DynParams
+
+    from latticeurbanwind_tpu.lbm import (
+        StepConfig, TYPE_E, TYPE_S, TYPE_T, make_initial_state,
+        omega_from_nu,
+    )
+
+    shape = (13, 24, 40)
+    Z, Y, X = shape
+    rng = np.random.default_rng(5)
+    cfg = StepConfig(omega=omega_from_nu(0.03), subgrid=True,
+                     thermal=thermal, omega_t=1.1, beta=0.002,
+                     storage=storage)
+    if wall_model:
+        cfg = dataclasses.replace(cfg, wall_model=True, wall_cd=0.0134)
+    u = 0.02 * rng.standard_normal((3, Z, Y, X)).astype(np.float32)
+    rho = (1.0 + 0.001 * rng.standard_normal(shape)).astype(np.float32)
+    flags = np.zeros(shape, np.uint8)
+    flags[-1] = TYPE_E
+    flags[:, 0, :] |= TYPE_E
+    flags[:, -1, :] |= TYPE_E
+    flags[:, :, 0] |= TYPE_E
+    flags[:, :, -1] |= TYPE_E
+    flags[0] = TYPE_S
+    flags[2, 10:20, 8:12] = TYPE_S
+    if thermal:
+        flags[:, :, 0] |= TYPE_T
+    T = ((1.0 + 0.01 * rng.standard_normal(shape)).astype(np.float32)
+         if thermal else None)
+    state = make_initial_state(shape, config=cfg, rho=rho, u=u,
+                               flags=flags, T=T)
+    dyn = DynParams(force=jnp.array([1e-5, 0.0, -2e-5]),
+                    omega_coriolis=jnp.array([0.0, 1e-5, 2e-5]))
+
+    outs = []
+    for cells in ("999999999", str(3 * 24 * 40), str(5 * 24 * 40)):
+        monkeypatch.setenv("LUW_UPDATE_CHUNK_CELLS", cells)
+        F._update.clear_cache()
+        F._update_donating.clear_cache()
+        outs.append(F.update_fields(state, cfg, dyn))
+    for o in outs[1:]:
+        np.testing.assert_allclose(np.asarray(o.rho),
+                                   np.asarray(outs[0].rho),
+                                   rtol=1e-6, atol=1e-9)
+        np.testing.assert_allclose(np.asarray(o.u), np.asarray(outs[0].u),
+                                   rtol=1e-6, atol=1e-9)
+        if thermal:
+            np.testing.assert_allclose(np.asarray(o.T),
+                                       np.asarray(outs[0].T),
+                                       rtol=1e-6, atol=1e-9)

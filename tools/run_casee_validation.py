@@ -111,6 +111,7 @@ def main() -> int:
     stats_other = validate_deck(work / "conf.luwpf", xls, variant=other,
                                 angles=use_angles, make_figure=False)
     out_dir = Path(args.out)
+    out_dir.mkdir(parents=True, exist_ok=True)
     payload = {
         "cell_m": args.cell, "steps": args.steps, "avg": args.avg,
         "stride": args.stride, "storage": args.storage, "vk": args.vk,
