@@ -129,31 +129,35 @@ def _free_enc(x):       # perf probe only
 
 
 VARIANTS = {
-    "v0": None,                      # leave production codec untouched
-    "encbit": (_dec_v0, _enc_bit),
-    "decmagic": (_dec_magic, _enc_bit),
-    "probe_dec": (_dec_v0, _free_enc),
-    "probe_enc": (_free_dec, _enc_v0),
+    # name: (storage, (dec, enc) or None for the production codec)
+    "v0": ("fp16c", None),
+    "encbit": ("fp16c", (_dec_v0, _enc_bit)),
+    "decmagic": ("fp16c", (_dec_magic, _enc_bit)),
+    "probe_dec": ("fp16c", (_dec_v0, _free_enc)),
+    "probe_enc": ("fp16c", (_free_dec, _enc_v0)),
+    "f16_v0": ("f16", None),
+    "f16_magic": ("f16", (_dec_f16_magic, _enc_f16_bit)),
 }
 
 
 def _install(name: str):
-    """Monkeypatch ops/stream_collide._make_codec for fp16c."""
+    """Monkeypatch ops/stream_collide._make_codec for the variant's storage."""
     import latticeurbanwind_tpu.ops.stream_collide as sc
 
     if not hasattr(sc, "_make_codec_orig"):
         sc._make_codec_orig = sc._make_codec
-    pair = VARIANTS[name]
+    target, pair = VARIANTS[name]
     if pair is None:
         sc._make_codec = sc._make_codec_orig
-        return
+        return target
 
     def patched(storage):
-        if storage == "fp16c":
+        if storage == target:
             return pair
         return sc._make_codec_orig(storage)
 
     sc._make_codec = patched
+    return target
 
 
 # ------------------------------------------------------------ correctness
@@ -185,8 +189,8 @@ def check() -> int:
     ref_enc = np.asarray(encode_fp16c(sweep))
 
     rc = 0
-    for name, pair in VARIANTS.items():
-        if name.startswith("probe") or pair is None:
+    for name, (storage, pair) in VARIANTS.items():
+        if name.startswith("probe") or storage != "fp16c" or pair is None:
             continue
         dec, enc = pair
         got_dec = np.asarray(jax.jit(dec)(jnp.asarray(codes)))
@@ -266,11 +270,11 @@ def perf(names) -> int:
     reps = int(os.environ["LUW_BENCH_REPS"])
     jax.devices()
     for name in names:
-        _install(name)
+        storage = _install(name)
         # fresh trace per variant (make_bench_runner caches nothing global,
         # but jax caches jitted fns by python identity — the patched codec
         # produces new closures, so retraces happen naturally)
-        mlups, impl = bench.measure("fp16c", shape, steps, reps, "auto")
+        mlups, impl = bench.measure(storage, shape, steps, reps, "auto")
         print(f"{name}: {mlups:.1f} MLUPs ({impl}, {shape})")
     _install("v0")
     return 0
@@ -281,5 +285,5 @@ if __name__ == "__main__":
     if mode == "check":
         sys.exit(check() | check_f16())
     names = sys.argv[2:] or ["v0", "encbit", "decmagic", "probe_dec",
-                             "probe_enc"]
+                             "probe_enc", "f16_v0", "f16_magic"]
     sys.exit(perf(names))
