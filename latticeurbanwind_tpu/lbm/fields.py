@@ -151,16 +151,14 @@ def _z_window(arr, z0: int, z1: int, Z: int, axis: int):
     return parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=axis)
 
 
-@partial(jax.jit, static_argnames=("config",))
-def _update(state: LBMState, dyn: DynParams, config: StepConfig) -> LBMState:
+@partial(jax.jit, static_argnames=("config", "chunk_cells"))
+def _update(state: LBMState, dyn: DynParams, config: StepConfig,
+            chunk_cells: int) -> LBMState:
     # NOTE: fi/gi pass through unchanged and rho/u/T are updated by z-chunk,
     # so XLA aliases them; the transient cost is one chunk's working set.
-    import os
-
     flags = state.flags
     Z, Y, X = flags.shape
-    budget = int(os.environ.get("LUW_UPDATE_CHUNK_CELLS", 0)) or _CHUNK_CELLS
-    cz = max(1, min(Z, budget // max(1, Y * X)))
+    cz = max(1, min(Z, chunk_cells // max(1, Y * X)))
     if cz >= Z:
         starts = [0]
     else:
@@ -223,7 +221,8 @@ def _update(state: LBMState, dyn: DynParams, config: StepConfig) -> LBMState:
     return state._replace(rho=rho_new, u=u_new, T=T_new)
 
 
-_update_donating = jax.jit(_update.__wrapped__, static_argnames=("config",),
+_update_donating = jax.jit(_update.__wrapped__,
+                           static_argnames=("config", "chunk_cells"),
                            donate_argnums=(0,))
 
 
@@ -234,7 +233,13 @@ def update_fields(state: LBMState, config: StepConfig,
     `donate=True` donates the input state so fi/gi alias through and the old
     rho/u buffers are reused — halves the transient footprint on production
     grids.  Callers must rebind (the old state's buffers become invalid)."""
+    import os
+
     if dyn is None:
         dyn = DynParams(force=jnp.zeros(3, jnp.float32),
                         omega_coriolis=jnp.zeros(3, jnp.float32))
-    return (_update_donating if donate else _update)(state, dyn, config)
+    # read per call and passed as a static arg, so changing the env var
+    # between calls retraces instead of silently reusing the old chunking
+    budget = int(os.environ.get("LUW_UPDATE_CHUNK_CELLS", 0)) or _CHUNK_CELLS
+    return (_update_donating if donate else _update)(state, dyn, config,
+                                                     chunk_cells=budget)

@@ -164,6 +164,20 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
         fbc_cell[1] = False
 
     run.reset = reset
+
+    def memory_analysis(state, dyn, t0, n_steps=None):
+        """XLA memory analysis of the chunk executable for these inputs
+        (AOT: compiles without executing) — the sizing tool for HBM
+        budgets: .temp_size_in_bytes is the program's transient peak on
+        top of the (donated) arguments/outputs."""
+        if not fbc_cell[1]:
+            fbc_cell[0] = init_fbc(state)
+            fbc_cell[1] = True
+        ns = jnp.asarray(n_inner if n_steps is None else n_steps, jnp.int32)
+        return jitted.lower(state, dyn, jnp.asarray(t0, jnp.int32), ns,
+                            fbc_cell[0], floc_args).compile().memory_analysis()
+
+    run.memory_analysis = memory_analysis
     # checkpoint/resume access to the carried targets (run/checkpoint.py)
     run.get_fbc = lambda: fbc_cell[0]
 

@@ -1042,18 +1042,17 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
         interpret=bool(os.environ.get("LUW_PALLAS_INTERPRET")),
     )
 
-    # closure forcing arrays (the sharded runner overrides via forcing_loc)
+    # closure forcing arrays (the stepper/sharded runner override via
+    # forcing_loc).  The no-nudge (sponge-only) defaults stay None here and
+    # are built lazily inside step() — every production caller overrides
+    # them, so eager (Z,Y,X) zeros would just pin ~5 B/cell of HBM per
+    # runner for nothing.
     sponge_z = (
         np.asarray(forcing.sponge_sigma_z, dtype=np.float32).reshape(Z, 1)
         if has_sponge else np.zeros((Z, 1), dtype=np.float32)
     )
-    nudge_sigma = (
-        forcing.nudge_sigma if has_nudge else jnp.zeros((Z, Y, X), jnp.float32)
-    )
-    nudge_face = (
-        forcing.nudge_face.astype(jnp.uint8) if has_nudge
-        else jnp.zeros((Z, Y, X), jnp.uint8)
-    )
+    nudge_sigma = forcing.nudge_sigma if has_nudge else None
+    nudge_face = forcing.nudge_face.astype(jnp.uint8) if has_nudge else None
     sponge_z = jnp.asarray(sponge_z)
 
     if storage in ("f16",):
@@ -1155,10 +1154,13 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                                  "is None — build the split state with "
                                  "with_fbc=True")
         if has_forcing:
-            args += [
-                fl.get("nudge_sigma", nudge_sigma),
-                fl.get("nudge_face", nudge_face),
-            ]
+            ns = fl.get("nudge_sigma", nudge_sigma)
+            nf = fl.get("nudge_face", nudge_face)
+            if ns is None:       # sponge-only caller without an override:
+                ns = jnp.zeros((Z, Y, X), jnp.float32)   # traced broadcast,
+            if nf is None:       # not a committed closure buffer
+                nf = jnp.zeros((Z, Y, X), jnp.uint8)
+            args += [ns, nf]
         if has_faces:
             # uw/ue cross the kernel boundary y-major (Z, Y, 3) — see the
             # in_specs note; FaceBC keeps the (Z, 3, Y) public layout and the

@@ -154,7 +154,15 @@ def save_checkpoint(path: Path, state: LBMState, *, step: int,
 
     if n_proc > 1:
         if jax.process_index() != 0:
-            _write(_sibling_path(path, jax.process_index()), shards)
+            # each sibling is stamped with the step so a stale-main /
+            # new-sibling mix (rank 0 dying between the barrier and the
+            # main-file write) fails loudly at assemble time instead of
+            # silently stitching two different steps together
+            sib = dict(shards)
+            sib["header"] = np.frombuffer(json.dumps(
+                {"version": FORMAT_VERSION, "step": int(step)}).encode(),
+                dtype=np.uint8)
+            _write(_sibling_path(path, jax.process_index()), sib)
         # the main file (whose existence marks a complete checkpoint) is
         # written by process 0 only after every process has written its
         # shard file
@@ -211,6 +219,14 @@ def _assemble(path: Path, z, header: dict, want=None) -> Dict[str, np.ndarray]:
             raise ValueError(f"checkpoint shard file missing: {sib} "
                              "(incomplete multi-host save?)")
         with np.load(sib) as zs:
+            if "header" in zs.files:
+                sh = _read_header(zs)
+                if int(sh.get("step", -1)) != int(header.get("step", -1)):
+                    raise ValueError(
+                        f"checkpoint shard file {sib} is from step "
+                        f"{sh.get('step')} but the main file is step "
+                        f"{header.get('step')} — torn multi-host save "
+                        "(rank 0 died before rewriting the main file?)")
             take(zs)
     return out
 
@@ -223,13 +239,14 @@ def load_checkpoint(path: Path, *, expect_shape=None, probes: Optional[list] = N
     different grid raises ValueError instead of a cryptic jit shape error.
     `probes`: GridProbe list to refill with the saved sample buffers.
 
-    Arrays come back as ordinary (single-device) jnp arrays regardless of
-    the mesh they were saved under; the caller re-shards onto the current
-    mesh (the driver's shard_state call), so resume works across different
-    (Dx, Dy, Dz) decompositions.
+    Arrays come back as HOST (numpy) arrays regardless of the mesh they
+    were saved under; the caller places them — the driver's shard_state
+    device_puts each field with its target sharding, which transfers only
+    the per-device slices (a grid that only fits sharded across the mesh
+    must never be materialized on one device), and a single-device run
+    commits them on first jit use.  Resume therefore works across
+    different (Dx, Dy, Dz) decompositions.
     """
-    import jax.numpy as jnp
-
     path = Path(path)
     with np.load(path) as z:
         header = _read_header(z)
@@ -244,22 +261,24 @@ def load_checkpoint(path: Path, *, expect_shape=None, probes: Optional[list] = N
         arrs = _assemble(path, z, header)
     thermal = header["thermal"]
     state = LBMState(
-        fi=jnp.asarray(arrs["fi"]),
-        rho=jnp.asarray(arrs["rho"]),
-        u=jnp.asarray(arrs["u"]),
-        flags=jnp.asarray(arrs["flags"]),
-        gi=jnp.asarray(arrs["gi"]) if thermal else None,
-        T=jnp.asarray(arrs["T"]) if thermal else None,
+        fi=arrs["fi"],
+        rho=arrs["rho"],
+        u=arrs["u"],
+        flags=arrs["flags"],
+        gi=arrs["gi"] if thermal else None,
+        T=arrs["T"] if thermal else None,
     )
     avg = None
     if "avg_count" in arrs:
+        m2 = arrs["avg_m2_u"]
+        if m2.ndim == 4:       # pre-trace format stored per-component M2
+            m2 = m2.sum(axis=0)
         avg = AvgState(
-            count=jnp.asarray(int(arrs["avg_count"]), jnp.int32),
-            mean_u=jnp.asarray(arrs["avg_mean_u"]),
-            m2_u=jnp.asarray(arrs["avg_m2_u"]),
-            mean_rho=jnp.asarray(arrs["avg_mean_rho"]),
-            mean_T=(jnp.asarray(arrs["avg_mean_T"])
-                    if "avg_mean_T" in arrs else None),
+            count=np.asarray(int(arrs["avg_count"]), np.int32),
+            mean_u=arrs["avg_mean_u"],
+            m2_u=m2,
+            mean_rho=arrs["avg_mean_rho"],
+            mean_T=(arrs["avg_mean_T"] if "avg_mean_T" in arrs else None),
         )
     if probes is not None and header.get("n_probes"):
         n = min(len(probes), int(header["n_probes"]))

@@ -19,7 +19,8 @@ from ..lbm.state import TYPE_S
 
 def derived_turbulence_fields(
     mean_u: np.ndarray,        # (3, Z, Y, X) lattice units
-    var_u: np.ndarray,         # (3, Z, Y, X) lattice units^2
+    var_sum_in: np.ndarray,    # (Z, Y, X) variance TRACE var_u+var_v+var_w,
+    #                            lattice units^2 (welford.variance_sum_u)
     flags: np.ndarray,         # (Z, Y, X)
     *,
     avg_count: int,
@@ -33,7 +34,8 @@ def derived_turbulence_fields(
     fluid = (~solid).astype(np.float32)
     out["fluid"] = fluid
     has_m2 = avg_count > 1
-    var_sum = var_u.sum(axis=0) if has_m2 else np.zeros((Z, Y, X), np.float32)
+    var_sum = (np.asarray(var_sum_in) if has_m2
+               else np.zeros((Z, Y, X), np.float32))
     # cells where derived fields are defined (note: has_m2 is a Python bool;
     # never fold it into numpy bitwise ops)
     invalid = solid if has_m2 else np.ones_like(solid, dtype=bool)

@@ -31,7 +31,7 @@ from ..units import Units
 from .derived import derived_turbulence_fields
 from .info import RunInfo
 from .probes import GridProbe
-from .welford import AvgState, init_avg, variance_u, welford_update
+from .welford import AvgState, init_avg, variance_sum_u, welford_update
 
 DEFAULT_RUN_STEPS = 20001
 
@@ -116,12 +116,13 @@ def _crop_y(arr: np.ndarray, ny_out: int) -> np.ndarray:
     return arr
 
 
-def _warn_slow_tier(impl_name: str, shape, case: SolverCase, *,
-                    quiet: bool) -> None:
+def _warn_slow_tier(impl_name: str, shape, case: SolverCase) -> None:
     """Loud, actionable warning when a sizable grid steps the jnp tier on an
     accelerator (~10x the Pallas step cost) — silent fallbacks at production
     sizes read as 'the TPU is slow' (reference runs its per-cell kernel at
-    any local size, kernel.cpp:1486, so there is no analogous cliff)."""
+    any local size, kernel.cpp:1486, so there is no analogous cliff).
+    Deliberately NOT gated on run_case(quiet=): a performance cliff must
+    surface even in quiet batch sweeps (CPU runs return early above)."""
     if impl_name != "reference":
         return
     import jax
@@ -223,7 +224,7 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         advance, impl_name = make_runner(
             case.config, case.forcing, shape=shape, n_inner=1,
             impl=eff_impl, donate=True, pre_step=case.pre_step)
-    _warn_slow_tier(impl_name, shape, case, quiet=quiet)
+    _warn_slow_tier(impl_name, shape, case)
 
     # pallas tiers step pure DDFs: refresh rho/u/T before field-consuming
     # events (the reference's update_fields split, kernel.cpp:1938)
@@ -297,6 +298,13 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         from ..parallel import shard_state
 
         state = shard_state(state, mesh)
+    elif resume_t:
+        # checkpoint loads return HOST arrays (so sharded resumes never
+        # materialize the global state on one device); commit the
+        # single-device case up front to keep step donation effective
+        import jax
+
+        state = jax.device_put(state)
 
     u_factor = case.units.si_u(1.0)
     rho_factor = case.units.si_rho(1.0)
@@ -479,7 +487,7 @@ def write_final_outputs(case: SolverCase, state: LBMState,
 
     if avg is not None and avg_samples > 0:
         mean_u = np.asarray(avg.mean_u)
-        var_u = np.asarray(variance_u(avg))
+        var_sum = np.asarray(variance_sum_u(avg))
         flags = np.asarray(state.flags)
         fields: Dict[str, np.ndarray] = {
             "u_avg": (mean_u * u_factor).astype(np.float32),
@@ -490,7 +498,7 @@ def write_final_outputs(case: SolverCase, state: LBMState,
                                + case.units.unit_K_offset).astype(np.float32)
         want = tuple(f.lower() for f in s.output_fields)
         derived = derived_turbulence_fields(
-            mean_u, var_u, flags, avg_count=avg_samples,
+            mean_u, var_sum, flags, avg_count=avg_samples,
             u_factor=u_factor, spacing=case.cell_m, want=want)
         fields["fluid"] = derived.pop("fluid")
         # tke written in SI already by derived (uses u_factor)

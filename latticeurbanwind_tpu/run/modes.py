@@ -39,7 +39,7 @@ from ..bc.profile import (
     load_profile_dat, profile_boundary_fields,
 )
 from .driver import RunResult, SolverCase, run_case
-from .sizing import apply_fast_tier, plan_grid
+from .sizing import apply_fast_tier, effective_ngpu, plan_grid
 
 
 def _format_tag(v: float) -> str:
@@ -189,7 +189,9 @@ def run_profile_mode(deck_path: Path | str, *, impl: str = "auto",
         sponge_thickness_m=deck.get_float("sponge_thickness_m", 200.0) or 0.0,
         sponge_enabled=sponge_on,
     )
-    plan = apply_fast_tier(plan, thermal=False, dy=(list(ngpu) + [1])[1])
+    eff_split = effective_ngpu(ngpu)
+    plan = apply_fast_tier(plan, thermal=False, dy=eff_split[1],
+                           dx=eff_split[0])
     units = anchor_units(plan.cell_m, si_ref_u)
     u_scale = LBM_REF_U / si_ref_u
 
@@ -325,7 +327,9 @@ def run_datagen_mode(deck_path: Path | str, *, impl: str = "auto",
         storage=storage, thermal=False,
         sponge_thickness_m=0.0, sponge_enabled=False,
     )
-    plan = apply_fast_tier(plan, thermal=False, dy=(list(ngpu) + [1])[1])
+    eff_split = effective_ngpu(ngpu)
+    plan = apply_fast_tier(plan, thermal=False, dy=eff_split[1],
+                           dx=eff_split[0])
     units = anchor_units(plan.cell_m, si_ref_u)
     u_scale = LBM_REF_U / si_ref_u
 

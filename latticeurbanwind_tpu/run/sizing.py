@@ -57,8 +57,8 @@ class GridPlan:
 
 
 def fast_tier_ny(ny: int, nx: int, *, thermal: bool = False,
-                 per_device_ny: int = 1) -> int:
-    """Smallest ny' >= ny whose (ny', nx) plane runs the Pallas fast tier.
+                 per_device_ny: int = 1, per_device_nx: int = 1) -> int:
+    """Smallest ny' >= ny whose per-shard plane runs the Pallas fast tier.
 
     Planes within the VMEM budget legalize at any shape; larger planes need a
     y-tiling By | ny with By % 32 == 0 (ops/stream_collide.tile_plan).  The
@@ -66,7 +66,14 @@ def fast_tier_ny(ny: int, nx: int, *, thermal: bool = False,
     domain gets marginally larger — boundary slightly farther out, like the
     top-sponge z extension) and outputs crop back to the requested rows.
     Returns ny unchanged when already legal or when no y-padding can help
-    (nx wider than the budget allows — needs x-sharding).
+    (the per-shard x extent too wide for a 32-row tile — needs more
+    x-sharding).
+
+    The probe mirrors what the runner will actually build: under an
+    (Dx, Dy, ...) split each shard's kernel sees the GHOST-EXTENDED local
+    plane (parallel/halo.ghost_widths — gx = 1 when Dx > 1; gy grows to 16
+    when only the +32 extension legalizes), so legality is judged on
+    (ny/Dy + 2*gy, nx/Dx + 2*gx), not the global plane.
 
     Reference contract: the per-cell kernel runs at ANY local domain size
     (kernel.cpp:1486, lbm.cpp:1125); without this the jnp tier silently
@@ -75,25 +82,54 @@ def fast_tier_ny(ny: int, nx: int, *, thermal: bool = False,
     from ..ops.stream_collide import tile_plan
 
     d = max(1, per_device_ny)
-    if ny % d == 0 and tile_plan(ny // d, nx, thermal=thermal) is not None:
+    dx = max(1, per_device_nx)
+    xl = nx // dx + 2 * int(dx > 1)
+
+    def legal(n: int) -> bool:
+        if n % d:
+            return False
+        loc = n // d
+        if d == 1:          # no y ghosts (gy = 0)
+            return tile_plan(loc, xl, thermal=thermal) is not None
+        # y-sharded: ghost_widths legalizes with gy = 1 or gy = 16
+        return (tile_plan(loc + 2, xl, thermal=thermal) is not None
+                or tile_plan(loc + 32, xl, thermal=thermal) is not None)
+
+    if legal(ny):
         return ny
     # the minimal legal local tiling is By = 32; pad the LOCAL extent up to
     # a multiple of 32 (tile_plan then picks the best divisor)
     step = 32 * d
     ny2 = ((ny + step - 1) // step) * step
-    if tile_plan(ny2 // d, nx, thermal=thermal) is None:
+    if not legal(ny2):
         return ny   # x too wide for any y-tiling — padding cannot help
     return ny2
 
 
+def effective_ngpu(ngpu) -> Tuple[int, int, int]:
+    """The split run_case will actually use: the deck's n_gpu when enough
+    devices are visible, else the single-device fallback (run/driver.py
+    prints '... single-device run').  Probing the fast tier with the
+    REQUESTED split would skip padding that the clamped run then needs."""
+    n = (list(ngpu) + [1, 1, 1])[:3]
+    dx, dy, dz = int(n[0]), int(n[1]), int(n[2])
+    if dx * dy * dz > 1:
+        import jax
+
+        if len(jax.devices()) < dx * dy * dz:
+            return (1, 1, 1)
+    return (dx, dy, dz)
+
+
 def apply_fast_tier(plan: GridPlan, *, thermal: bool = False,
-                    dy: int = 1) -> GridPlan:
+                    dy: int = 1, dx: int = 1) -> GridPlan:
     """Pad the plan's ny so every device shard rides the Pallas fast tier
     (no-op when already legal or when padding cannot help).  Outputs crop
     the pad rows via plan.ny_out."""
     from dataclasses import replace
 
-    ny2 = fast_tier_ny(plan.ny, plan.nx, thermal=thermal, per_device_ny=dy)
+    ny2 = fast_tier_ny(plan.ny, plan.nx, thermal=thermal, per_device_ny=dy,
+                       per_device_nx=dx)
     if ny2 == plan.ny:
         return plan
     return replace(plan, ny=ny2, ny_phys=plan.ny)

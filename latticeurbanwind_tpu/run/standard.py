@@ -48,7 +48,7 @@ from .case import (
 )
 from .driver import RunResult, SolverCase, run_case
 from .modes import _find_case_stl, _voxelize_case
-from .sizing import apply_fast_tier, plan_grid
+from .sizing import apply_fast_tier, effective_ngpu, plan_grid
 
 
 def _boundary_queries(shape, side_ref_z_cap: int):
@@ -116,8 +116,9 @@ def run_standard_mode(deck_path: Path | str, *, impl: str = "auto",
         sponge_thickness_m=deck.get_float("sponge_thickness_m", 200.0) or 0.0,
         sponge_enabled=sponge_on,
     )
+    eff_split = effective_ngpu(ngpu)
     plan = apply_fast_tier(plan, thermal=use_temperature,
-                           dy=(list(ngpu) + [1])[1])
+                           dy=eff_split[1], dx=eff_split[0])
     units = anchor_units(plan.cell_m, si_ref_u, temp_scale_k=temp_scale,
                          temp_ref_k=temp_ref)
     u_scale = LBM_REF_U / si_ref_u

@@ -8,6 +8,7 @@ ever cross to the host.
 
 from __future__ import annotations
 
+from functools import partial
 from typing import NamedTuple, Optional
 
 import jax
@@ -19,29 +20,38 @@ from ..lbm.state import LBMState
 class AvgState(NamedTuple):
     count: jnp.ndarray        # () int32
     mean_u: jnp.ndarray       # (3, Z, Y, X)
-    m2_u: jnp.ndarray         # (3, Z, Y, X) sum of squared deviations
+    m2_u: jnp.ndarray         # (Z, Y, X) sum of squared deviations, SUMMED
+    #                           over the 3 components: every derived output
+    #                           (tke, TI, TLS — run/derived.py) consumes only
+    #                           the variance TRACE, and the scalar
+    #                           accumulator saves 8 B/cell of HBM residency
     mean_rho: jnp.ndarray     # (Z, Y, X)
     mean_T: Optional[jnp.ndarray] = None
 
 
 def init_avg(shape, thermal: bool) -> AvgState:
-    z = jnp.zeros(shape, jnp.float32)
+    # each field gets its OWN buffer: sharing one zeros array between
+    # mean_rho and mean_T trips donation ("same buffer donated twice")
     return AvgState(
         count=jnp.zeros((), jnp.int32),
         mean_u=jnp.zeros((3, *shape), jnp.float32),
-        m2_u=jnp.zeros((3, *shape), jnp.float32),
-        mean_rho=z,
-        mean_T=z if thermal else None,
+        m2_u=jnp.zeros(shape, jnp.float32),
+        mean_rho=jnp.zeros(shape, jnp.float32),
+        mean_T=jnp.zeros(shape, jnp.float32) if thermal else None,
     )
 
 
-@jax.jit
+# `avg` is DONATED: without it every averaging event allocates a second
+# full accumulator set (~28 B/cell) while the old one is still live — a
+# transient spike that OOMs production grids.  Callers rebind
+# (avg = welford_update(avg, state)), so donation is safe.
+@partial(jax.jit, donate_argnums=(0,))
 def welford_update(avg: AvgState, state: LBMState) -> AvgState:
     n = avg.count + 1
     inv_n = 1.0 / n.astype(jnp.float32)
     delta = state.u - avg.mean_u
     mean_u = avg.mean_u + delta * inv_n
-    m2_u = avg.m2_u + delta * (state.u - mean_u)
+    m2_u = avg.m2_u + (delta * (state.u - mean_u)).sum(axis=0)
     mean_rho = avg.mean_rho + (state.rho - avg.mean_rho) * inv_n
     mean_T = avg.mean_T
     if mean_T is not None and state.T is not None:
@@ -50,7 +60,7 @@ def welford_update(avg: AvgState, state: LBMState) -> AvgState:
                     mean_rho=mean_rho, mean_T=mean_T)
 
 
-def variance_u(avg: AvgState) -> jnp.ndarray:
-    """(3, Z, Y, X) per-component velocity variance (population)."""
+def variance_sum_u(avg: AvgState) -> jnp.ndarray:
+    """(Z, Y, X) velocity-variance trace var_u+var_v+var_w (population)."""
     n = jnp.maximum(avg.count, 1).astype(jnp.float32)
     return jnp.maximum(avg.m2_u / n, 0.0)

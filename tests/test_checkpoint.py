@@ -136,6 +136,53 @@ def test_sharded_checkpoint_per_shard_format(tmp_path):
     np.testing.assert_array_equal(np.asarray(resharded.fi), ref_fi)
 
 
+def test_load_returns_host_arrays(tmp_path):
+    """Restore must NOT materialize global arrays on a device: a grid that
+    only fits sharded across the mesh would OOM device 0 before the driver's
+    shard_state re-shards.  Host numpy comes back; placement is the
+    caller's."""
+    case = _case(tmp_path, 4)
+    p = tmp_path / "h.ckpt.npz"
+    save_checkpoint(p, case.state, step=3)
+    state, *_ = load_checkpoint(p)
+    assert isinstance(state.fi, np.ndarray)
+    assert isinstance(state.rho, np.ndarray)
+
+
+def test_torn_multihost_save_detected(tmp_path):
+    """A stale main file mixed with newer sibling shard files (rank 0 died
+    between the barrier and the main-file write) must fail loudly, not
+    assemble a mixed-step lattice."""
+    import json
+
+    import pytest
+
+    case = _case(tmp_path, 4)
+    p = tmp_path / "t.ckpt.npz"
+    save_checkpoint(p, case.state, step=5)
+
+    # rewrite the main header as a 2-process save at step 5, and fabricate
+    # a sibling stamped with a DIFFERENT step
+    with np.load(p) as z:
+        payload = {k: z[k] for k in z.files}
+        header = json.loads(bytes(z["header"].tobytes()).decode())
+    header["n_processes"] = 2
+    payload["header"] = np.frombuffer(json.dumps(header).encode(), np.uint8)
+    np.savez_compressed(p, **payload)
+    sib = tmp_path / "t.ckpt.npz.p1.npz"
+    np.savez_compressed(
+        sib, header=np.frombuffer(
+            json.dumps({"version": 2, "step": 6}).encode(), np.uint8))
+    with pytest.raises(ValueError, match="torn multi-host save"):
+        load_checkpoint(p)
+    # matching sibling step assembles fine
+    np.savez_compressed(
+        sib, header=np.frombuffer(
+            json.dumps({"version": 2, "step": 5}).encode(), np.uint8))
+    state, step, *_ = load_checkpoint(p)
+    assert step == 5
+
+
 def test_interrupted_sharded_run_resumes_identically(tmp_path, monkeypatch):
     """Checkpoint written under the sharded pallas runner (state sharded over
     the mesh at save time) resumes bit-exactly — the verdict's pod story."""

@@ -37,7 +37,26 @@ def test_fast_tier_ny_noop_cases():
 
 def test_fast_tier_ny_respects_device_split():
     ny2 = fast_tier_ny(1026, 1024, per_device_ny=2)
-    assert ny2 % 64 == 0 and tile_plan(ny2 // 2, 1024) is not None
+    assert ny2 % 64 == 0
+    # y-sharded shards get ghost rows: ghost_widths legalizes gy=1 or gy=16
+    assert (tile_plan(ny2 // 2 + 2, 1024) is not None
+            or tile_plan(ny2 // 2 + 32, 1024) is not None)
+
+
+def test_fast_tier_ny_probes_local_x_extent():
+    """x-sharding shrinks the per-shard plane the kernel actually sees: a
+    global nx too wide for any y-tiling must still be padded when the deck's
+    n_gpu x-split makes the LOCAL (ghost-extended) plane legal."""
+    # global probe: 16384 is too wide for even a 32-row tile
+    assert fast_tier_ny(1026, 16384) == 1026
+    # dx=2 leaves xl = 8194 (> 8192 budget/32) — still cannot help
+    assert fast_tier_ny(1026, 16384, per_device_nx=2) == 1026
+    # dx=4: xl = 4098 tiles at By=32, so padding now pays off
+    ny2 = fast_tier_ny(1026, 16384, per_device_nx=4)
+    assert ny2 == 1056 and tile_plan(ny2, 4098) is not None
+    # combined y+x split: local ny gets ghost rows too
+    ny3 = fast_tier_ny(1026, 16384, per_device_ny=2, per_device_nx=4)
+    assert ny3 % 64 == 0 and tile_plan(ny3 // 2 + 32, 4098) is not None
 
 
 def test_apply_fast_tier_records_crop():
@@ -68,6 +87,10 @@ def test_profile_mode_pads_and_crops(tmp_path, monkeypatch):
     deck.set_int("purge_avg", 8)
     deck.set_int("purge_avg_stride", 4)
     deck.set_list("angle", [0.0])
+    # the example deck ships n_gpu=[2,1,1]; pin single-device — under an
+    # x-split the per-shard 33x19 plane fits the budget and (correctly)
+    # needs no padding, which is not the path this test exercises
+    deck.set_list("n_gpu", [1, 1, 1])
     deck.save()
 
     # the plan pads: 33 rows -> 64 (32*34 = 1088 <= 1100 < 33*34)

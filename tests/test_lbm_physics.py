@@ -529,8 +529,6 @@ def test_update_fields_chunking_invariance(monkeypatch, thermal, wall_model,
     outs = []
     for cells in ("999999999", str(3 * 24 * 40), str(5 * 24 * 40)):
         monkeypatch.setenv("LUW_UPDATE_CHUNK_CELLS", cells)
-        F._update.clear_cache()
-        F._update_donating.clear_cache()
         outs.append(F.update_fields(state, cfg, dyn))
     for o in outs[1:]:
         np.testing.assert_allclose(np.asarray(o.rho),

@@ -13,7 +13,9 @@ from latticeurbanwind_tpu.bc.profile import (
 )
 from latticeurbanwind_tpu.lbm.state import TYPE_E, TYPE_S
 from latticeurbanwind_tpu.run import plan_grid, vtk_timestep_name
-from latticeurbanwind_tpu.run.welford import init_avg, variance_u, welford_update
+from latticeurbanwind_tpu.run.welford import (
+    init_avg, variance_sum_u, welford_update,
+)
 
 
 def test_plan_grid_cell_size_mode():
@@ -114,7 +116,8 @@ def test_welford_matches_numpy():
         avg = welford_update(avg, state)
     np.testing.assert_allclose(np.asarray(avg.mean_u), samples.mean(axis=0),
                                rtol=2e-5, atol=1e-6)
-    np.testing.assert_allclose(np.asarray(variance_u(avg)), samples.var(axis=0),
+    np.testing.assert_allclose(np.asarray(variance_sum_u(avg)),
+                               samples.var(axis=0).sum(axis=0),
                                rtol=2e-4, atol=1e-6)
     assert int(avg.count) == 7
 
