@@ -132,6 +132,13 @@ def _stream_moments(fi, solid, C, OPP, storage, wall_model=False):
 # LUW_UPDATE_CHUNK_CELLS.
 _CHUNK_CELLS = 8_000_000
 
+# The chunk loop is Python-unrolled inside jit, so program size (compile
+# time + the remote-compile payload) scales with the chunk count; tall-thin
+# grids with small planes would otherwise emit dozens of copies of the
+# moment scan.  16 chunks keeps the per-chunk transient at ~the 8M-cell
+# budget for the largest grid a single chip holds (~134M cells at 77 B).
+_MAX_CHUNKS = 16
+
 
 def _z_window(arr, z0: int, z1: int, Z: int, axis: int):
     """arr rows [z0-1, z1+1) along `axis` with MODULAR wrap, built from
@@ -159,6 +166,7 @@ def _update(state: LBMState, dyn: DynParams, config: StepConfig,
     flags = state.flags
     Z, Y, X = flags.shape
     cz = max(1, min(Z, chunk_cells // max(1, Y * X)))
+    cz = max(cz, -(-Z // _MAX_CHUNKS))   # floor: bound the unroll count
     if cz >= Z:
         starts = [0]
     else:

@@ -95,15 +95,15 @@ def make_runner(config: StepConfig, forcing: Forcing = Forcing(), *,
         # blow remote-compile payload limits (axon HTTP 413) and bloat the
         # compile cache.  sponge_z is (Z,1) and stays a closure constant.
         floc_args = {}
-        if has_forcing:
-            # sponge-only forcing otherwise bakes the (Z,Y,X) zeros the
-            # kernel's nudge slots read — same payload problem
-            ns = (forcing.nudge_sigma if forcing.nudge_sigma is not None
-                  else jnp.zeros(shape, jnp.float32))
+        if forcing.nudge_sigma is not None:
             nf = (forcing.nudge_face if forcing.nudge_face is not None
                   else jnp.zeros(shape, jnp.uint8))
-            floc_args["nudge_sigma"] = jnp.asarray(ns)
+            floc_args["nudge_sigma"] = jnp.asarray(forcing.nudge_sigma)
             floc_args["nudge_face"] = jnp.asarray(nf).astype(jnp.uint8)
+        # sponge-only forcing takes step()'s lazy path instead: in-trace
+        # jnp.zeros for the nudge slots cost nothing resident and nothing
+        # in the HLO payload, vs ~5 B/cell of pinned HBM if materialized
+        # here (sponge_z itself is (Z,1) and rides as a closure constant)
 
         def body(state: LBMState, dyn: DynParams, t0, n_steps, fbc, floc):
             s = split_state(state)._replace(fbc=fbc)

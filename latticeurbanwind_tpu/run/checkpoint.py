@@ -13,11 +13,14 @@ copy — no full-state host materialization, and it works on multi-host pods
 where the global array is not addressable from any single process:
 
   * single process: all shard blocks land in the one `.ckpt.npz`;
-  * multi-host: every process writes its addressable shards to a sibling
-    `<name>.p<k>.npz` on the (shared) filesystem; process 0 writes the main
-    file (header + host-side payload + its own shards) last, after a
-    cross-process barrier, so the main file's existence marks a complete
-    checkpoint.
+  * multi-host: every process writes its addressable shards to a
+    step-tagged sibling `<name>.p<k>.s<step>.npz` on the (shared)
+    filesystem; process 0 writes the main file (header + host-side payload
+    + its own shards) after a cross-process barrier, and stale sibling tags
+    are garbage-collected only after a second barrier confirms the commit.
+    The previous complete checkpoint set is therefore never touched until
+    the new one is fully loadable — a crash anywhere in the save window
+    leaves a consistent set on disk.
 
 Restore assembles the global arrays from the blocks and returns ordinary
 (unsharded) device arrays; the driver re-shards them onto the CURRENT mesh
@@ -52,8 +55,26 @@ _FBC_FIELDS = ("uw", "ue", "us", "un", "ut", "ub", "tt")
 _SHARD_SEP = "@"   # shard block key: "<name>@<start0>_<start1>_..."
 
 
-def _sibling_path(path: Path, process_index: int) -> Path:
-    return path.with_name(f"{path.name}.p{process_index}.npz")
+def _sibling_path(path: Path, process_index: int,
+                  step: Optional[int] = None) -> Path:
+    """Per-process shard file.  Step-tagged (`.p<k>.s<step>.npz`) so a save
+    in progress never touches the previous complete checkpoint set: siblings
+    for the NEW step coexist with the old ones until process 0 commits the
+    main file, after which the stale tags are garbage-collected.  The
+    untagged name (`.p<k>.npz`) is the legacy pre-tag format, still read."""
+    tag = "" if step is None else f".s{int(step)}"
+    return path.with_name(f"{path.name}.p{process_index}{tag}.npz")
+
+
+def _gc_siblings(path: Path, process_index: int, keep_step: int) -> None:
+    """Remove this process's stale sibling files after a committed save."""
+    keep = _sibling_path(path, process_index, keep_step).name
+    for old in path.parent.glob(f"{path.name}.p{process_index}*.npz"):
+        if old.name != keep:
+            try:
+                old.unlink()
+            except OSError:
+                pass
 
 
 def _is_sharded(v) -> bool:
@@ -153,24 +174,34 @@ def save_checkpoint(path: Path, state: LBMState, *, step: int,
         tmp.replace(target)
 
     if n_proc > 1:
+        # Atomic-as-a-set protocol: siblings go to step-TAGGED names (never
+        # overwriting the previous checkpoint's siblings), then a barrier,
+        # then process 0 commits the main file (whose header step selects
+        # the matching sibling tags at load), then a second barrier, then
+        # every process garbage-collects its stale tags.  A crash at any
+        # point leaves either the old complete set or the new complete set
+        # loadable — never a torn mix.
+        from jax.experimental import multihost_utils
+
         if jax.process_index() != 0:
-            # each sibling is stamped with the step so a stale-main /
-            # new-sibling mix (rank 0 dying between the barrier and the
-            # main-file write) fails loudly at assemble time instead of
-            # silently stitching two different steps together
+            # the embedded step stamp is kept as a belt-and-braces check
+            # for legacy untagged files
             sib = dict(shards)
             sib["header"] = np.frombuffer(json.dumps(
                 {"version": FORMAT_VERSION, "step": int(step)}).encode(),
                 dtype=np.uint8)
-            _write(_sibling_path(path, jax.process_index()), sib)
-        # the main file (whose existence marks a complete checkpoint) is
-        # written by process 0 only after every process has written its
-        # shard file
-        from jax.experimental import multihost_utils
-
+            _write(_sibling_path(path, jax.process_index(), step), sib)
         multihost_utils.sync_global_devices("luw_checkpoint_shards")
+        if jax.process_index() == 0:
+            payload = dict(plain)
+            payload.update(shards)
+            payload["header"] = np.frombuffer(
+                json.dumps(header).encode(), dtype=np.uint8)
+            _write(path, payload)
+        multihost_utils.sync_global_devices("luw_checkpoint_commit")
         if jax.process_index() != 0:
-            return path
+            _gc_siblings(path, jax.process_index(), step)
+        return path
     payload = dict(plain)
     payload.update(shards)
     payload["header"] = np.frombuffer(
@@ -214,7 +245,11 @@ def _assemble(path: Path, z, header: dict, want=None) -> Dict[str, np.ndarray]:
 
     take(z)
     for i in range(1, int(header.get("n_processes") or 1)):
-        sib = _sibling_path(path, i)
+        # step-tagged sibling (current save protocol) first; fall back to
+        # the legacy untagged name for checkpoints written by older code
+        sib = _sibling_path(path, i, int(header.get("step", -1)))
+        if not sib.exists():
+            sib = _sibling_path(path, i)
         if not sib.exists():
             raise ValueError(f"checkpoint shard file missing: {sib} "
                              "(incomplete multi-host save?)")

@@ -305,6 +305,11 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
         import jax
 
         state = jax.device_put(state)
+    if resume_t and avg is not None:
+        # same for the restored accumulator: welford_update donates it
+        from .welford import place_avg
+
+        avg = place_avg(avg, mesh)
 
     u_factor = case.units.si_u(1.0)
     rho_factor = case.units.si_rho(1.0)

@@ -60,6 +60,31 @@ def welford_update(avg: AvgState, state: LBMState) -> AvgState:
                     mean_rho=mean_rho, mean_T=mean_T)
 
 
+def place_avg(avg: AvgState, mesh=None) -> AvgState:
+    """Commit a host-loaded accumulator (checkpoint resume returns numpy
+    arrays) to device — sharded like the state when a mesh is given.
+    Without this the first post-resume welford_update finds non-donatable
+    host buffers, warns, and silently double-allocates the accumulator set
+    (the transient spike donation exists to prevent)."""
+    if avg is None:
+        return None
+    if mesh is None:
+        return jax.device_put(avg)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    s = NamedSharding(mesh, P("z", "y", "x"))
+    v = NamedSharding(mesh, P(None, "z", "y", "x"))
+    r = NamedSharding(mesh, P())
+    return AvgState(
+        count=jax.device_put(avg.count, r),
+        mean_u=jax.device_put(avg.mean_u, v),
+        m2_u=jax.device_put(avg.m2_u, s),
+        mean_rho=jax.device_put(avg.mean_rho, s),
+        mean_T=(jax.device_put(avg.mean_T, s)
+                if avg.mean_T is not None else None),
+    )
+
+
 def variance_sum_u(avg: AvgState) -> jnp.ndarray:
     """(Z, Y, X) velocity-variance trace var_u+var_v+var_w (population)."""
     n = jnp.maximum(avg.count, 1).astype(jnp.float32)

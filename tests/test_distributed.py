@@ -63,9 +63,22 @@ _WORKER = textwrap.dedent("""
     ck = Path(os.environ["LUW_CKPT"])
     save_checkpoint(ck, out, step=7)
     if jax.process_index() == 0:
-        assert ck.exists() and ck.with_name(ck.name + ".p1.npz").exists()
+        assert ck.exists() and ck.with_name(ck.name + ".p1.s7.npz").exists()
+    # a second save must commit atomically as a set: the new step-tagged
+    # sibling appears, the stale one is garbage-collected only after the
+    # main-file commit barrier, and the load returns the new step
+    save_checkpoint(ck, out, step=9)
+    if jax.process_index() == 0:
+        assert ck.with_name(ck.name + ".p1.s9.npz").exists()
+        # rank 1 unlinks its stale tag just after the commit barrier
+        import time
+        for _ in range(50):
+            if not ck.with_name(ck.name + ".p1.s7.npz").exists():
+                break
+            time.sleep(0.1)
+        assert not ck.with_name(ck.name + ".p1.s7.npz").exists()
         st2, step2, avg2, n2, meta = load_checkpoint(ck)
-        assert step2 == 7 and avg2 is None
+        assert step2 == 9 and avg2 is None
         full = np.asarray(st2.fi)
         assert full.shape == out.fi.shape
         for s in out.fi.addressable_shards:
