@@ -18,15 +18,26 @@ from .reference import make_step as make_reference_step
 
 def _pallas_ok(shape, config: StepConfig) -> bool:
     import os
+    import warnings
 
     if os.environ.get("LUW_DISABLE_PALLAS"):
         return False
     try:
         if jax.default_backend() != "tpu":
             return False
-        from ..ops.stream_collide import pallas_supported
+        from ..ops.stream_collide import pallas_reject_reason
 
-        return pallas_supported(shape, config)
+        reason = pallas_reject_reason(shape, config)
+        if reason is not None:
+            # loud fallback: the jnp tier is correct but ~40x slower — a
+            # deck that falls off the fast tier must say why, not surface
+            # as an unexplained slowdown
+            warnings.warn(
+                f"grid {tuple(shape)} falls back to the jnp reference tier "
+                f"(~40x slower than the Pallas kernel): {reason}",
+                RuntimeWarning, stacklevel=3)
+            return False
+        return True
     except Exception:
         return False
 

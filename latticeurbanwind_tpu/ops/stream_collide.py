@@ -208,13 +208,33 @@ def tile_plan(Y: int, X: int, thermal: bool = False) -> Optional[int]:
 
 
 def pallas_supported(shape: Tuple[int, int, int], config: StepConfig) -> bool:
-    Z, Y, X = shape
     # f16/fp16c storages run through software bit codecs (uint16 patterns);
     # all storages ride the pallas tier.  Any plane whose y-tiling fits the
     # VMEM budget is supported (reference contract: per-cell kernel at any
     # local domain size, kernel.cpp:1486).
-    return (Z >= 3 and Y >= 8 and X >= 8
-            and tile_plan(Y, X, thermal=config.thermal) is not None)
+    return pallas_reject_reason(shape, config) is None
+
+
+def pallas_reject_reason(shape: Tuple[int, int, int],
+                         config: StepConfig) -> Optional[str]:
+    """None when the fast tier serves `shape`, else one sentence naming the
+    failed constraint — surfaced by the stepper so a deck that silently
+    falls off the fast tier explains its ~40x slowdown up front."""
+    Z, Y, X = shape
+    if Z < 3:
+        return f"Z={Z} < 3 (plane-carry scratch needs three z planes)"
+    if Y < 8 or X < 8:
+        return f"plane {Y}x{X} below the 8x8 minimum (TPU sublane/lane tile)"
+    if tile_plan(Y, X, thermal=config.thermal) is None:
+        budget = int(os.environ.get("LUW_PLANE_BUDGET", 0)) or PLANE_BUDGET
+        if config.thermal:
+            budget = int(budget * THERMAL_BUDGET_FRACTION)
+        return (f"no legal y-tiling: Y*X = {Y}*{X} = {Y * X} exceeds the "
+                f"VMEM plane budget ({budget}) and no multiple-of-32 "
+                f"divisor of Y={Y} brings a tile under it (pad Y to a "
+                "32-multiple with a small factor — run/sizing."
+                "apply_fast_tier does this for deck grids)")
+    return None
 
 
 # ---------------------------------------------------------------------------

@@ -270,6 +270,38 @@ def test_pallas_support_gate():
     assert tile_plan(250, 333) == 250
     assert PLANE_BUDGET == 262144
 
+
+def test_fast_tier_fallback_warns(monkeypatch):
+    """A valid deck shape that falls off the fast tier must explain itself:
+    the stepper emits one RuntimeWarning naming the failed constraint and
+    the expected slowdown instead of silently dispatching the jnp tier."""
+    import warnings
+
+    import jax as _jax
+
+    from latticeurbanwind_tpu.lbm import StepConfig
+    from latticeurbanwind_tpu.lbm.stepper import _pallas_ok
+    from latticeurbanwind_tpu.ops.stream_collide import pallas_reject_reason
+
+    cfg = StepConfig(omega=1.0)
+    # reasons name the actual constraint
+    assert "no legal y-tiling" in pallas_reject_reason((8, 1026, 1024), cfg)
+    assert "Z=2" in pallas_reject_reason((2, 32, 128), cfg)
+    assert pallas_reject_reason((8, 32, 128), cfg) is None
+
+    monkeypatch.setattr(_jax, "default_backend", lambda: "tpu")
+    with warnings.catch_warnings(record=True) as rec:
+        warnings.simplefilter("always")
+        assert not _pallas_ok((8, 1026, 1024), cfg)
+    msgs = [str(w.message) for w in rec if w.category is RuntimeWarning]
+    assert any("jnp reference tier" in m and "no legal y-tiling" in m
+               for m in msgs), msgs
+    # supported shapes warn nothing
+    with warnings.catch_warnings(record=True) as rec2:
+        warnings.simplefilter("always")
+        assert _pallas_ok((8, 32, 128), cfg)
+    assert not [w for w in rec2 if w.category is RuntimeWarning]
+
 def test_pallas_block_specs_are_mosaic_legal(monkeypatch):
     """Audit every BlockSpec against Mosaic's block-mapping rule (last two
     block dims divisible by (8, 128) or equal to the array dims).  Interpret
