@@ -1,10 +1,10 @@
 """vtk2nc — solver VTK output -> geographic NetCDF.
 
 Clean-room equivalent of tools_core/vtk2nc_new.py: discover the case's VTK
-files, parse the binary STRUCTURED_POINTS, inverse-transform the local
-rotated-UTM grid to lon/lat (post/transform.py), regrid the winds (de-rotated
-to east/north) onto a regular lon/lat target grid, and write NetCDF into
-RESULTS/.  NetCDF written as classic NetCDF-3 via scipy (no netCDF4
+files, parse the binary STRUCTURED_POINTS, derive the largest fully-covered
+lon/lat rectangle of the rotated-UTM grid at native resolution, cubic-regrid
+every level through the inverse transform (winds de-rotated to east/north),
+and write NetCDF into RESULTS/.  NetCDF written as classic NetCDF-3 via scipy (no netCDF4
 dependency needed).
 """
 
@@ -28,19 +28,99 @@ def discover_case_vtk_files(home: Path, datetime_tag: str) -> List[Path]:
     return sorted(p for p in vtk_dir.glob(f"*{datetime_tag}*.vtk"))
 
 
-def _regrid_nearest(src_lon, src_lat, values, lon_t, lat_t):
-    """Nearest-sample regrid of (Z, ny, nx) values onto target lon/lat axes."""
-    pts = np.stack([src_lon.ravel(), src_lat.ravel()], axis=1)
-    glon, glat = np.meshgrid(lon_t, lat_t)
-    tq = np.stack([glon.ravel(), glat.ravel()], axis=1)
-    # scale lat/lon to comparable metric before NN
-    scale = np.array([np.cos(np.radians(glat.mean())), 1.0])
-    from ..pre.terrain import _knn
+class LonLatRegridder:
+    """Cubic regrid of rotated-local-grid planes onto a regular lon/lat grid.
 
-    idx, _ = _knn(pts * scale, tq * scale, 1)
-    idx = idx[:, 0]
-    out = values.reshape(values.shape[0], -1)[:, idx]
-    return out.reshape(values.shape[0], len(lat_t), len(lon_t))
+    Built once per VTK file, applied to every field: the target lon/lat
+    axes cover the largest axis-aligned rectangle fully inside the rotated
+    source quadrilateral (so the product has no extrapolated fringe), at
+    the source grid's own resolution, and each target point carries its
+    fractional source index from the INVERSE transform — fields then
+    interpolate per level with a cubic spline (parity with the reference's
+    map_coordinates path, vtk2nc_new.py:588-660 bounds, :745-764 cubic).
+    """
+
+    def __init__(self, lon_t, lat_t, y_idx, x_idx):
+        self.lon = lon_t
+        self.lat = lat_t
+        self._coords = np.vstack([y_idx.ravel(), x_idx.ravel()])
+        self._out_shape = (len(lat_t), len(lon_t))
+
+    @classmethod
+    def build(cls, model, x, y) -> "LonLatRegridder":
+        nx, ny = len(x), len(y)
+
+        # largest complete rectangle: along each pair of opposite edges,
+        # the binding bound is the innermost edge value
+        lon_w, _ = model.local_to_lonlat(np.full(ny, x[0]), y)
+        lon_e, _ = model.local_to_lonlat(np.full(ny, x[-1]), y)
+        _, lat_s = model.local_to_lonlat(x, np.full(nx, y[0]))
+        _, lat_n = model.local_to_lonlat(x, np.full(nx, y[-1]))
+        lon_lo = float(np.max(np.minimum(lon_w, lon_e)))
+        lon_hi = float(np.min(np.maximum(lon_w, lon_e)))
+        lat_lo = float(np.max(np.minimum(lat_s, lat_n)))
+        lat_hi = float(np.min(np.maximum(lat_s, lat_n)))
+        if not (np.isfinite([lon_lo, lon_hi, lat_lo, lat_hi]).all()
+                and lon_hi > lon_lo and lat_hi > lat_lo):
+            raise ValueError("degenerate complete lon/lat coverage rectangle")
+
+        # native angular resolution from the mid row / mid column
+        lon_mid, _ = model.local_to_lonlat(x, np.full(nx, y[ny // 2]))
+        _, lat_mid = model.local_to_lonlat(np.full(ny, x[nx // 2]), y)
+        dlon = float(np.median(np.abs(np.diff(lon_mid)))) or (
+            (lon_hi - lon_lo) / max(nx - 1, 1))
+        dlat = float(np.median(np.abs(np.diff(lat_mid)))) or (
+            (lat_hi - lat_lo) / max(ny - 1, 1))
+
+        sx = float(x[1] - x[0]) if nx > 1 else 1.0
+        sy = float(y[1] - y[0]) if ny > 1 else 1.0
+        bounds = [lon_lo, lon_hi, lat_lo, lat_hi]
+        for _ in range(12):
+            b_lon_lo, b_lon_hi, b_lat_lo, b_lat_hi = bounds
+            n_lon = min(max(2, int(round((b_lon_hi - b_lon_lo) / dlon)) + 1),
+                        4 * nx)
+            n_lat = min(max(2, int(round((b_lat_hi - b_lat_lo) / dlat)) + 1),
+                        4 * ny)
+            lon_t = np.linspace(b_lon_lo, b_lon_hi, n_lon)
+            lat_t = np.linspace(b_lat_lo, b_lat_hi, n_lat)
+            glon, glat = np.meshgrid(lon_t, lat_t)
+            lx, ly = model.lonlat_to_local(glon, glat)
+            x_idx = (lx - x[0]) / sx
+            y_idx = (ly - y[0]) / sy
+            tol = 1e-6
+            inside = ((x_idx >= -tol) & (x_idx <= nx - 1 + tol)
+                      & (y_idx >= -tol) & (y_idx <= ny - 1 + tol))
+            if inside.all():
+                return cls(lon_t, lat_t,
+                           np.clip(y_idx, 0.0, ny - 1),
+                           np.clip(x_idx, 0.0, nx - 1))
+            # round-trip transform error pushed points out: shrink and retry
+            bounds = [b_lon_lo + 2 * dlon, b_lon_hi - 2 * dlon,
+                      b_lat_lo + 2 * dlat, b_lat_hi - 2 * dlat]
+            if bounds[1] <= bounds[0] or bounds[3] <= bounds[2]:
+                break
+        raise ValueError("could not fit a fully-covered lon/lat target grid")
+
+    def __call__(self, values: np.ndarray) -> np.ndarray:
+        """(Z, ny, nx) -> (Z, nlat, nlon), per-level cubic spline."""
+        from scipy.ndimage import map_coordinates
+
+        out = np.empty((values.shape[0], *self._out_shape), np.float32)
+        for k in range(values.shape[0]):
+            out[k] = map_coordinates(
+                np.asarray(values[k], np.float32), self._coords,
+                order=3, mode="nearest").reshape(self._out_shape)
+        return out
+
+
+class _IdentityModel:
+    """Geography-free decks export on the local meter grid unchanged."""
+
+    def local_to_lonlat(self, x, y):
+        return np.asarray(x, np.float64), np.asarray(y, np.float64)
+
+    def lonlat_to_local(self, lon, lat):
+        return np.asarray(lon, np.float64), np.asarray(lat, np.float64)
 
 
 def write_netcdf(path: Path, lon, lat, z, fields: dict) -> Path:
@@ -67,8 +147,7 @@ def write_netcdf(path: Path, lon, lat, z, fields: dict) -> Path:
     return path
 
 
-def convert_vtk_to_nc(deck_path: Path, vtk_path: Path, *,
-                      target_points: int = 120) -> Optional[Path]:
+def convert_vtk_to_nc(deck_path: Path, vtk_path: Path) -> Optional[Path]:
     deck = load_deck(deck_path)
     meta, fields = read_structured_points(vtk_path)
     nx, ny, nz = meta["dims"]
@@ -80,21 +159,17 @@ def convert_vtk_to_nc(deck_path: Path, vtk_path: Path, *,
     y = (np.arange(ny) + 0.5) * sp
     z = origin[2] + np.arange(nz) * sp
 
-    gx, gy = np.meshgrid(x, y)
     if deck.get_pair("cut_lon_manual") and deck.get_pair("cut_lat_manual"):
         model = TransformModel.from_deck(deck, (nx * sp, ny * sp))
-        lon_g, lat_g = model.local_to_lonlat(gx, gy)
         derotate = model.derotate_winds
     else:
         # geography-free decks (profile/dataset-gen modes): export on the
         # local meter grid with an identity wind transform
-        model = None
-        lon_g, lat_g = gx, gy
+        model = _IdentityModel()
 
         def derotate(u, v):
             return u, v
-    lon_t = np.linspace(lon_g.min(), lon_g.max(), target_points)
-    lat_t = np.linspace(lat_g.min(), lat_g.max(), target_points)
+    regrid = LonLatRegridder.build(model, x, y)
 
     out_fields = {}
     uname = next((k for k in fields
@@ -102,16 +177,16 @@ def convert_vtk_to_nc(deck_path: Path, vtk_path: Path, *,
     if uname and fields[uname].ndim == 4:
         u, v, w = fields[uname]
         ue, vn = derotate(u, v)
-        out_fields["ue"] = _regrid_nearest(lon_g, lat_g, ue, lon_t, lat_t)
-        out_fields["vn"] = _regrid_nearest(lon_g, lat_g, vn, lon_t, lat_t)
-        out_fields["w"] = _regrid_nearest(lon_g, lat_g, w, lon_t, lat_t)
+        out_fields["ue"] = regrid(ue)
+        out_fields["vn"] = regrid(vn)
+        out_fields["w"] = regrid(w)
     for name, arr in fields.items():
         if arr.ndim == 3 and name.lower() not in ("fluid",):
-            out_fields[name] = _regrid_nearest(lon_g, lat_g, arr, lon_t, lat_t)
+            out_fields[name] = regrid(arr)
     if not out_fields:
         return None
     out = vtk_path.parent.parent / (vtk_path.stem + ".nc")
-    return write_netcdf(out, lon_t, lat_t, z, out_fields)
+    return write_netcdf(out, regrid.lon, regrid.lat, z, out_fields)
 
 
 def main(argv=None) -> int:

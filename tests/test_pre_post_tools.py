@@ -543,3 +543,57 @@ def test_utmnc_multicase_batch(tmp_path):
         assert len(ncs) == 1
         with netcdf_file(str(ncs[0]), "r") as nc:
             assert float(nc.terrain_min_asl_m) == asl
+
+
+def test_cubic_regrid_beats_nearest_on_rotated_grid():
+    """vtk2nc parity with the reference's cubic map_coordinates path
+    (vtk2nc_new.py:588-660, 745-764): on a rotated source grid carrying a
+    smooth field, (1) the derived target rectangle is fully covered (no
+    extrapolated fringe), and (2) cubic reconstruction error is far below
+    a nearest-sample regrid of the same mapping."""
+    from latticeurbanwind_tpu.post.vtk2nc import LonLatRegridder
+
+    theta = np.radians(23.0)
+
+    class RotModel:
+        # "lon/lat" = source local coords rotated by theta (pure geometry:
+        # exercises the inverse mapping without the UTM series)
+        def local_to_lonlat(self, x, y):
+            x, y = np.asarray(x, np.float64), np.asarray(y, np.float64)
+            return (np.cos(theta) * x - np.sin(theta) * y,
+                    np.sin(theta) * x + np.cos(theta) * y)
+
+        def lonlat_to_local(self, lon, lat):
+            lon = np.asarray(lon, np.float64)
+            lat = np.asarray(lat, np.float64)
+            return (np.cos(theta) * lon + np.sin(theta) * lat,
+                    -np.sin(theta) * lon + np.cos(theta) * lat)
+
+    nx, ny = 64, 48
+    x = (np.arange(nx) + 0.5) * 10.0
+    y = (np.arange(ny) + 0.5) * 10.0
+    model = RotModel()
+    rg = LonLatRegridder.build(model, x, y)
+    assert len(rg.lon) >= 2 and len(rg.lat) >= 2
+
+    def f(lon, lat):
+        return np.sin(lon / 80.0) * np.cos(lat / 60.0)
+
+    gx, gy = np.meshgrid(x, y)
+    src_lon, src_lat = model.local_to_lonlat(gx, gy)
+    vals = f(src_lon, src_lat)[None].astype(np.float32)
+
+    out = rg(vals)[0]
+    glon, glat = np.meshgrid(rg.lon, rg.lat)
+    truth = f(glon, glat)
+    cubic_err = np.abs(out - truth).max()
+
+    # nearest baseline through the same fractional mapping
+    yi = np.rint(rg._coords[0]).astype(int)
+    xi = np.rint(rg._coords[1]).astype(int)
+    nearest = vals[0][yi, xi].reshape(truth.shape)
+    nearest_err = np.abs(nearest - truth).max()
+
+    assert np.isfinite(out).all()
+    assert cubic_err < 1e-3, cubic_err
+    assert cubic_err < nearest_err / 10, (cubic_err, nearest_err)
