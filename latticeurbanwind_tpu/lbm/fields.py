@@ -177,6 +177,15 @@ def _update(state: LBMState, dyn: DynParams, config: StepConfig,
     ox, oy, oz = dyn.omega_coriolis
     rho_new, u_new, T_new = state.rho, state.u, state.T
 
+    # Chunks are data-independent in their INPUTS (each reads its own fi
+    # window), so without an explicit ordering XLA's scheduler overlaps
+    # them and the transient peak grows with the chunk COUNT instead of the
+    # chunk size (measured: 71M cells, 8M-cell chunks -> 10.9 GB temp, and
+    # shrinking the chunk didn't help).  Threading every chunk's inputs
+    # through an optimization_barrier tied to the previous chunk's outputs
+    # forces sequential execution, restoring the one-chunk transient bound.
+    fi_cur, gi_cur = state.fi, state.gi
+
     for z0 in starts:
         z1 = min(z0 + cz, Z)
         n = z1 - z0
@@ -185,7 +194,7 @@ def _update(state: LBMState, dyn: DynParams, config: StepConfig,
         solid_w = (_z_window(flags, z0, z1, Z, 0) & TYPE_S) != 0
         solid_c = solid_w[cr]
         eqbc_c = (fl_c & TYPE_E) != 0
-        fi_w = _z_window(state.fi, z0, z1, Z, 1)
+        fi_w = _z_window(fi_cur, z0, z1, Z, 1)
 
         rho_s, mom_s, rho_own, mom_own = _stream_moments(
             fi_w, solid_w, C19, OPP19, config.storage,
@@ -206,9 +215,9 @@ def _update(state: LBMState, dyn: DynParams, config: StepConfig,
             cw = config.wall_cd * ga * rho_s * uh
             F = F - jnp.stack([cw * u_s[0], cw * u_s[1], jnp.zeros_like(cw)])
 
-        if config.thermal and state.gi is not None:
+        if config.thermal and gi_cur is not None:
             tfix = (fl_c & TYPE_T) != 0
-            gi_w = _z_window(state.gi, z0, z1, Z, 1)
+            gi_w = _z_window(gi_cur, z0, z1, Z, 1)
             Tg_s, _, Tg_o, _ = _stream_moments(
                 gi_w, solid_w, C7, OPP7, config.storage)
             Tn = jnp.where(tfix, Tg_o[cr], Tg_s[cr])
@@ -226,6 +235,14 @@ def _update(state: LBMState, dyn: DynParams, config: StepConfig,
         u_new = u_new.at[:, z0:z1].set(
             jnp.where(solid_c[None], state.u[:, z0:z1],
                       jnp.where(eqbc_c[None], u_own, u_f)))
+        if len(starts) > 1:
+            if gi_cur is not None:
+                (fi_cur, gi_cur, rho_new, u_new, T_new) = (
+                    jax.lax.optimization_barrier(
+                        (fi_cur, gi_cur, rho_new, u_new, T_new)))
+            else:
+                fi_cur, rho_new, u_new = jax.lax.optimization_barrier(
+                    (fi_cur, rho_new, u_new))
     return state._replace(rho=rho_new, u=u_new, T=T_new)
 
 

@@ -108,3 +108,35 @@ def test_profile_mode_pads_and_crops(tmp_path, monkeypatch):
         assert meta["dims"][1] == 33, f"{f.name}: pad rows must be cropped"
         for arr in fields.values():
             assert np.isfinite(np.asarray(arr, np.float64)).all()
+
+
+def test_billion_cell_pod_plan_fits_v5p16():
+    """docs/SCALING.md v5p-16 projection, pinned: the billion-cell domain
+    plans onto 16 chips within each chip's HBM, the plane class tiles on
+    the fast tier at By=64, and the z-split leaves every shard >= 3 planes
+    (the plane-carry kernel's minimum)."""
+    from latticeurbanwind_tpu.lbm import StepConfig
+    from latticeurbanwind_tpu.ops.stream_collide import (
+        pallas_supported, tile_plan,
+    )
+    from latticeurbanwind_tpu.run.sizing import bytes_per_cell, plan_grid
+
+    # SCALING.md slab: (Z, Y, X) = (63, 4096, 3906) at 2 m cells
+    cell = 2.0
+    si_size = (3906 * cell, 4096 * cell, 63 * cell)
+    plan = plan_grid(si_size, cell_m=cell, n_devices=16, storage="bf16")
+    cells = plan.nx * plan.ny * plan.nz
+    assert cells >= 1_000_000_000, cells
+    assert (plan.nz, plan.ny, plan.nx) == (63, 4096, 3906)
+
+    # per-chip residency at the bf16 model fits v5p HBM (95 GB) with >2x
+    # headroom for the step's transients and the averaging accumulators
+    per_chip = cells * bytes_per_cell("bf16") / 16
+    assert per_chip < 95e9 / 2, per_chip / 2**30
+
+    # fast-tier legality of the local slab (z-split: full plane per shard)
+    cfg = StepConfig(omega=1.0, storage="bf16")
+    assert tile_plan(plan.ny, plan.nx) == 64
+    assert pallas_supported((plan.nz, plan.ny, plan.nx), cfg)
+    # 16-way z split: ~4 planes per shard, above the 3-plane minimum
+    assert plan.nz // 16 >= 3
