@@ -502,25 +502,38 @@ class Studio:
         """One raw float16 brick: body is little-endian float16, the
         X-Brick-Shape header carries its (dz,dy,dx).
 
-        `path2` + `alpha` serve a temporally interpolated brick
-        (1-alpha)*path + alpha*path2 — the playback sub-frame source
-        (reference FRUC frame interpolation, gui/src/NvidiaFrucRuntime.cpp:
-        1-763; volume-space lerp replaces optical flow since the client
-        renders the MIP itself)."""
+        `path2` + `alpha` serve a temporally interpolated brick — the
+        playback sub-frame source (reference FRUC frame interpolation,
+        gui/src/NvidiaFrucRuntime.cpp:1-763).  Default interpolation is
+        motion-compensated: per-brick phase-correlation displacement +
+        advect-and-blend (gui/stream.warp_blend), which keeps advecting
+        structures single and moving instead of cross-fade ghosting;
+        `interp=lerp` requests the plain volume-space cross-fade."""
         coords = (int(q["level"][0]), int(q.get("i", ["0"])[0]),
                   int(q.get("j", ["0"])[0]), int(q.get("k", ["0"])[0]))
-        tile = self._pyramid(q).brick(*coords)
+        pyr = self._pyramid(q)
+        tile = pyr.brick(*coords)
         if "path2" in q:
             alpha = min(1.0, max(0.0, float(q.get("alpha", ["0.5"])[0])))
             q2 = dict(q)
             q2["path"] = q["path2"]
-            t2 = self._pyramid(q2).brick(*coords)
+            pyr2 = self._pyramid(q2)
+            t2 = pyr2.brick(*coords)
             if t2.shape != tile.shape:
                 raise ValueError(
                     f"interpolation frames disagree on brick shape "
                     f"{tile.shape} vs {t2.shape} — different grids?")
-            tile = ((1.0 - alpha) * tile.astype(np.float32)
-                    + alpha * t2.astype(np.float32)).astype(np.float16)
+            mode = q.get("interp", ["warp"])[0]
+            if mode == "lerp":
+                tile = ((1.0 - alpha) * tile.astype(np.float32)
+                        + alpha * t2.astype(np.float32)).astype(np.float16)
+            else:
+                from .stream import warped_brick
+
+                level = coords[0]
+                tile = warped_brick(
+                    pyr.levels[level], pyr2.levels[level], pyr.brick_size,
+                    coords[1:], alpha).astype(np.float16)
         shape = ",".join(str(s) for s in tile.shape)
         return tile.tobytes(), {"X-Brick-Shape": shape}
 

@@ -420,12 +420,18 @@ def test_studio_brick_temporal_interpolation(studio):
             base + f"/api/brick?path={p1}&field=u&level=0&i=0&j=0&k=0",
             timeout=30) as r:
         b1 = np.frombuffer(r.read(), np.float16).reshape(b0.shape)
-    mid = brick(f"&path2={p1}&alpha=0.25")
+    mid = brick(f"&path2={p1}&alpha=0.25&interp=lerp")
     want = (0.75 * b0.astype(np.float32)
             + 0.25 * b1.astype(np.float32)).astype(np.float16)
     assert np.array_equal(mid, want)
-    # alpha clamps to [0, 1]: alpha=0 returns frame 0 exactly
+    # alpha clamps to [0, 1]: alpha=0 returns frame 0 exactly (both modes)
+    assert np.array_equal(brick(f"&path2={p1}&alpha=-3&interp=lerp"), b0)
     assert np.array_equal(brick(f"&path2={p1}&alpha=-3"), b0)
+    # incoherent frames (independent noise) have no dominant motion: the
+    # default motion-compensated mode degrades gracefully to a blend of
+    # (possibly slightly shifted) frames with values in the frames' range
+    w = brick(f"&path2={p1}&alpha=0.25")
+    assert w.shape == b0.shape and np.isfinite(w.astype(np.float32)).all()
     # mismatched grids error cleanly
     write_structured_points(d / "fr2_avg-000000030.vtk",
                             {"u_avg": u1[:, :10]})
@@ -474,3 +480,53 @@ def test_studio_pick_endpoint(studio):
     # quad layout + pick UI shipped in the app
     _, html = _get(base + "/")
     assert b"2x2 multi-view" in html and b'api("pick"' in html
+
+
+def test_warp_interpolation_beats_crossfade_on_advecting_vortex(studio):
+    """Motion-compensated sub-frames (reference FRUC analog,
+    gui/src/streamcenter/NvidiaFrucRuntime.cpp): for a structure advecting
+    between two frames, the default /api/brick warp mode reconstructs the
+    true mid-frame far better than the cross-fade, which ghosts the
+    structure into two half-amplitude copies."""
+    import urllib.request
+
+    import numpy as np
+
+    from latticeurbanwind_tpu.io.vtk import write_structured_points
+
+    base, case = studio
+    shape = (24, 48, 48)
+    zz, yy, xx = np.meshgrid(*[np.arange(n, dtype=np.float32)
+                               for n in shape], indexing="ij")
+
+    def blob(cy, cx):
+        r2 = ((zz - 12.0) ** 2 + (yy - cy) ** 2 + (xx - cx) ** 2)
+        return 5.0 * np.exp(-r2 / 18.0)
+
+    # vortex core advecting +6 cells in x between the frames
+    f0, fmid, f1 = blob(24, 18), blob(24, 21), blob(24, 24)
+    d = case / "RESULTS" / "vtk"
+    write_structured_points(d / "adv_avg-000000010.vtk",
+                            {"s": f0.astype(np.float32)})
+    write_structured_points(d / "adv_avg-000000020.vtk",
+                            {"s": f1.astype(np.float32)})
+    p0, p1 = ("RESULTS/vtk/adv_avg-000000010.vtk",
+              "RESULTS/vtk/adv_avg-000000020.vtk")
+
+    def brick(extra):
+        with urllib.request.urlopen(
+                base + f"/api/brick?path={p0}&field=s&level=0&i=0&j=0&k=0"
+                + extra, timeout=30) as r:
+            sh = tuple(int(s) for s in r.headers["X-Brick-Shape"].split(","))
+            return np.frombuffer(r.read(), np.float16).reshape(sh) \
+                     .astype(np.float32)
+
+    warp = brick(f"&path2={p1}&alpha=0.5")
+    fade = brick(f"&path2={p1}&alpha=0.5&interp=lerp")
+    truth = fmid[:warp.shape[0], :warp.shape[1], :warp.shape[2]]
+    err_warp = np.abs(warp - truth).max()
+    err_fade = np.abs(fade - truth).max()
+    # cross-fade leaves two half-amplitude ghosts (error ~ half the peak);
+    # the warp reconstructs the single moving blob
+    assert err_fade > 1.0, err_fade
+    assert err_warp < err_fade / 4, (err_warp, err_fade)
