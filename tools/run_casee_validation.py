@@ -50,6 +50,13 @@ def main() -> int:
     ap.add_argument("--variant", choices=("before", "after"), default="after")
     ap.add_argument("--storage", default="bf16")
     ap.add_argument("--vk", default="on", choices=("on", "off"))
+    ap.add_argument("--vk-stride", type=int, default=1,
+                    help="vk_inlet_update_stride: >1 amortizes the inlet "
+                         "refresh over N steps (with temporal interpolation "
+                         "— spectrum-fidelity pinned by tests/test_vk_inlet"
+                         ".py::test_stride_interpolation_preserves_inlet_"
+                         "spectrum: the VK band ends far below the stride-4 "
+                         "Nyquist)")
     ap.add_argument("--z0", type=float, default=0.0,
                     help="ground_z0 (m): >0 enables the LES wall model "
                          "(specular ground + Schumann stress); the Case E "
@@ -86,6 +93,9 @@ def main() -> int:
     deck.set_list("angle", angles)
     deck.set_text("lbm_storage", args.storage)
     deck.set_bool("turb_inflow_enable", args.vk == "on")
+    if args.vk_stride > 1:
+        deck.set_int("vk_inlet_update_stride", args.vk_stride)
+        deck.set_bool("vk_inlet_stride_interpolation", True)
     if args.z0 > 0:
         deck.set_float("ground_z0", args.z0)
     deck.set_list("n_gpu", [1, 1, 1])
@@ -115,6 +125,7 @@ def main() -> int:
     payload = {
         "cell_m": args.cell, "steps": args.steps, "avg": args.avg,
         "stride": args.stride, "storage": args.storage, "vk": args.vk,
+        "vk_stride": args.vk_stride,
         "ground_z0": args.z0,
         "angles": {str(k): v for k, v in stats["angles"].items()},
         "overall": stats["overall"],
