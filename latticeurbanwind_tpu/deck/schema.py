@@ -221,6 +221,14 @@ FIELDS: Tuple[FieldSpec, ...] = (
               "the stair-step bounce-back's artificial O(cell) roughness "
               "on coarse urban grids.  0 (default) keeps plain bounce-back "
               "(reference parity)."),
+    FieldSpec("building_z0", "float", "physics", "Building-wall roughness",
+              "TPU extension (needs ground_z0 > 0): roughness z0 (m) of "
+              "VERTICAL solid faces.  >0 enables the side wall model "
+              "(specular x/y streaming + tangential Schumann stress) — at "
+              "2-4 m cells stair-step bounce-back imposes ~O(cell) "
+              "sand-grain roughness on hydraulically smooth building "
+              "walls, over-damping street-canyon flow.  -1 = pure "
+              "free-slip sides; 0 (default) keeps bounce-back walls."),
     FieldSpec("buoyancy", "boolean", "physics", "Buoyancy", "Enable Boussinesq temperature coupling."),
     FieldSpec("ibm_enabler", "boolean", "physics", "Immersed boundary", "Enable immersed-boundary handling."),
     FieldSpec("enable_buffer_nudging", "boolean", "physics", "Buffer nudging", "Enable lateral buffer nudging."),

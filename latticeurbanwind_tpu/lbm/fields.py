@@ -32,6 +32,81 @@ from .lattice import C7, C19, CS, OPP7, OPP19
 from .state import DynParams, LBMState, StepConfig, TYPE_E, TYPE_S, TYPE_T, decode_ddf
 
 
+def _stream_moments_sides(fi, solid, C, OPP, storage, wall_model):
+    """Per-direction variant of _stream_moments for wall_sides configs:
+    with x/y mirrors enabled nearly every direction is mirror-coupled, so
+    the opposite-pair scan decomposition no longer applies.  A lax.scan
+    over single directions keeps the live set bounded; each step decodes
+    the direction, its opposite and its (up to three) mirror channels by
+    traced index and streams with the same mirror priority as
+    reference._stream (y, then x, then z — later select wins)."""
+    import numpy as np
+
+    n = int(fi.shape[0])
+    C_l = [tuple(int(v) for v in c) for c in np.asarray(C)]
+    mirror = {c: i for i, c in enumerate(C_l)}
+
+    ds, ods, mxs, mys, mzs, cs, mmask = [], [], [], [], [], [], []
+    for d in range(1, n):
+        cx, cy, cz = C_l[d]
+        ds.append(d)
+        ods.append(int(OPP[d]))
+        my = mirror.get((cx, -cy, cz), d) if cy != 0 else d
+        mx = mirror.get((-cx, cy, cz), d) if cx != 0 else d
+        mz = mirror.get((cx, cy, -1), d) if (wall_model and cz == 1) else d
+        mys.append(my)
+        mxs.append(mx)
+        mzs.append(mz)
+        cs.append((cx, cy, cz))
+        mmask.append((float(cy != 0), float(cx != 0),
+                      float(wall_model and cz == 1)))
+
+    rest = decode_ddf(fi[0], storage)
+    zeros3 = jnp.zeros((3, *rest.shape), jnp.float32)
+    solid_f = solid
+
+    def _troll(a, sh):
+        # roll with traced per-axis shifts (lax.scan body)
+        for ax in range(3):
+            a = jnp.roll(a, sh[ax], axis=ax)
+        return a
+
+    def body(carry, x):
+        rho_s, mom_s, rho_o, mom_o = carry
+        d, od, my, mx, mz, c, mm = x
+        f_d = decode_ddf(fi[d], storage)
+        f_od = decode_ddf(fi[od], storage)
+        cz, cy, cx = c[2], c[1], c[0]
+        pulled = _troll(f_d, (cz, cy, cx))
+        src_solid = _troll(solid_f, (cz, cy, cx))
+        repl = f_od
+        # y mirror (tangential partner shift drops the y component)
+        spec = _troll(decode_ddf(fi[my], storage), (cz, 0, cx))
+        nbr = _troll(solid_f, (cz, 0, cx))
+        repl = jnp.where((mm[0] > 0) & ~nbr, spec, repl)
+        # x mirror
+        spec = _troll(decode_ddf(fi[mx], storage), (cz, cy, 0))
+        nbr = _troll(solid_f, (cz, cy, 0))
+        repl = jnp.where((mm[1] > 0) & ~nbr, spec, repl)
+        # z (ground) mirror last: dominates at corners
+        spec = _troll(decode_ddf(fi[mz], storage), (0, cy, cx))
+        nbr = _troll(solid_f, (0, cy, cx))
+        repl = jnp.where((mm[2] > 0) & ~nbr, spec, repl)
+        s_d = jnp.where(src_solid, repl, pulled)
+        cf = c.astype(jnp.float32)[:, None, None, None]
+        return (rho_s + s_d, mom_s + cf * s_d,
+                rho_o + f_d, mom_o + cf * f_d), None
+
+    xs = (jnp.asarray(ds, jnp.int32), jnp.asarray(ods, jnp.int32),
+          jnp.asarray(mys, jnp.int32), jnp.asarray(mxs, jnp.int32),
+          jnp.asarray(mzs, jnp.int32),
+          jnp.asarray(np.array(cs, np.int32)),
+          jnp.asarray(np.array(mmask, np.float32)))
+    (rho_s, mom_s, rho_o, mom_o), _ = jax.lax.scan(
+        body, (rest, zeros3, rest, zeros3), xs)
+    return 1.0 + rho_s, mom_s, 1.0 + rho_o, mom_o
+
+
 def _stream_moments(fi, solid, C, OPP, storage, wall_model=False):
     """(rho_streamed, mom_streamed, rho_own, mom_own) via a lax.scan over
     opposite-direction pairs.
@@ -196,9 +271,14 @@ def _update(state: LBMState, dyn: DynParams, config: StepConfig,
         eqbc_c = (fl_c & TYPE_E) != 0
         fi_w = _z_window(fi_cur, z0, z1, Z, 1)
 
-        rho_s, mom_s, rho_own, mom_own = _stream_moments(
-            fi_w, solid_w, C19, OPP19, config.storage,
-            wall_model=config.wall_model)
+        if config.wall_sides:
+            rho_s, mom_s, rho_own, mom_own = _stream_moments_sides(
+                fi_w, solid_w, C19, OPP19, config.storage,
+                config.wall_model)
+        else:
+            rho_s, mom_s, rho_own, mom_own = _stream_moments(
+                fi_w, solid_w, C19, OPP19, config.storage,
+                wall_model=config.wall_model)
         rho_s, rho_own = rho_s[cr], rho_own[cr]
         mom_s, mom_own = mom_s[:, cr], mom_own[:, cr]
         u_s = mom_s / rho_s
@@ -214,6 +294,19 @@ def _update(state: LBMState, dyn: DynParams, config: StepConfig,
             uh = jnp.sqrt(u_s[0] * u_s[0] + u_s[1] * u_s[1])
             cw = config.wall_cd * ga * rho_s * uh
             F = F - jnp.stack([cw * u_s[0], cw * u_s[1], jnp.zeros_like(cw)])
+        if config.wall_sides and config.wall_cd_sides > 0.0:
+            fl_w = ~solid_w
+            gx = (fl_w & (jnp.roll(solid_w, 1, 2)
+                          | jnp.roll(solid_w, -1, 2)))[cr].astype(jnp.float32)
+            gy = (fl_w & (jnp.roll(solid_w, 1, 1)
+                          | jnp.roll(solid_w, -1, 1)))[cr].astype(jnp.float32)
+            ut_x = jnp.sqrt(u_s[1] * u_s[1] + u_s[2] * u_s[2])
+            ut_y = jnp.sqrt(u_s[0] * u_s[0] + u_s[2] * u_s[2])
+            cs_ = config.wall_cd_sides * rho_s
+            cwx = cs_ * gx * ut_x
+            cwy = cs_ * gy * ut_y
+            F = F - jnp.stack([cwy * u_s[0], cwx * u_s[1],
+                               cwx * u_s[2] + cwy * u_s[2]])
 
         if config.thermal and gi_cur is not None:
             tfix = (fl_c & TYPE_T) != 0

@@ -108,7 +108,7 @@ def _pull(field: jnp.ndarray, c) -> jnp.ndarray:
 
 
 def _stream(f_prev: jnp.ndarray, solid: jnp.ndarray, C, OPP,
-            wall_model: bool = False) -> jnp.ndarray:
+            wall_model: bool = False, wall_sides: bool = False) -> jnp.ndarray:
     """Pull streaming with halfway bounce-back from solid sources.
 
     wall_model=True switches upward (cz=+1) directions whose source is
@@ -116,7 +116,15 @@ def _stream(f_prev: jnp.ndarray, solid: jnp.ndarray, C, OPP,
     f_(cx,cy,+1)(x) <- f_(cx,cy,-1)(x - (cx,cy,0)) — whenever that in-plane
     partner cell is fluid (corners/vertical walls keep bounce-back).  The
     Schumann shear stress in make_step restores the physical log-law drag
-    the free-slip face removes."""
+    the free-slip face removes.
+
+    wall_sides=True extends the same treatment to VERTICAL faces: a
+    direction with cx != 0 whose source is solid reflects about the x face
+    — f_(cx,cy,cz)(x) <- f_(-cx,cy,cz)(x - (0,cy,cz)) — when that
+    tangential partner is fluid (likewise about y).  Priority when several
+    reflections are admissible (outer corner cells): z mirror, then x,
+    then y — the later jnp.where wins, so the z (ground) mirror is applied
+    last and dominates."""
     C_l = [tuple(int(v) for v in c) for c in np.asarray(C)]
     mirror = {c: i for i, c in enumerate(C_l)}
     out = [f_prev[0]]
@@ -125,6 +133,16 @@ def _stream(f_prev: jnp.ndarray, solid: jnp.ndarray, C, OPP,
         pulled = _pull(f_prev[i], C[i])
         src_solid = _pull(solid, C[i])
         repl = f_prev[int(OPP[i])]
+        if wall_sides and cy != 0 and (cx, -cy, cz) in mirror:
+            m = mirror[(cx, -cy, cz)]
+            spec = _pull(f_prev[m], (cx, 0, cz))
+            nbr_solid = _pull(solid, (cx, 0, cz))
+            repl = jnp.where(nbr_solid, repl, spec)
+        if wall_sides and cx != 0 and (-cx, cy, cz) in mirror:
+            m = mirror[(-cx, cy, cz)]
+            spec = _pull(f_prev[m], (0, cy, cz))
+            nbr_solid = _pull(solid, (0, cy, cz))
+            repl = jnp.where(nbr_solid, repl, spec)
         if wall_model and cz == 1:
             m = mirror[(cx, cy, -1)]
             spec = _pull(f_prev[m], (cx, cy, 0))
@@ -197,7 +215,8 @@ def make_step(config: StepConfig, forcing: Forcing = Forcing()):
         eqbc = (flags & TYPE_E) != 0
 
         f_prev = decode_ddf(state.fi, config.storage)
-        f = _stream(f_prev, solid, C19, OPP19, wall_model=config.wall_model)
+        f = _stream(f_prev, solid, C19, OPP19, wall_model=config.wall_model,
+                    wall_sides=config.wall_sides)
 
         rho_m, u_m = moments(f)
         if config.equilibrium_boundaries:
@@ -228,6 +247,24 @@ def make_step(config: StepConfig, forcing: Forcing = Forcing()):
                 cw = config.wall_cd * ga * rhon * uh
                 F = F - jnp.stack([cw * un[0], cw * un[1],
                                    jnp.zeros_like(cw)])
+                if config.wall_sides and config.wall_cd_sides > 0.0:
+                    # tangential Schumann stress beside vertical faces:
+                    # an x face drags (v, w), a y face drags (u, w)
+                    fl = ~solid
+                    gx = (fl & (_pull(solid, (1, 0, 0))
+                                | _pull(solid, (-1, 0, 0)))).astype(
+                                    jnp.float32)
+                    gy = (fl & (_pull(solid, (0, 1, 0))
+                                | _pull(solid, (0, -1, 0)))).astype(
+                                    jnp.float32)
+                    ut_x = jnp.sqrt(un[1] * un[1] + un[2] * un[2])
+                    ut_y = jnp.sqrt(un[0] * un[0] + un[2] * un[2])
+                    cs = config.wall_cd_sides * rhon
+                    cwx = cs * gx * ut_x
+                    cwy = cs * gy * ut_y
+                    F = F - jnp.stack([cwy * un[0],
+                                       cwx * un[1],
+                                       cwx * un[2] + cwy * un[2]])
 
         not_e = ~eqbc
         # Nudge/sponge targets read the previous step's stored field (state.u)

@@ -179,9 +179,23 @@ class StepConfig:
     # ABL runs (AIJ guideline "horizontal homogeneity" requirement).  The
     # reference has no wall model (its ground is plain TYPE_S bounce-back,
     # setup.cpp:5948-5955); this is a beyond-parity accuracy feature.
-    # Vertical building faces keep bounce-back (resolved form drag).
+    # Vertical building faces keep bounce-back (resolved form drag) unless
+    # wall_sides is on.
     wall_model: bool = False
     wall_cd: float = 0.0
+    # Wall model for VERTICAL solid faces (building walls): in-plane DDFs
+    # whose pull source is solid to the side reflect specularly about that
+    # face (x or y mirror) when the tangential partner cell is fluid, and
+    # the first fluid cell beside such a face receives the tangential
+    # Schumann stress with wall_cd_sides (0 = pure free-slip sides).
+    # Rationale: at 2-4 m cells, stair-step bounce-back imposes an
+    # artificial sand-grain roughness ~ O(cell) on walls that are
+    # hydraulically smooth in reality (and in the AIJ wind tunnel's wood
+    # models), over-damping street-canyon flow.  Normal-direction blockage
+    # (form drag) is unchanged — only the tangential momentum sink is
+    # replaced by the modeled stress.
+    wall_sides: bool = False
+    wall_cd_sides: float = 0.0
 
     def __post_init__(self):
         assert self.collision in ("srt", "trt")
@@ -189,6 +203,9 @@ class StepConfig:
         if self.wall_model:
             assert self.volume_force, "wall_model needs volume_force=True"
             assert self.wall_cd > 0.0, "wall_model needs wall_cd > 0"
+        if self.wall_sides:
+            assert self.wall_model, "wall_sides extends wall_model"
+            assert self.wall_cd_sides >= 0.0
 
 
 def _np_storage_dtype(storage: str):

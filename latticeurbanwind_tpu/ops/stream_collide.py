@@ -96,6 +96,22 @@ _MIR_P = [
     for k in range(5)
 ]
 
+
+def _axis_mirror(d: int, axis: int):
+    """Global index of direction d mirrored about the x (axis=0) or y
+    (axis=1) face — same z-group by construction — or None when the
+    direction has no component along that axis (wall_sides specular)."""
+    cx, cy, cz = (int(v) for v in C19[d])
+    if (axis == 0 and cx == 0) or (axis == 1 and cy == 0):
+        return None
+    tgt = (-cx, cy, cz) if axis == 0 else (cx, -cy, cz)
+    return next(m for m in range(19)
+                if tuple(int(v) for v in C19[m]) == tgt)
+
+
+_MIR_X = [_axis_mirror(_d, 0) for _d in range(19)]
+_MIR_Y = [_axis_mirror(_d, 1) for _d in range(19)]
+
 # VMEM working-set budget for one (By, X) tile-plane (cells).  Measured on
 # v5e: the full in-kernel f32 intermediate set at 256Ki cells fits the 128 MiB
 # VMEM with the 120 MiB scoped limit below.  The thermal kernel carries the
@@ -571,6 +587,24 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                 stile, sbel, sabv = solsrc(g)
                 src_solid_f = _rollt(stile, sbel, sabv, cy, cx)
                 repl = own[int(OPP19[d])]
+                if config.wall_sides and _MIR_Y[d] is not None:
+                    # specular off vertical y faces: mirror channel lives
+                    # in the SAME z-group, pulled from the same source
+                    # plane with the y shift dropped (tangential advection
+                    # keeps cx); fluid-partner check on that plane.
+                    # Priority matches reference._stream: y, then x, then
+                    # ground z (later blend dominates).
+                    myg, myk = _D2G[_MIR_Y[d]]
+                    mt, mb, ma = src(myg, myk)
+                    spec = _rollt(mt, mb, ma, 0, cx)
+                    nbr_sol = _rollt(stile, sbel, sabv, 0, cx)
+                    repl = repl * nbr_sol + spec * (1.0 - nbr_sol)
+                if config.wall_sides and _MIR_X[d] is not None:
+                    mxg, mxk = _D2G[_MIR_X[d]]
+                    mt, mb, ma = src(mxg, mxk)
+                    spec = _rollt(mt, mb, ma, cy, 0)
+                    nbr_sol = _rollt(stile, sbel, sabv, cy, 0)
+                    repl = repl * nbr_sol + spec * (1.0 - nbr_sol)
                 if config.wall_model and cz == 1:
                     # specular off horizontal faces: mirror fm DDF at the
                     # OWN plane, shifted in-plane — free-slip ground/roofs
@@ -622,6 +656,23 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
                     cw = config.wall_cd * ga * rhon * uh
                     Fx = Fx - cw * un[0]
                     Fy = Fy - cw * un[1]
+                if config.wall_sides and config.wall_cd_sides > 0.0:
+                    # tangential stress beside vertical faces: x faces
+                    # drag (v, w), y faces drag (u, w); masks from the own
+                    # flag plane's in-plane neighbors (0/1 floats: OR=max)
+                    s0t, s0b, s0a = solsrc(0)
+                    gxs = jnp.maximum(_rollt(s0t, s0b, s0a, 0, 1),
+                                      _rollt(s0t, s0b, s0a, 0, -1))
+                    gys = jnp.maximum(_rollt(s0t, s0b, s0a, 1, 0),
+                                      _rollt(s0t, s0b, s0a, -1, 0))
+                    fl_ = 1.0 - solid_f
+                    ut_x = jnp.sqrt(un[1] * un[1] + un[2] * un[2])
+                    ut_y = jnp.sqrt(un[0] * un[0] + un[2] * un[2])
+                    cwx = config.wall_cd_sides * fl_ * gxs * rhon * ut_x
+                    cwy = config.wall_cd_sides * fl_ * gys * rhon * ut_y
+                    Fx = Fx - cwy * un[0]
+                    Fy = Fy - cwx * un[1]
+                    Fz = Fz - (cwx + cwy) * un[2]
 
             not_e_f = 1.0 - eqbc_f
             if has_forcing:

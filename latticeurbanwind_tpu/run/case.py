@@ -138,13 +138,28 @@ def wall_cd_from_deck(deck: DeckDocument, cell_m: float) -> float:
 
 def apply_wall_model(config, deck: DeckDocument, cell_m: float):
     """StepConfig with the deck's wall model applied (after force
-    specialization — the Schumann stress needs the Guo path compiled in)."""
+    specialization — the Schumann stress needs the Guo path compiled in).
+
+    `building_z0` additionally enables the vertical-face wall model
+    (wall_sides): specular x/y mirrors replace stair-step bounce-back's
+    O(cell) artificial roughness on building walls, with the tangential
+    Schumann stress at Cd([kappa/ln(z1/z0_b)]^2).  `building_z0 = -1`
+    selects pure free-slip sides (Cd = 0)."""
+    import math
     from dataclasses import replace
 
     cd = wall_cd_from_deck(deck, cell_m)
     if cd <= 0.0:
         return config
-    return replace(config, wall_model=True, wall_cd=cd, volume_force=True)
+    config = replace(config, wall_model=True, wall_cd=cd, volume_force=True)
+    z0b = deck.get_float("building_z0", 0.0) or 0.0
+    if z0b < 0.0:
+        config = replace(config, wall_sides=True, wall_cd_sides=0.0)
+    elif z0b > 0.0:
+        ratio = max((0.5 * cell_m) / z0b, math.e)
+        config = replace(config, wall_sides=True,
+                         wall_cd_sides=(0.41 / math.log(ratio)) ** 2)
+    return config
 
 
 def run_settings_from_deck(deck: DeckDocument):

@@ -540,3 +540,44 @@ def test_update_fields_chunking_invariance(monkeypatch, thermal, wall_model,
             np.testing.assert_allclose(np.asarray(o.T),
                                        np.asarray(outs[0].T),
                                        rtol=1e-6, atol=1e-9)
+
+
+def test_wall_sides_preserves_tangential_flow():
+    """Vertical-face wall model (StepConfig.wall_sides, deck building_z0):
+    flow along a vertical wall keeps its tangential momentum under the
+    specular sides (free slip, cd=0), loses almost all of it to stair-step
+    bounce-back, and sits between the two with the tangential Schumann
+    stress — the street-canyon drag fix at coarse urban cells."""
+    import dataclasses
+
+    import jax
+    import jax.numpy as jnp
+
+    from latticeurbanwind_tpu.lbm import fields as F
+    from latticeurbanwind_tpu.lbm.reference import make_step
+
+    shape = (8, 32, 16)
+    u = np.zeros((3, *shape), np.float32)
+    u[1] = 0.05                      # flow along y
+    flags = np.zeros(shape, np.uint8)
+    flags[:, :, 0] = TYPE_S          # vertical wall: the x = 0 plane
+    base = StepConfig(omega=omega_from_nu(0.05), subgrid=False,
+                      volume_force=True, wall_model=True, wall_cd=1e-9)
+    dyn = DynParams(force=jnp.zeros(3), omega_coriolis=jnp.zeros(3))
+
+    def run(cfg):
+        st = make_initial_state(shape, config=cfg, u=u, flags=flags)
+        step = jax.jit(make_step(cfg))
+        for _ in range(150):
+            st = step(st, dyn)
+        out = F.update_fields(st, cfg, dyn)
+        return float(out.u[1, 4, 16, 1])     # v at the first fluid cell
+
+    v_bb = run(base)
+    v_slip = run(dataclasses.replace(base, wall_sides=True,
+                                     wall_cd_sides=0.0))
+    v_cd = run(dataclasses.replace(base, wall_sides=True,
+                                   wall_cd_sides=0.01))
+    assert v_bb < 0.015, v_bb                      # bounce-back kills it
+    assert abs(v_slip - 0.05) < 1e-3, v_slip       # free slip preserves it
+    assert v_bb < v_cd < v_slip, (v_bb, v_cd, v_slip)

@@ -166,8 +166,25 @@ def test_pallas_wall_model_matches_reference(monkeypatch, tiled):
                                     wall_model=True)
 
 
+@pytest.mark.parametrize("tiled", [False, True])
+def test_pallas_wall_sides_matches_reference(monkeypatch, tiled):
+    """Vertical-face wall model (StepConfig.wall_sides): specular x/y
+    mirrors + tangential Schumann stress must agree between tiers,
+    including across y-tile seams (the y-mirror's spec source crosses the
+    tile boundary through the carried rows)."""
+    if tiled:
+        from latticeurbanwind_tpu.ops import stream_collide as sc
+
+        monkeypatch.setattr(sc, "PLANE_BUDGET", 4096)
+        shape = (8, 64, 128)
+    else:
+        shape = (8, 32, 128)
+    _check_pallas_matches_reference(False, shape, "f32", atol=1e-5,
+                                    wall_model=True, wall_sides=True)
+
+
 def _check_pallas_matches_reference(thermal, shape, storage, atol,
-                                    wall_model=False):
+                                    wall_model=False, wall_sides=False):
     import jax
 
     from latticeurbanwind_tpu.lbm.fields import update_fields
@@ -182,6 +199,10 @@ def _check_pallas_matches_reference(thermal, shape, storage, atol,
         import dataclasses
 
         cfg = dataclasses.replace(cfg, wall_model=True, wall_cd=0.0134)
+    if wall_sides:
+        import dataclasses
+
+        cfg = dataclasses.replace(cfg, wall_sides=True, wall_cd_sides=0.004)
     ref_step = jax.jit(ref_step_f(cfg, forcing))
     pstep = make_pallas_step(cfg, forcing, state.rho.shape)
 

@@ -238,3 +238,19 @@ def test_sharded_wall_model_matches_single(split):
     sharded = _sharded(cfg, state, forcing, dyn, 4, split)
     np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
                                atol=1e-6)
+
+
+@pytest.mark.parametrize("split", [(2, 1, 1), (1, 2, 2), (2, 2, 1)])
+def test_sharded_wall_sides_matches_single(split):
+    """Vertical-face wall model under sharding: the x/y specular mirrors
+    pull through the same +-1 in-plane shifts the diagonal streaming
+    already uses, so one ghost layer must suffice on every split."""
+    import dataclasses
+
+    cfg, state, forcing, dyn = _case(seed=5)
+    cfg = dataclasses.replace(cfg, wall_model=True, wall_cd=0.0134,
+                              wall_sides=True, wall_cd_sides=0.004)
+    single = _single(cfg, state, forcing, dyn, 4)
+    sharded = _sharded(cfg, state, forcing, dyn, 4, split)
+    np.testing.assert_allclose(np.asarray(sharded.fi), np.asarray(single.fi),
+                               atol=1e-6)
