@@ -62,6 +62,10 @@ def main() -> int:
                          "(specular ground + Schumann stress); the Case E "
                          "inflow profile fits z0 = 0.055 m (alpha = 0.2 "
                          "power law, AIJ terrain category III)")
+    ap.add_argument("--building-z0", type=float, default=0.0,
+                    help="building_z0 (m): >0 enables the vertical-face "
+                         "wall model (specular sides + tangential Schumann "
+                         "stress), -1 = pure free-slip sides; needs --z0")
     ap.add_argument("--max-cases", type=int, default=0)
     ap.add_argument("--out", default=str(REPO / "docs"))
     args = ap.parse_args()
@@ -98,6 +102,8 @@ def main() -> int:
         deck.set_bool("vk_inlet_stride_interpolation", True)
     if args.z0 > 0:
         deck.set_float("ground_z0", args.z0)
+    if args.building_z0 != 0.0:
+        deck.set_float("building_z0", args.building_z0)
     deck.set_list("n_gpu", [1, 1, 1])
     deck.save()
 
@@ -126,7 +132,7 @@ def main() -> int:
         "cell_m": args.cell, "steps": args.steps, "avg": args.avg,
         "stride": args.stride, "storage": args.storage, "vk": args.vk,
         "vk_stride": args.vk_stride,
-        "ground_z0": args.z0,
+        "ground_z0": args.z0, "building_z0": args.building_z0,
         "angles": {str(k): v for k, v in stats["angles"].items()},
         "overall": stats["overall"],
         f"overall_{other}_variant": stats_other["overall"],
