@@ -336,6 +336,18 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
                    n_cells=int(np.prod(shape)),
                    storage=case.config.storage,
                    thermal=case.config.thermal)
+    # fused moments+Welford kernel for averaging-only events: pure-DDF
+    # tier, single device, supported plane, non-thermal (gate inside)
+    avg_fused = None
+    if (avg_window and mesh is None
+            and getattr(advance, "fields_stale", False)):
+        try:
+            from ..ops.avg_kernel import make_avg_update
+
+            avg_fused = make_avg_update(case.config, shape)
+        except NotImplementedError:
+            avg_fused = None
+
     t = resume_t
     t0 = time.perf_counter()
     next_events = [e for e in event_list if e > t]
@@ -384,22 +396,33 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
                     t, total_steps)
         # event actions at step t: materialize fields once if anything
         # field-consuming fires here (pure-DDF tiers keep rho/u/T stale)
+        fires_avg = (avg_window and t >= avg_start
+                     and (t - avg_start) % avg_stride == 0)
         wants_fields = (
-            (avg_window and t >= avg_start and (t - avg_start) % avg_stride == 0)
-            or (case.probes and t >= probe_start and (t - probe_start) % avg_stride == 0)
+            (case.probes and t >= probe_start and (t - probe_start) % avg_stride == 0)
             or (unsteady and t % unsteady == 0 and t > 0 and t != last_unsteady_t)
             or (frames and t % frames == 0 and t > 0)
             or (ckpt_path is not None and s.checkpoint_interval > 0
                 and t % s.checkpoint_interval == 0 and t > resume_t)
-            or t == total_steps)
+            or t == total_steps
+            # averaging-only events ride the fused moments+Welford kernel
+            # (ops/avg_kernel.py) when one is available: ONE streaming pass
+            # updates the accumulators in place instead of the full
+            # update_fields + welford_update pair (~6x cheaper — the
+            # averaging phase otherwise dominates production wall clock)
+            or (fires_avg and avg_fused is None))
         if wants_fields:
             state = refresh(state)
-        if avg_window and t >= avg_start and (t - avg_start) % avg_stride == 0:
+        if fires_avg:
             if avg_phase_t0 is None:
                 _sync(state)
                 avg_phase_t0 = time.perf_counter()
                 avg_phase_start_t = t
-            avg = welford_update(avg, state)
+            if avg_fused is not None and not wants_fields:
+                avg = avg_fused(state, avg, case.dyn,
+                                1.0 / float(avg_samples + 1))
+            else:
+                avg = welford_update(avg, state)
             avg_samples += 1
         if case.probes and t >= probe_start and (t - probe_start) % avg_stride == 0:
             # ONE batched device->host readback for all probe columns (the
