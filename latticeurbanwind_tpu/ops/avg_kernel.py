@@ -34,7 +34,7 @@ device and fuse.
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,19 +47,34 @@ import os
 from ..lbm.lattice import C19, CS, GROUP_M, GROUP_P, OPP19
 from ..lbm.state import DynParams, LBMState, StepConfig, TYPE_E, TYPE_S
 from ..run.welford import AvgState
-from .stream_collide import _MIR_X, _MIR_Y, _make_codec, _roll2
+from .stream_collide import _MIR_X, _MIR_Y, _make_codec, _roll2, _rollt
 
-# VMEM ceiling for the untiled full-plane pass: ~29 storage-width channel
-# planes x2 (pipeline) + ~15 live f32 planes.  700k cells ~= 100 MB on the
-# 128 MB v5e VMEM; clamp below that with margin.
+# VMEM ceiling per (tile, X) block: ~29 storage-width channel planes x2
+# (pipeline) + ~15 live f32 planes.  700k cells ~= 100 MB on the 128 MB
+# v5e VMEM; clamp below that with margin.  Planes above it y-tile (same
+# contract as the step kernel's tile_plan): rows-per-tile must divide Y
+# and be a multiple of 32 (uint8 flags sublane packing) — run/sizing.
+# apply_fast_tier already pads deck grids to satisfy this.
 AVG_PLANE_BUDGET = 600_000
+
+
+def _avg_tile(Y: int, X: int) -> Optional[int]:
+    """Rows-per-tile for the fused averaging pass (None = unsupported)."""
+    budget = int(os.environ.get("LUW_AVG_PLANE_BUDGET", 0)) or AVG_PLANE_BUDGET
+    if Y * X <= budget:
+        return Y
+    best = None
+    for by in range(32, Y, 32):
+        if Y % by == 0 and by * X <= budget:
+            best = by
+    return best
 
 
 def avg_kernel_supported(shape: Tuple[int, int, int],
                          config: StepConfig) -> bool:
     Z, Y, X = shape
     return (not config.thermal and Z >= 3 and Y >= 8 and X >= 8
-            and Y * X <= AVG_PLANE_BUDGET)
+            and _avg_tile(Y, X) is not None)
 
 
 def make_avg_update(config: StepConfig, shape: Tuple[int, int, int]):
@@ -75,64 +90,110 @@ def make_avg_update(config: StepConfig, shape: Tuple[int, int, int]):
     dec, _ = _make_codec(config.storage)
     wall = config.wall_model
     sides = config.wall_sides
+    T = _avg_tile(Y, X)
+    tiled = T < Y   # NT > 1: halo rows ride 8-row strip operands
 
-    def kernel(dyn_ref, fi0_ref, fip_ref, fim_ref, flm_ref, fl0_ref,
-               flp_ref, mu_ref, m2_ref, mr_ref, muo_ref, m2o_ref, mro_ref):
-        fl0 = fl0_ref[0].astype(jnp.int32)
-        solid_0 = ((fl0 & TYPE_S) != 0).astype(jnp.float32)
+    def kernel(*refs):
+        it = iter(refs)
+        dyn_ref = next(it)
+
+        def fam():
+            """(tile_ref, below-strip, above-strip) for one plane family.
+            Untiled kernels carry no strips (rolls wrap within the plane);
+            tiled ones read 8-row strips whose last/first row are the
+            plane rows just below/above the tile (Mosaic requires block
+            sublane dims divisible by 8, so single-row blocks are out —
+            the tile height is a multiple of 32, putting the wanted rows
+            at fixed offsets 7 and 0 of 8-aligned strip blocks)."""
+            if not tiled:
+                return (next(it), None, None)
+            return (next(it), next(it), next(it))
+
+        fi0_f, fip_f, fim_f = fam(), fam(), fam()
+        flm_f, fl0_f, flp_f = fam(), fam(), fam()
+        mu_ref, m2_ref, mr_ref = next(it), next(it), next(it)
+        muo_ref, m2o_ref, mro_ref = next(it), next(it), next(it)
+
+        def smask(plane):
+            return ((plane.astype(jnp.int32) & TYPE_S) != 0).astype(
+                jnp.float32)
+
+        def smask3(f):
+            t_, lo_, hi_ = f
+            if lo_ is None:
+                return (smask(t_[0]), None, None)
+            return (smask(t_[0]), smask(lo_[0][7:8, :]),
+                    smask(hi_[0][0:1, :]))
+
+        fl0 = fl0_f[0][0].astype(jnp.int32)
+        solid_0 = smask3(fl0_f)
         eqbc = ((fl0 & TYPE_E) != 0).astype(jnp.float32)
-        sol_m = ((flm_ref[0].astype(jnp.int32) & TYPE_S) != 0).astype(
-            jnp.float32)
-        sol_p = ((flp_ref[0].astype(jnp.int32) & TYPE_S) != 0).astype(
-            jnp.float32)
+        sol_m = smask3(flm_f)
+        sol_p = smask3(flp_f)
 
         def solpl(cz):
             return (sol_m if cz == 1 else (sol_p if cz == -1 else solid_0))
 
         def chan(d, window_cz):
-            """Decoded plane of channel d streamed from z - window_cz:
-            cz=+1 channels pull from the z-1 window (fip operand carries
-            fi[9:14] planes of z-1), cz=-1 from z+1 (fi[14:19])."""
+            """Decoded (tile, below-row, above-row) triple of channel d
+            streamed from z - window_cz: cz=+1 channels pull from the z-1
+            window (fip operands carry fi[9:14] of z-1), cz=-1 from z+1
+            (fi[14:19]).  The strip rows feed tile-crossing y rolls."""
             if window_cz == 1:
-                return dec(fip_ref[d - GROUP_P.start, 0])
-            if window_cz == -1:
-                return dec(fim_ref[d - GROUP_M.start, 0])
-            return dec(fi0_ref[d, 0])
+                f, i = fip_f, d - GROUP_P.start
+            elif window_cz == -1:
+                f, i = fim_f, d - GROUP_M.start
+            else:
+                f, i = fi0_f, d
+            t_ = dec(f[0][i, 0])
+            if f[1] is None:
+                return (t_, None, None)
+            return (t_, dec(f[1][i, 0])[7:8, :], dec(f[2][i, 0])[0:1, :])
+
+        def roll(triple, cy, cx):
+            """result[y, x] = src[y-cy, x-cx]; rows entering from outside
+            the tile come from the below/above strips (periodic across the
+            whole plane by the strips' index maps); untiled planes wrap
+            in place."""
+            t_, lo_, hi_ = triple
+            if lo_ is None:
+                return _roll2(t_, cy, cx)
+            return _rollt(t_, lo_, hi_, cy, cx)
 
         own = [chan(d, 0) for d in range(19)]
 
-        rho_s = own[0]
+        rho_s = own[0][0]
         mom = [None, None, None]
-        rho_o = own[0]
+        rho_o = own[0][0]
         mom_o = [None, None, None]
         for d in range(1, 19):
             cx, cy, cz = (int(v) for v in C19[d])
-            src = _roll2(chan(d, cz), cy, cx)
-            src_solid = _roll2(solpl(cz), cy, cx)
-            repl = own[int(OPP19[d])]
+            src = roll(chan(d, cz), cy, cx)
+            src_solid = roll(solpl(cz), cy, cx)
+            repl = own[int(OPP19[d])][0]
             if sides and _MIR_Y[d] is not None:
-                spec = _roll2(chan(_MIR_Y[d], cz), 0, cx)
-                nbr = _roll2(solpl(cz), 0, cx)
+                spec = roll(chan(_MIR_Y[d], cz), 0, cx)
+                nbr = roll(solpl(cz), 0, cx)
                 repl = repl * nbr + spec * (1.0 - nbr)
             if sides and _MIR_X[d] is not None:
-                spec = _roll2(chan(_MIR_X[d], cz), cy, 0)
-                nbr = _roll2(solpl(cz), cy, 0)
+                spec = roll(chan(_MIR_X[d], cz), cy, 0)
+                nbr = roll(solpl(cz), cy, 0)
                 repl = repl * nbr + spec * (1.0 - nbr)
             if wall and cz == 1:
                 mir = next(m for m in range(GROUP_M.start, GROUP_M.stop)
                            if int(C19[m, 0]) == cx and int(C19[m, 1]) == cy)
-                spec = _roll2(own[mir], cy, cx)
-                nbr = _roll2(solid_0, cy, cx)
+                spec = roll(own[mir], cy, cx)
+                nbr = roll(solid_0, cy, cx)
                 repl = repl * nbr + spec * (1.0 - nbr)
             f_d = repl * src_solid + src * (1.0 - src_solid)
             rho_s = rho_s + f_d
-            rho_o = rho_o + own[d]
+            rho_o = rho_o + own[d][0]
             for a in range(3):
                 c = int(C19[d, a])
                 if c == 0:
                     continue
                 t = f_d if c == 1 else -f_d
-                to = own[d] if c == 1 else -own[d]
+                to = own[d][0] if c == 1 else -own[d][0]
                 mom[a] = t if mom[a] is None else mom[a] + t
                 mom_o[a] = to if mom_o[a] is None else mom_o[a] + to
 
@@ -150,15 +211,15 @@ def make_avg_update(config: StepConfig, shape: Tuple[int, int, int]):
         Fy = fyg - 2.0 * rhon * (oz * un[0] - ox * un[2])
         Fz = fzg - 2.0 * rhon * (ox * un[1] - oy * un[0])
         if wall:
-            ga = (1.0 - solid_0) * sol_m
+            ga = (1.0 - solid_0[0]) * sol_m[0]
             uh = jnp.sqrt(un[0] * un[0] + un[1] * un[1])
             cw = config.wall_cd * ga * rhon * uh
             Fx = Fx - cw * un[0]
             Fy = Fy - cw * un[1]
         if sides and config.wall_cd_sides > 0.0:
-            gxs = jnp.maximum(_roll2(solid_0, 0, 1), _roll2(solid_0, 0, -1))
-            gys = jnp.maximum(_roll2(solid_0, 1, 0), _roll2(solid_0, -1, 0))
-            fl_ = 1.0 - solid_0
+            gxs = jnp.maximum(roll(solid_0, 0, 1), roll(solid_0, 0, -1))
+            gys = jnp.maximum(roll(solid_0, 1, 0), roll(solid_0, -1, 0))
+            fl_ = 1.0 - solid_0[0]
             ut_x = jnp.sqrt(un[1] * un[1] + un[2] * un[2])
             ut_y = jnp.sqrt(un[0] * un[0] + un[2] * un[2])
             cwx = config.wall_cd_sides * fl_ * gxs * rhon * ut_x
@@ -173,7 +234,7 @@ def make_avg_update(config: StepConfig, shape: Tuple[int, int, int]):
 
         rho_own = rho_o + 1.0
         inv_o = 1.0 / rho_own
-        keep = (1.0 - solid_0)           # solids: accumulators hold
+        keep = (1.0 - solid_0[0])        # solids: accumulators hold
         sel_eq = eqbc
         rho_rep = rho_own * sel_eq + rhon * (1.0 - sel_eq)
         u_rep = [mom_o[a] * inv_o * sel_eq + u_f[a] * (1.0 - sel_eq)
@@ -193,25 +254,64 @@ def make_avg_update(config: StepConfig, shape: Tuple[int, int, int]):
         mr = mr_ref[0]
         mro_ref[0] = mr + (rho_rep - mr) * keep * inv_n
 
-    grid = (Z,)
+    NT = Y // T
+    grid = (Z, NT)
+    NYB = Y // 8         # strip blocks are 8 rows (Mosaic sublane minimum);
+                         # tiled implies T % 32 == 0, hence Y % 8 == 0
 
-    in_specs = [
-        pl.BlockSpec(memory_space=pltpu.SMEM),                  # dyn row
-        pl.BlockSpec((19, 1, Y, X), lambda q: (0, q, 0, 0)),    # own planes
-        pl.BlockSpec((5, 1, Y, X), lambda q: (0, (q + Z - 1) % Z, 0, 0)),
-        pl.BlockSpec((5, 1, Y, X), lambda q: (0, (q + 1) % Z, 0, 0)),
-        pl.BlockSpec((1, Y, X), lambda q: ((q + Z - 1) % Z, 0, 0)),  # flags z-1
-        pl.BlockSpec((1, Y, X), lambda q: (q, 0, 0)),
-        pl.BlockSpec((1, Y, X), lambda q: ((q + 1) % Z, 0, 0)),
-        pl.BlockSpec((3, 1, Y, X), lambda q: (0, q, 0, 0)),     # mean_u
-        pl.BlockSpec((1, Y, X), lambda q: (q, 0, 0)),           # m2
-        pl.BlockSpec((1, Y, X), lambda q: (q, 0, 0)),           # mean_rho
+    def zi(dz):          # z plane of the window, periodic
+        if dz == 0:
+            return lambda q, t: q
+        return lambda q, t: (q + Z + dz) % Z
+
+    def blk_lo(t):       # 8-row block holding plane row t*T - 1 (offset 7)
+        return (t * (T // 8) + NYB - 1) % NYB
+
+    def blk_hi(t):       # 8-row block holding plane row (t+1)*T (offset 0)
+        return ((t + 1) * (T // 8)) % NYB
+
+    def fi_specs(nc, dz):
+        """Specs for an nc-channel DDF operand of the z+dz window: the
+        (T, X) tile plus (when tiled) two 8-row strips whose last/first
+        rows are the tile's below/above halo rows."""
+        z = zi(dz)
+        specs = [pl.BlockSpec((nc, 1, T, X),
+                              lambda q, t, z=z: (0, z(q, t), t, 0))]
+        if tiled:
+            specs += [
+                pl.BlockSpec((nc, 1, 8, X),
+                             lambda q, t, z=z: (0, z(q, t), blk_lo(t), 0)),
+                pl.BlockSpec((nc, 1, 8, X),
+                             lambda q, t, z=z: (0, z(q, t), blk_hi(t), 0)),
+            ]
+        return specs
+
+    def fl_specs(dz):
+        z = zi(dz)
+        specs = [pl.BlockSpec((1, T, X),
+                              lambda q, t, z=z: (z(q, t), t, 0))]
+        if tiled:
+            specs += [
+                pl.BlockSpec((1, 8, X),
+                             lambda q, t, z=z: (z(q, t), blk_lo(t), 0)),
+                pl.BlockSpec((1, 8, X),
+                             lambda q, t, z=z: (z(q, t), blk_hi(t), 0)),
+            ]
+        return specs
+
+    acc_specs = [
+        pl.BlockSpec((3, 1, T, X), lambda q, t: (0, q, t, 0)),  # mean_u
+        pl.BlockSpec((1, T, X), lambda q, t: (q, t, 0)),        # m2
+        pl.BlockSpec((1, T, X), lambda q, t: (q, t, 0)),        # mean_rho
     ]
-    out_specs = [
-        pl.BlockSpec((3, 1, Y, X), lambda q: (0, q, 0, 0)),
-        pl.BlockSpec((1, Y, X), lambda q: (q, 0, 0)),
-        pl.BlockSpec((1, Y, X), lambda q: (q, 0, 0)),
-    ]
+    in_specs = (
+        [pl.BlockSpec(memory_space=pltpu.SMEM)]                 # dyn row
+        + fi_specs(19, 0) + fi_specs(5, -1) + fi_specs(5, +1)
+        + fl_specs(-1) + fl_specs(0) + fl_specs(+1)
+        + acc_specs
+    )
+    out_specs = list(acc_specs)
+    n_in = len(in_specs)
 
     call = pl.pallas_call(
         kernel,
@@ -223,8 +323,10 @@ def make_avg_update(config: StepConfig, shape: Tuple[int, int, int]):
             jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
             jax.ShapeDtypeStruct((Z, Y, X), jnp.float32),
         ],
-        # accumulators update in place (args: dyn,fi,fi,fi,fl,fl,fl,mu,m2,mr)
-        input_output_aliases={7: 0, 8: 1, 9: 2},
+        # accumulators (the last three inputs) update in place
+        input_output_aliases={n_in - 3: 0, n_in - 2: 1, n_in - 1: 2},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024),
         interpret=bool(os.environ.get("LUW_PALLAS_INTERPRET")),
     )
 
@@ -242,8 +344,12 @@ def make_avg_update(config: StepConfig, shape: Tuple[int, int, int]):
             fi = jax.lax.bitcast_convert_type(fi, jnp.uint16)
         fp = fi[GROUP_P]               # the z-offset windows ride separate
         fm = fi[GROUP_M]               # operands (block starts must align)
-        mu, m2, mr = call(row, fi, fp, fm, state.flags, state.flags,
-                          state.flags, avg.mean_u, avg.m2_u, avg.mean_rho)
+        fl = state.flags
+        rep = 3 if tiled else 1        # each family repeats per spec
+        ops = ([row] + [fi] * rep + [fp] * rep + [fm] * rep
+               + [fl] * (3 * rep)
+               + [avg.mean_u, avg.m2_u, avg.mean_rho])
+        mu, m2, mr = call(*ops)
         return AvgState(count=avg.count + 1, mean_u=mu, m2_u=m2,
                         mean_rho=mr, mean_T=avg.mean_T)
 

@@ -91,13 +91,66 @@ def test_fused_avg_matches_update_fields_plus_welford(storage, wall, sides):
         np.asarray(avg_ref.m2_u)[fluid], atol=tol)
 
 
+@pytest.mark.parametrize("storage,wall,sides", [
+    ("f32", True, True),
+    ("bf16", True, False),
+])
+def test_fused_avg_tiled_matches_untiled(storage, wall, sides, monkeypatch):
+    """Forcing the plane budget below Y*X y-tiles the kernel (halo-row
+    strip operands + _rollt); the tiled pass must agree with the jnp pair
+    exactly like the untiled one — including across tile seams (the solid
+    block in _case straddles rows 8:14 while T=32 splits Y=64 at row 32,
+    so EQ-BC faces + periodic wrap cross seams; the mirrors are exercised
+    by wall/sides)."""
+    from latticeurbanwind_tpu.lbm.fields import update_fields
+    from latticeurbanwind_tpu.ops import avg_kernel
+    from latticeurbanwind_tpu.ops.avg_kernel import (
+        _avg_tile, make_avg_update,
+    )
+    from latticeurbanwind_tpu.run.welford import init_avg, welford_update
+
+    monkeypatch.setenv("LUW_AVG_PLANE_BUDGET", "1024")
+    shape = (6, 64, 32)
+    assert _avg_tile(64, 32) == 32      # 2 tiles
+
+    states = []
+    for seed in (4, 11):
+        cfg, state, dyn, flags = _case(storage, wall, sides, shape=shape,
+                                       seed=seed)
+        states.append(state)
+
+    avg_ref = init_avg(shape, False)
+    for st in states:
+        avg_ref = welford_update(avg_ref, update_fields(st, cfg, dyn))
+
+    fused = make_avg_update(cfg, shape)
+    avg = init_avg(shape, False)
+    for k, st in enumerate(states):
+        avg = fused(st, avg, dyn, 1.0 / (k + 1))
+
+    from latticeurbanwind_tpu.lbm.state import TYPE_S
+
+    fluid = (flags & TYPE_S) == 0
+    tol = 1e-5 if storage == "f32" else 2e-3
+    np.testing.assert_allclose(np.asarray(avg.mean_u)[:, fluid],
+                               np.asarray(avg_ref.mean_u)[:, fluid], atol=tol)
+    np.testing.assert_allclose(np.asarray(avg.mean_rho)[fluid],
+                               np.asarray(avg_ref.mean_rho)[fluid], atol=tol)
+    np.testing.assert_allclose(np.asarray(avg.m2_u)[fluid],
+                               np.asarray(avg_ref.m2_u)[fluid], atol=tol)
+
+
 def test_avg_kernel_support_gate():
     from latticeurbanwind_tpu.lbm import StepConfig
     from latticeurbanwind_tpu.ops.avg_kernel import avg_kernel_supported
 
     cfg = StepConfig(omega=1.0)
     assert avg_kernel_supported((157, 672, 674), cfg)   # CaseE 3m plane
-    assert not avg_kernel_supported((8, 1024, 1024), cfg)  # above budget
+    # above the untiled budget but y-tiles (1024 = 32*32): supported
+    assert avg_kernel_supported((8, 1024, 1024), cfg)
+    assert avg_kernel_supported((6, 4096, 3906), cfg)   # pod-local plane
+    # no multiple-of-32 divisor of Y brings a tile under budget
+    assert not avg_kernel_supported((8, 1021, 1024), cfg)
     assert not avg_kernel_supported(
         (8, 32, 32), StepConfig(omega=1.0, thermal=True, omega_t=1.1))
 
