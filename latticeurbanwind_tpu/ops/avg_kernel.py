@@ -21,10 +21,12 @@ stale state value there; both are cosmetic, solids are masked by `fluid`
 in every product).  Equivalence at fluid/TYPE_E cells is pinned by
 tests/test_avg_kernel.py against update_fields + welford_update.
 
-The kernel runs one grid program per z plane with full (Y, X) blocks —
-a moments pass has a small live set, so planes well beyond the STEP
-kernel's tile budget fit VMEM untiled; `avg_kernel_supported` gates the
-plane size and the driver falls back to the jnp pair above it.
+The kernel runs one grid program per (z plane, y tile): planes under
+`AVG_PLANE_BUDGET` cells use one full (Y, X) block per z; larger planes
+split into 32-multiple row tiles whose tile-crossing y rolls read halo
+rows from 8-row strip operands (see `fam` below).  Any fast-tier grid is
+covered (sizing pads Y to a multiple of 32); `avg_kernel_supported`
+gates the rest and the driver falls back to the jnp pair.
 
 Reference: update_fields kernel kernel.cpp:1938-2028 + the host-side
 Welford accumulation it feeds (setup.cpp:4411-4494) — here both stay on
@@ -49,13 +51,16 @@ from ..lbm.state import DynParams, LBMState, StepConfig, TYPE_E, TYPE_S
 from ..run.welford import AvgState
 from .stream_collide import _MIR_X, _MIR_Y, _make_codec, _roll2, _rollt
 
-# VMEM ceiling per (tile, X) block: ~29 storage-width channel planes x2
-# (pipeline) + ~15 live f32 planes.  700k cells ~= 100 MB on the 128 MB
-# v5e VMEM; clamp below that with margin.  Planes above it y-tile (same
-# contract as the step kernel's tile_plan): rows-per-tile must divide Y
-# and be a multiple of 32 (uint8 flags sublane packing) — run/sizing.
-# apply_fast_tier already pads deck grids to satisfy this.
-AVG_PLANE_BUDGET = 600_000
+# VMEM ceiling per (tile, X) block, measured on the v5e: ~200 B/cell of
+# double-buffered block windows (29 storage-width channel planes + flags
+# + 2x5 f32 accumulator planes) + ~190 B/cell of scoped kernel stack
+# (the live decoded-f32 set) ~= 390 B/cell against the 128 MB VMEM.
+# 230k cells/block ~= 90 MB leaves pipelining margin (453k — the CaseE
+# 3 m plane — measurably OOMs).  Planes above it y-tile: rows-per-tile
+# must divide Y and be a multiple of 32 (uint8 flags sublane packing) —
+# run/sizing.apply_fast_tier pads deck grids to Y % 32 == 0, so by=32
+# always exists and any fast-tier grid is covered.
+AVG_PLANE_BUDGET = 230_000
 
 
 def _avg_tile(Y: int, X: int) -> Optional[int]:
