@@ -119,6 +119,20 @@ _MIR_Y = [_axis_mirror(_d, 1) for _d in range(19)]
 # the f-group planes), so its budget is scaled down accordingly.
 PLANE_BUDGET = 262144
 THERMAL_BUDGET_FRACTION = 0.7
+# Production configs (forcing/nudge + wall models) carry a larger live set
+# than the flagship bench config the 256Ki budget was measured with: the
+# 4 m CaseE plane (499x506 = 252k cells, wall model + Guo forcing + nudge)
+# measures 500 B/cell of scoped stack and overflows the 120 MiB limit by
+# 5% untiled.  Configs that compile any of those stages in use a reduced
+# budget so such planes y-tile instead (sizing pads Y to a 32-multiple).
+HEAVY_BUDGET_FRACTION = 0.85
+
+
+def config_budget_heavy(config: "StepConfig") -> bool:
+    """True when `config` compiles stages beyond the flagship bench set
+    (Guo forcing / wall models) — these grow the kernel's scoped-VMEM
+    stack, so tile_plan must budget for them."""
+    return bool(config.volume_force or config.wall_model or config.wall_sides)
 
 
 class FaceBC(NamedTuple):
@@ -201,7 +215,8 @@ def merge_state(s: SplitState) -> LBMState:
     return LBMState(fi=fi, rho=s.rho, u=s.u, flags=s.flags, gi=gi, T=s.T)
 
 
-def tile_plan(Y: int, X: int, thermal: bool = False) -> Optional[int]:
+def tile_plan(Y: int, X: int, thermal: bool = False,
+              heavy: bool = False) -> Optional[int]:
     """Rows-per-tile By for the y-tiled kernel (J = Y // By tiles).
 
     Y*X <= budget runs untiled (By = Y; Mosaic allows unaligned block
@@ -210,10 +225,13 @@ def tile_plan(Y: int, X: int, thermal: bool = False) -> Optional[int]:
     multiple of 32 (uint8 flags sublane packing).  Returns None when no
     legal tiling exists (then the jnp/GSPMD tier serves the shape).
     Thermal kernels get a reduced budget (their D3Q7 planes enlarge the
-    in-kernel working set the PLANE_BUDGET was measured without)."""
+    in-kernel working set the PLANE_BUDGET was measured without), as do
+    heavy configs (forcing/wall stages — config_budget_heavy)."""
     budget = int(os.environ.get("LUW_PLANE_BUDGET", 0)) or PLANE_BUDGET
     if thermal:
         budget = int(budget * THERMAL_BUDGET_FRACTION)
+    if heavy:
+        budget = int(budget * HEAVY_BUDGET_FRACTION)
     if Y * X <= budget:
         return Y
     best = None
@@ -241,10 +259,13 @@ def pallas_reject_reason(shape: Tuple[int, int, int],
         return f"Z={Z} < 3 (plane-carry scratch needs three z planes)"
     if Y < 8 or X < 8:
         return f"plane {Y}x{X} below the 8x8 minimum (TPU sublane/lane tile)"
-    if tile_plan(Y, X, thermal=config.thermal) is None:
+    heavy = config_budget_heavy(config)
+    if tile_plan(Y, X, thermal=config.thermal, heavy=heavy) is None:
         budget = int(os.environ.get("LUW_PLANE_BUDGET", 0)) or PLANE_BUDGET
         if config.thermal:
             budget = int(budget * THERMAL_BUDGET_FRACTION)
+        if heavy:
+            budget = int(budget * HEAVY_BUDGET_FRACTION)
         return (f"no legal y-tiling: Y*X = {Y}*{X} = {Y * X} exceeds the "
                 f"VMEM plane budget ({budget}) and no multiple-of-32 "
                 f"divisor of Y={Y} brings a tile under it (pad Y to a "
@@ -410,7 +431,8 @@ def make_pallas_step(config: StepConfig, forcing: Forcing, shape: Tuple[int, int
     if not pallas_supported(shape, config):
         raise NotImplementedError(f"pallas tier unsupported for shape {shape}")
 
-    By = tile_plan(Y, X, thermal=config.thermal)
+    By = tile_plan(Y, X, thermal=config.thermal,
+                   heavy=config_budget_heavy(config))
     J = Y // By
     tiled = J > 1
 

@@ -113,14 +113,15 @@ def _exchange_ghosts(a, gy: int, gx: int):
 
 def ghost_widths(shape: Tuple[int, int, int],
                  split: Tuple[int, int, int],
-                 thermal: bool = False) -> Tuple[int, int]:
+                 thermal: bool = False,
+                 heavy: bool = False) -> Tuple[int, int]:
     """(gy, gx) ghost widths for a (Dx, Dy, Dz) split of `shape`.
 
     Width 1 unless the ghost-extended local plane must y-tile AND Y+2 has no
     32-multiple divisor — then the y width grows to 16 so Yg = Y/Dy + 32
-    keeps the tiled kernel's alignment (tile_plan).  `thermal` must match
-    the StepConfig the kernel will build with — the thermal kernel's
-    reduced VMEM budget can change which tilings legalize."""
+    keeps the tiled kernel's alignment (tile_plan).  `thermal`/`heavy` must
+    match the StepConfig the kernel will build with — their reduced VMEM
+    budgets can change which tilings legalize."""
     from ..ops.stream_collide import tile_plan
 
     Z, Y, X = shape
@@ -129,19 +130,22 @@ def ghost_widths(shape: Tuple[int, int, int],
     gy = int(dy > 1)
     if gy:
         xl = X // dx + 2 * gx
-        if tile_plan(Y // dy + 2, xl, thermal=thermal) is None and \
-                tile_plan(Y // dy + 32, xl, thermal=thermal) is not None:
+        if tile_plan(Y // dy + 2, xl, thermal=thermal,
+                     heavy=heavy) is None and \
+                tile_plan(Y // dy + 32, xl, thermal=thermal,
+                          heavy=heavy) is not None:
             gy = 16
     return gy, gx
 
 
 def local_shape_for(shape: Tuple[int, int, int],
                     split: Tuple[int, int, int],
-                    thermal: bool = False) -> Tuple[int, int, int]:
+                    thermal: bool = False,
+                    heavy: bool = False) -> Tuple[int, int, int]:
     """Ghost-extended per-shard shape the pallas kernel will see."""
     Z, Y, X = shape
     dx, dy, dz = split
-    gy, gx = ghost_widths(shape, split, thermal)
+    gy, gx = ghost_widths(shape, split, thermal, heavy)
     return (Z // dz, Y // dy + 2 * gy, X // dx + 2 * gx)
 
 
@@ -165,8 +169,11 @@ def make_sharded_pallas_runner(config: StepConfig, forcing: Forcing,
     nz, ny, nx = mesh.shape["z"], mesh.shape["y"], mesh.shape["x"]
     if Z % nz or Y % ny or X % nx:
         raise ValueError(f"grid {shape} not divisible by mesh ({nz},{ny},{nx})")
+    from ..ops.stream_collide import config_budget_heavy
+
     zl, yl, xl = Z // nz, Y // ny, X // nx
-    gy, gx = ghost_widths(shape, (nx, ny, nz), config.thermal)
+    gy, gx = ghost_widths(shape, (nx, ny, nz), config.thermal,
+                          config_budget_heavy(config))
     local_shape = (zl, yl + 2 * gy, xl + 2 * gx)
     _, Yg, Xg = local_shape
     thermal = config.thermal

@@ -129,7 +129,7 @@ def _warn_slow_tier(impl_name: str, shape, case: SolverCase) -> None:
 
     if jax.default_backend() == "cpu" or int(np.prod(shape)) < (1 << 21):
         return
-    from ..ops.stream_collide import tile_plan
+    from ..ops.stream_collide import config_budget_heavy, tile_plan
     Z, Y, X = shape
     dx, dy, dz = case.ngpu
     reason = "unsupported step configuration"
@@ -137,7 +137,8 @@ def _warn_slow_tier(impl_name: str, shape, case: SolverCase) -> None:
         reason = f"grid {shape} not divisible by n_gpu split {list(case.ngpu)}"
     elif Z < 3 or Y < 8 or X < 8:
         reason = f"grid too thin for the kernel (Z={Z}, Y={Y}, X={X})"
-    elif tile_plan(Y, X, thermal=case.config.thermal) is None:
+    elif tile_plan(Y, X, thermal=case.config.thermal,
+                   heavy=config_budget_heavy(case.config)) is None:
         reason = (f"({Y}, {X}) plane exceeds the VMEM budget with no legal "
                   "y-tiling — X too wide for a 32-row tile; shard over x "
                   "(n_gpu) or coarsen the cell size")
@@ -187,8 +188,11 @@ def run_case(case: SolverCase, *, quiet: bool = False) -> RunResult:
 
             mesh = domain_mesh(tuple(case.ngpu))
             dx, dy, dz = case.ngpu
+            from ..ops.stream_collide import config_budget_heavy
+
             local = local_shape_for(shape, (dx, dy, dz),
-                                    case.config.thermal)
+                                    case.config.thermal,
+                                    config_budget_heavy(case.config))
             # the DDF inlet hook is shard-aware for any (Dx, Dy, Dz) split
             # (bc/vk_inlet.py _ddf_apply shard kwargs)
             vk_ok = (case.pre_step is None

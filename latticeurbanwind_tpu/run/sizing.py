@@ -57,6 +57,7 @@ class GridPlan:
 
 
 def fast_tier_ny(ny: int, nx: int, *, thermal: bool = False,
+                 heavy: bool = False,
                  per_device_ny: int = 1, per_device_nx: int = 1) -> int:
     """Smallest ny' >= ny whose per-shard plane runs the Pallas fast tier.
 
@@ -90,10 +91,13 @@ def fast_tier_ny(ny: int, nx: int, *, thermal: bool = False,
             return False
         loc = n // d
         if d == 1:          # no y ghosts (gy = 0)
-            return tile_plan(loc, xl, thermal=thermal) is not None
+            return tile_plan(loc, xl, thermal=thermal,
+                             heavy=heavy) is not None
         # y-sharded: ghost_widths legalizes with gy = 1 or gy = 16
-        return (tile_plan(loc + 2, xl, thermal=thermal) is not None
-                or tile_plan(loc + 32, xl, thermal=thermal) is not None)
+        return (tile_plan(loc + 2, xl, thermal=thermal,
+                          heavy=heavy) is not None
+                or tile_plan(loc + 32, xl, thermal=thermal,
+                             heavy=heavy) is not None)
 
     if legal(ny):
         return ny
@@ -122,14 +126,22 @@ def effective_ngpu(ngpu) -> Tuple[int, int, int]:
 
 
 def apply_fast_tier(plan: GridPlan, *, thermal: bool = False,
+                    heavy: bool = True,
                     dy: int = 1, dx: int = 1) -> GridPlan:
     """Pad the plan's ny so every device shard rides the Pallas fast tier
     (no-op when already legal or when padding cannot help).  Outputs crop
-    the pad rows via plan.ny_out."""
+    the pad rows via plan.ny_out.
+
+    `heavy` defaults True: deck-driven runs virtually always compile the
+    forcing path (sponge/nudge) and often the wall models, which take the
+    reduced plane budget (stream_collide.HEAVY_BUDGET_FRACTION).  Padding
+    for the heavy budget is always safe for lighter configs — a Y that
+    tiles under the reduced budget tiles (or fits untiled) under the full
+    one — at worst a ≤31-row pad the run didn't strictly need."""
     from dataclasses import replace
 
-    ny2 = fast_tier_ny(plan.ny, plan.nx, thermal=thermal, per_device_ny=dy,
-                       per_device_nx=dx)
+    ny2 = fast_tier_ny(plan.ny, plan.nx, thermal=thermal, heavy=heavy,
+                       per_device_ny=dy, per_device_nx=dx)
     if ny2 == plan.ny:
         return plan
     return replace(plan, ny=ny2, ny_phys=plan.ny)

@@ -76,7 +76,7 @@ def test_profile_mode_pads_and_crops(tmp_path, monkeypatch):
     from latticeurbanwind_tpu.io import read_structured_points
     from latticeurbanwind_tpu.run import run_deck
 
-    monkeypatch.setenv("LUW_PLANE_BUDGET", "1100")
+    monkeypatch.setenv("LUW_PLANE_BUDGET", "1300")
     src = Path("/root/reference/examples/example_ProfileResearch_noDEM")
     case = tmp_path / "caseE"
     shutil.copytree(src, case)
@@ -93,9 +93,10 @@ def test_profile_mode_pads_and_crops(tmp_path, monkeypatch):
     deck.set_list("n_gpu", [1, 1, 1])
     deck.save()
 
-    # the plan pads: 33 rows -> 64 (32*34 = 1088 <= 1100 < 33*34)
-    assert tile_plan(33, 34) is None
-    assert fast_tier_ny(33, 34) == 64
+    # the plan pads under the HEAVY budget the forcing-carrying profile run
+    # uses (0.85 * 1300 = 1105): 33 rows -> 64 (32*34 = 1088 <= 1105 < 33*34)
+    assert tile_plan(33, 34, heavy=True) is None
+    assert fast_tier_ny(33, 34, heavy=True) == 64
 
     results = run_deck(case / "conf.luwpf", quiet=True)
     r = results[0]
@@ -108,6 +109,38 @@ def test_profile_mode_pads_and_crops(tmp_path, monkeypatch):
         assert meta["dims"][1] == 33, f"{f.name}: pad rows must be cropped"
         for arr in fields.values():
             assert np.isfinite(np.asarray(arr, np.float64)).all()
+
+
+def test_heavy_budget_tiles_production_casee_plane():
+    """Round-5 regression: the 4 m CaseE production plane (499x506 = 252k
+    cells) fits the flagship 256Ki budget untiled but its HEAVY config
+    (wall model + Guo forcing + nudge) measures ~500 B/cell of scoped
+    VMEM stack and overflows the 120 MiB limit by 5% on chip.  Heavy
+    configs take the reduced budget so sizing pads 499 -> 512 and the
+    kernel y-tiles (By=256, two ~130k-cell blocks)."""
+    from latticeurbanwind_tpu.lbm import StepConfig
+    from latticeurbanwind_tpu.ops.stream_collide import (
+        config_budget_heavy, pallas_reject_reason,
+    )
+
+    light = StepConfig(omega=1.6, storage="bf16", volume_force=False)
+    heavy = StepConfig(omega=1.6, storage="bf16", volume_force=True,
+                       wall_model=True, wall_cd=0.0134)
+    assert not config_budget_heavy(light)
+    assert config_budget_heavy(heavy)
+
+    # light config: untiled is fine at 252k cells
+    assert tile_plan(499, 506) == 499
+    assert pallas_reject_reason((118, 499, 506), light) is None
+    # heavy config: 499 has no 32-multiple divisor -> reject names the
+    # reduced budget; sizing pads to 512, which tiles
+    assert tile_plan(499, 506, heavy=True) is None
+    assert pallas_reject_reason((118, 499, 506), heavy) is not None
+    assert tile_plan(512, 506, heavy=True) == 256
+    assert pallas_reject_reason((118, 512, 506), heavy) is None
+    # the deck path's padding probe (apply_fast_tier defaults heavy=True)
+    assert fast_tier_ny(499, 506, heavy=True) == 512
+    assert fast_tier_ny(499, 506) == 499   # light probe unchanged
 
 
 def test_billion_cell_pod_plan_fits_v5p16():

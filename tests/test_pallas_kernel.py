@@ -143,6 +143,7 @@ def test_pallas_tiled_matches_reference(monkeypatch, thermal, shape, storage):
 
     monkeypatch.setattr(sc, "PLANE_BUDGET", 4096)
     monkeypatch.setattr(sc, "THERMAL_BUDGET_FRACTION", 1.0)
+    monkeypatch.setattr(sc, "HEAVY_BUDGET_FRACTION", 1.0)
     assert sc.tile_plan(shape[1], shape[2]) not in (None, shape[1])
     atol = 6e-6 if storage == "f32" else 2e-5
     _check_pallas_matches_reference(thermal, shape, storage, atol=atol)
@@ -157,6 +158,7 @@ def test_pallas_wall_model_matches_reference(monkeypatch, tiled):
         from latticeurbanwind_tpu.ops import stream_collide as sc
 
         monkeypatch.setattr(sc, "PLANE_BUDGET", 4096)
+        monkeypatch.setattr(sc, "HEAVY_BUDGET_FRACTION", 1.0)
         shape = (8, 64, 128)
     else:
         shape = (8, 32, 128)
@@ -176,6 +178,7 @@ def test_pallas_wall_sides_matches_reference(monkeypatch, tiled):
         from latticeurbanwind_tpu.ops import stream_collide as sc
 
         monkeypatch.setattr(sc, "PLANE_BUDGET", 4096)
+        monkeypatch.setattr(sc, "HEAVY_BUDGET_FRACTION", 1.0)
         shape = (8, 64, 128)
     else:
         shape = (8, 32, 128)
@@ -338,6 +341,7 @@ def test_pallas_block_specs_are_mosaic_legal(monkeypatch):
     from latticeurbanwind_tpu.ops import stream_collide as sc
 
     monkeypatch.setattr(sc, "PLANE_BUDGET", 4096)
+    monkeypatch.setattr(sc, "HEAVY_BUDGET_FRACTION", 1.0)
     shape = (8, 96, 128)
     assert sc.tile_plan(*shape[1:]) == 32       # 32 % 128 != 0: the hard case
 

@@ -153,6 +153,7 @@ def test_sharded_tiled_local_plane_matches_single(monkeypatch, split, shape):
 
     monkeypatch.setattr(sc, "PLANE_BUDGET", 8192)
     monkeypatch.setattr(sc, "THERMAL_BUDGET_FRACTION", 1.0)
+    monkeypatch.setattr(sc, "HEAVY_BUDGET_FRACTION", 1.0)
     local = local_shape_for(shape, split)
     assert local[1] * local[2] > 8192   # the old gate would have refused this
     assert sc.tile_plan(local[1], local[2]) not in (None, local[1])
